@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.Tables
+
+/** Relational layer, batch 1 (SURVEY §2.2 Q1–Q16).
+  *
+  * Design rules (see SURVEY §5/§6):
+  *  - Monetary aggregates run over DECIMAL(18,s) casts so the result is
+  *    order-independent and bit-identical across engines, then surface as
+  *    DOUBLE. Integer-ish scalars are cast to LONG to match DuckDB BIGINT.
+  *  - Every query ends in a total ORDER BY (unique tiebreak) so the row
+  *    order matches the oracle byte-for-byte.
+  *  - Plans stay fully declarative: filters/projections sit directly on
+  *    the scan (Catalyst pushes them into parquet), tiny dims are
+  *    broadcast-hinted, everything else is left to Catalyst + AQE.
+  */
+object Relational extends QueryGroup {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal sum surfaced as double (order-independent). */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  private def dec(c: Column, scale: Int = 2): Column =
+    c.cast(DecimalType(18, scale))
+
+  /** Oracle-side twin of [[dsum]]. */
+  private def oSum(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- Q1
+  // TPC-H Q1-style pricing summary. Scale: partial aggregation on 3x2
+  // groups — map-side combine reduces the shuffle to O(partitions).
+  private val q1 = QueryDef(
+    "q1_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  // ---------------------------------------------------------------- Q2
+  // Pure filter+project: both must reach the parquet scan (PushedFilters /
+  // 4-column ReadSchema — asserted in PlanSpec).
+  private val q2 = QueryDef(
+    "q2_filter_project",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+          col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  // ---------------------------------------------------------------- Q3
+  // Fact ⋈ dims. nation is always broadcast; customer is broadcast at test
+  // SF and would switch to a bucketed shuffle join at 100 TB (hint-only
+  // change — Catalyst picks SMJ once it exceeds the threshold).
+  private val q3 = QueryDef(
+    "q3_join_broadcast",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    },
+    Some(s"""SELECT n_name, ${oSum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin))
+
+  // ---------------------------------------------------------------- Q4
+  // 5-way star join; the lineitem⋈orders edge is the only big⋈big edge
+  // (sort-merge + AQE at scale), everything else broadcasts.
+  private val q4 = QueryDef(
+    "q4_star_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin))
+
+  // ---------------------------------------------------------------- Q5
+  private val q5 = QueryDef(
+    "q5_window_rank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          rank().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 10)
+        .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
+    },
+    Some("""SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+      |  FROM customer) sub
+      |WHERE rnk <= 10
+      |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin))
+
+  // ---------------------------------------------------------------- Q6
+  // Running sum / lag ordered by event_id (globally time-ordered, and
+  // integer ordering sidesteps the ns-vs-us timestamp truncation gap
+  // between Spark and DuckDB). One shuffle on user_id.
+  private val q6 = QueryDef(
+    "q6_window_running",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          sum(dec(col("value"))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).as("running_value"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+      |  LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin))
+
+  // ---------------------------------------------------------------- Q7
+  // Top-k per group via row_number — spills gracefully, no collect_list.
+  private val q7 = QueryDef(
+    "q7_topk_per_group",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders) sub
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin))
+
+  // ---------------------------------------------------------------- Q8
+  // Rollup; null group keys are coalesced to 'ALL' so engine null-ordering
+  // defaults never matter.
+  private val q8 = QueryDef(
+    "q8_rollup",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority")),
+    Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin))
+
+  // ---------------------------------------------------------------- Q9
+  private val q9 = QueryDef(
+    "q9_cube",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy(col("returnflag"), col("linestatus")),
+    Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  COUNT(*) AS n, ${oSum("l_quantity")} AS qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin))
+
+  // --------------------------------------------------------------- Q10
+  private val q10 = QueryDef(
+    "q10_distinct",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy(col("c_mktsegment"), col("c_nationkey")),
+    Some("""SELECT DISTINCT c_mktsegment, c_nationkey
+      |FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin))
+
+  // --------------------------------------------------------------- Q11
+  // HLL++ approximate distinct — sketch-based, merges partially per
+  // partition (the 100 TB path). Approximate ⇒ rows-only check.
+  private val q11 = QueryDef(
+    "q11_approx_count_distinct",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus")),
+    None)
+
+  // --------------------------------------------------------------- Q12
+  private val q12 = QueryDef(
+    "q12_semi_join",
+    (s, dir) => {
+      val open = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 300000)
+        .select("o_custkey")
+      t(s, dir, "customer")
+        .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE c_custkey IN (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderstatus = 'O' AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin))
+
+  // --------------------------------------------------------------- Q13
+  private val q13 = QueryDef(
+    "q13_anti_join",
+    (s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      t(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin))
+
+  // --------------------------------------------------------------- Q14
+  private val q14 = QueryDef(
+    "q14_outer_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("cnk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sp = t(s, dir, "supplier").groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sp, col("cnk") === col("snk"), "full_outer")
+        .select(coalesce(col("cnk"), col("snk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""WITH c AS (SELECT c_nationkey AS cnk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+      |     s AS (SELECT s_nationkey AS snk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+      |SELECT COALESCE(cnk, snk) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON cnk = snk
+      |ORDER BY nationkey""".stripMargin))
+
+  // --------------------------------------------------------------- Q15
+  private val q15 = QueryDef(
+    "q15_set_ops",
+    (s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+      val custOnly = cn.except(sn).withColumn("tag", lit("cust_only"))
+      val both = cn.intersect(sn).withColumn("tag", lit("both"))
+      custOnly.unionAll(both).orderBy(col("tag"), col("nk"))
+    },
+    Some("""SELECT nk, tag FROM (
+      |  SELECT nk, 'cust_only' AS tag FROM (
+      |    SELECT DISTINCT c_nationkey AS nk FROM customer
+      |    EXCEPT SELECT DISTINCT s_nationkey AS nk FROM supplier) e
+      |  UNION ALL
+      |  SELECT nk, 'both' AS tag FROM (
+      |    SELECT DISTINCT c_nationkey AS nk FROM customer
+      |    INTERSECT SELECT DISTINCT s_nationkey AS nk FROM supplier) i) u
+      |ORDER BY tag, nk""".stripMargin))
+
+  // --------------------------------------------------------------- Q16
+  private val q16 = QueryDef(
+    "q16_conditional_agg",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+          sum(when(col("o_orderstatus") === "O", dec(col("o_totalprice")))
+            .otherwise(lit(0).cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("open_total"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS open_total
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin))
+
+  override val queries: Seq[QueryDef] =
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
+      q14, q15, q16)
+}
