@@ -1,0 +1,424 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.Tables
+
+/** Relational layer, batch 2 (SURVEY §2.2 Q17–Q33): subqueries, string/
+  * date functions, pivot, time analytics (range/as-of joins,
+  * sessionization, funnels), explode, grouping sets.
+  *
+  * Event-time logic runs on `ts_ms` (epoch millis, see Tables.load) so
+  * Spark (us precision) and DuckDB (ns precision) agree bit-for-bit.
+  */
+object Analytic extends QueryGroup {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column, scale: Int = 2): Column =
+    c.cast(DecimalType(18, scale))
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  private def oSum(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  // --------------------------------------------------------------- Q17
+  private val q17 = QueryDef(
+    "q17_having",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey")),
+    Some(s"""SELECT o_custkey, COUNT(*) AS n_orders, ${oSum("o_totalprice")} AS spend
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING COUNT(*) >= 15
+      |ORDER BY o_custkey""".stripMargin))
+
+  // --------------------------------------------------------------- Q18
+  // Scalar subquery: the global average is one broadcast row — no
+  // re-scan of part on the probe side at scale.
+  private val q18 = QueryDef(
+    "q18_scalar_subquery",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val thr = p.agg(
+        (sum(dec(col("p_retailprice"))).cast(DoubleType) / count(lit(1)))
+          .as("avg_price"))
+      p.crossJoin(broadcast(thr))
+        .filter(col("p_retailprice") > col("avg_price"))
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+          col("avg_price"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""WITH a AS (
+      |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price
+      |  FROM part)
+      |SELECT p_partkey, p_name, p_retailprice, avg_price
+      |FROM part, a
+      |WHERE p_retailprice > avg_price
+      |ORDER BY p_partkey""".stripMargin))
+
+  // --------------------------------------------------------------- Q19
+  // Correlated-EXISTS semantics decorrelated into a grouped join — the
+  // shape Catalyst produces for correlated subqueries, stated explicitly.
+  private val q19 = QueryDef(
+    "q19_correlated_exists",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val avg = o.groupBy(col("o_custkey").as("ck"))
+        .agg((sum(dec(col("o_totalprice"))).cast(DoubleType) / count(lit(1)))
+          .as("cust_avg"))
+      o.join(avg, col("o_custkey") === col("ck"))
+        .filter(col("o_totalprice") > lit(1.5) * col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("cust_avg"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH a AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS cust_avg
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+      |FROM orders JOIN a ON o_custkey = ck
+      |WHERE o_totalprice > 1.5 * cust_avg
+      |ORDER BY o_orderkey""".stripMargin))
+
+  // --------------------------------------------------------------- Q20
+  private val q20 = QueryDef(
+    "q20_string_funcs",
+    (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").like("%o%"))
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          concat(col("p_type"), lit("/"), col("p_brand")).as("type_brand"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, UPPER(p_brand) AS brand_u, SUBSTRING(p_name, 1, 8) AS name8,
+      |  CONCAT(p_type, '/', p_brand) AS type_brand,
+      |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      |  REGEXP_EXTRACT(p_name, '^([a-z]+)', 1) AS first_word
+      |FROM part
+      |WHERE p_name LIKE '%o%'
+      |ORDER BY p_partkey""".stripMargin))
+
+  // --------------------------------------------------------------- Q21
+  private val q21 = QueryDef(
+    "q21_date_funcs",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(
+          date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+          year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("order_month")),
+    Some(s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+      |  COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      |FROM orders
+      |GROUP BY order_month, order_year
+      |ORDER BY order_month""".stripMargin))
+
+  // --------------------------------------------------------------- Q22
+  private val q22 = QueryDef(
+    "q22_case_bucketing",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .when(col("o_totalprice") < 300000, "large")
+            .otherwise("jumbo").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("bucket")),
+    Some(s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+      |  WHEN o_totalprice < 150000 THEN 'medium'
+      |  WHEN o_totalprice < 300000 THEN 'large'
+      |  ELSE 'jumbo' END AS bucket,
+      |  COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      |FROM orders
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin))
+
+  // --------------------------------------------------------------- Q23
+  // Exact quartiles via ntile over a total order — one sort, then tiny
+  // aggregation; the 100 TB variant would swap in approx_percentile.
+  private val q23 = QueryDef(
+    "q23_percentiles",
+    (s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_totalprice"), ntile(4).over(w).cast("long").as("quartile"))
+        .groupBy(col("quartile"))
+        .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy(col("quartile"))
+    },
+    Some("""SELECT quartile, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi, COUNT(*) AS n
+      |FROM (SELECT o_totalprice,
+      |        CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+      |      FROM orders) sub
+      |GROUP BY quartile
+      |ORDER BY quartile""".stripMargin))
+
+  // --------------------------------------------------------------- Q24
+  private val q24 = QueryDef(
+    "q24_pivot",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      |  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+      |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+      |  CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin))
+
+  // --------------------------------------------------------------- Q25
+  private val q25 = QueryDef(
+    "q25_union_dedup",
+    (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy(col("nk")),
+    Some("""SELECT nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  UNION
+      |  SELECT s_nationkey AS nk FROM supplier) u
+      |ORDER BY nk""".stripMargin))
+
+  // --------------------------------------------------------------- Q26
+  // Self join with o_orderkey < tiebreak — fanout bounded per customer
+  // key; at 100 TB this is a single shuffle on o_custkey.
+  private val q26 = QueryDef(
+    "q26_self_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select("o_custkey", "o_orderkey")
+      val a = o.as("a")
+      val b = o.as("b")
+      a.join(b, col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") < col("b.o_orderkey"))
+        .groupBy(col("a.o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("custkey"))
+    },
+    Some("""SELECT a.o_custkey AS custkey, COUNT(*) AS n_pairs
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      |GROUP BY a.o_custkey
+      |ORDER BY custkey""".stripMargin))
+
+  // --------------------------------------------------------------- Q27
+  // Time-band join: equi key (user_id) carries the shuffle, the range
+  // predicate filters inside the join. At 100 TB add coarse time-bucket
+  // keys to both sides to keep per-key fanout bounded.
+  private val q27 = QueryDef(
+    "q27_range_join",
+    (s, dir) => {
+      val e = t(s, dir, "events").select("event_id", "user_id", "event_type", "ts_ms")
+      val p = e.filter(col("event_type") === "purchase").as("p")
+      val c = e.filter(col("event_type") === "click").as("c")
+      p.join(c,
+          col("c.user_id") === col("p.user_id") &&
+            col("c.ts_ms") > col("p.ts_ms") - 3600000L &&
+            col("c.ts_ms") < col("p.ts_ms"), "left")
+        .groupBy(col("p.event_id").as("event_id"))
+        .agg(count(col("c.event_id")).as("clicks_1h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT p.event_id AS event_id, COUNT(c.event_id) AS clicks_1h
+      |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id AND c.ts_ms > p.ts_ms - 3600000 AND c.ts_ms < p.ts_ms
+      |GROUP BY p.event_id
+      |ORDER BY event_id""".stripMargin))
+
+  // --------------------------------------------------------------- Q28
+  // As-of join (most recent view at-or-before each purchase) as ONE
+  // shuffle + window over the union — never an N×M pair blowup.
+  private val q28 = QueryDef(
+    "q28_asof_join",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select("user_id", "ts_ms", "event_id", "event_type")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_view_id",
+          last(when(col("event_type") === "view", col("event_id")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("last_view_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+      |  (SELECT v.event_id FROM events v
+      |   WHERE v.user_id = e.user_id AND v.event_type = 'view'
+      |     AND (epoch_ms(v.ts) < epoch_ms(e.ts)
+      |          OR (epoch_ms(v.ts) = epoch_ms(e.ts) AND v.event_id <= e.event_id))
+      |   ORDER BY epoch_ms(v.ts) DESC, v.event_id DESC LIMIT 1) AS last_view_id
+      |FROM events e
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin))
+
+  // --------------------------------------------------------------- Q29
+  // Gap-based sessionization: lag → new-session flag → running sum =
+  // session id. One shuffle on user_id, everything else window-local.
+  private val q29 = QueryDef(
+    "q29_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+        .withColumn("new_s",
+          when(lag(col("ts_ms"), 1).over(w).isNull ||
+            col("ts_ms") - lag(col("ts_ms"), 1).over(w) > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(wRun).cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
+          dsum(col("value")).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+      |flags AS (
+      |  SELECT user_id, event_id, ts_ms, value,
+      |    CASE WHEN LAG(ts_ms) OVER w IS NULL OR ts_ms - LAG(ts_ms) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts_ms, value,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flags)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+      |  ${oSum("value")} AS session_value
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin))
+
+  // --------------------------------------------------------------- Q30
+  private val q30 = QueryDef(
+    "q30_tumbling_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("w.start").cast("date").as("day"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("day"), col("event_type")),
+    Some(s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |  COUNT(*) AS n, ${oSum("value")} AS total_value
+      |FROM events
+      |GROUP BY day, event_type
+      |ORDER BY day, event_type""".stripMargin))
+
+  // --------------------------------------------------------------- Q31
+  // Ordered funnel view→click→purchase. Each stage is a grouped min —
+  // no per-event state, scales linearly.
+  private val q31 = QueryDef(
+    "q31_funnel",
+    (s, dir) => {
+      val e = t(s, dir, "events").select("user_id", "event_type", "ts_ms")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("vu")).agg(min(col("ts_ms")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, col("user_id") === col("vu") && col("ts_ms") > col("v_ts"))
+        .groupBy(col("user_id").as("cu")).agg(min(col("ts_ms")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, col("user_id") === col("cu") && col("ts_ms") > col("c_ts"))
+        .groupBy(col("user_id").as("pu")).agg(min(col("ts_ms")).as("p_ts"))
+      e.select(col("user_id")).distinct()
+        .join(v, col("user_id") === col("vu"), "left")
+        .join(c, col("user_id") === col("cu"), "left")
+        .join(p, col("user_id") === col("pu"), "left")
+        .select(col("user_id"),
+          col("v_ts").isNotNull.as("reached_view"),
+          col("c_ts").isNotNull.as("reached_click"),
+          col("p_ts").isNotNull.as("reached_purchase"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |v AS (SELECT user_id AS vu, MIN(ts_ms) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id AS cu, MIN(e.ts_ms) AS c_ts FROM e JOIN v ON e.user_id = vu AND e.ts_ms > v_ts
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id AS pu, MIN(e.ts_ms) AS p_ts FROM e JOIN c ON e.user_id = cu AND e.ts_ms > c_ts
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT u.user_id,
+      |  v_ts IS NOT NULL AS reached_view,
+      |  c_ts IS NOT NULL AS reached_click,
+      |  p_ts IS NOT NULL AS reached_purchase
+      |FROM (SELECT DISTINCT user_id FROM e) u
+      |LEFT JOIN v ON u.user_id = vu
+      |LEFT JOIN c ON u.user_id = cu
+      |LEFT JOIN p ON u.user_id = pu
+      |ORDER BY u.user_id""".stripMargin))
+
+  // --------------------------------------------------------------- Q32
+  private val q32 = QueryDef(
+    "q32_explode",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("word")),
+    Some("""SELECT word, COUNT(*) AS n
+      |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) sub
+      |WHERE word <> ''
+      |GROUP BY word
+      |ORDER BY word""".stripMargin))
+
+  // --------------------------------------------------------------- Q33
+  // Explicit grouping sets with GROUPING() disambiguation.
+  private val q33 = QueryDef(
+    "q33_grouping_sets",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("g_flag"), col("g_status"), col("n"), col("total"))
+        .orderBy(col("returnflag"), col("linestatus"), col("g_flag"))
+    },
+    Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |  COUNT(*) AS n, ${oSum("l_extendedprice")} AS total
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus, g_flag""".stripMargin))
+
+  override val queries: Seq[QueryDef] =
+    Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
+      q29, q30, q31, q32, q33)
+}

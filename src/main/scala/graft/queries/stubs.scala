@@ -1,7 +1,6 @@
 package graft.queries
 
 // Temporary placeholders — each becomes a real group as SURVEY §2 fills in.
-object Analytic extends QueryGroup { override val queries: Seq[QueryDef] = Seq.empty }
 object TextOps extends QueryGroup { override val queries: Seq[QueryDef] = Seq.empty }
 object DedupOps extends QueryGroup { override val queries: Seq[QueryDef] = Seq.empty }
 object SimilarityOps extends QueryGroup { override val queries: Seq[QueryDef] = Seq.empty }

@@ -26,7 +26,9 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts_ms", floor(col("ts") / 1000000L).cast("long"))
+        // integer `div`, NOT `/`: epoch-nanos overflow double's 53-bit
+        // mantissa, so floating division is off by ±1ms on some rows
+        .withColumn("ts_ms", expr("ts div 1000000"))
         .withColumn("ts", timestamp_millis(col("ts_ms")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
