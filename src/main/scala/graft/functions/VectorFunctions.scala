@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector math over `Array[Float]` embedding columns, built purely from
+  * codegen'd higher-order functions (`transform`/`zip_with`/`aggregate`) —
+  * no UDFs, so whole-stage codegen stays intact in the ANN hot paths.
+  *
+  * Elements are promoted to double BEFORE multiplication and accumulated
+  * strictly left-to-right, so the result is deterministic and
+  * reproducible across engines.
+  */
+object VectorFunctions {
+
+  private def toDouble(a: Column): Column =
+    transform(a, x => x.cast(DoubleType))
+
+  /** Sequential dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = {
+    val d = toDouble(a)
+    sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+  }
+
+  /** Cosine similarity = dot / (|a| * |b|). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane signature: `bits` sign bits packed into a long.
+    * Hyperplane h is the deterministic pseudo-vector whose j-th component
+    * is a hash of (seed, h, j) mapped to [-1, 1); sign(v . h) gives the
+    * bit. Deterministic, shippable to any cluster size.
+    */
+  def hyperplaneSignature(v: Column, bits: Int, seed: Int = 0x5eed): Column = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+    val d = toDouble(v)
+    val terms = (0 until bits).map { h =>
+      // component weight for plane h at position i: xxhash64(seed,h,i)
+      // scaled into [-1,1) — generated inline, never materialized
+      val proj = aggregate(
+        zip_with(d, sequence(lit(0), size(d) - 1), (x, i) =>
+          x * (xxhash64(lit(seed), lit(h), i).cast(DoubleType) /
+            lit(Long.MaxValue.toDouble))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << h)).otherwise(lit(0L))
+    }
+    terms.reduce(_.bitwiseOR(_))
+  }
+}
