@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (SURVEY §2.3 T1–T4).
+  *
+  * All four are single-pass, shuffle-free map projections (plus a partial
+  * aggregation for T3) — at 100 TB each runs at scan speed with no data
+  * movement beyond the final tiny result. Everything is built from native
+  * codegen'd expressions (split / HOFs / regexp); no UDFs.
+  *
+  * Heuristics mirror the published recipes (fastText-style stopword
+  * scoring, Gopher-style quality ratios) but are deliberately simple
+  * enough to express identically in the DuckDB oracle SQL.
+  */
+object TextOps extends QueryGroup {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  /** Language marker words (per-language stopword lists). The synthetic
+    * corpus shares one vocabulary, so this is an operator-shape test, not
+    * a linguistics test — the heuristic itself is the deliverable.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("fast", "slow", "merge"),
+    "en" -> Seq("the", "a", "value"),
+    "es" -> Seq("data", "query", "row"),
+    "fr" -> Seq("join", "sort", "hash"),
+    "zh" -> Seq("table", "scan", "key"))
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** #tokens of `w` that appear in `set` (with multiplicity). */
+  private def hitCount(w: Column, set: Seq[String]): Column =
+    size(filter(w, x => x.isInCollection(set))).cast(LongType)
+
+  private def oHits(set: Seq[String]): String = {
+    val list = set.map(s => s"'$s'").mkString(", ")
+    s"len(list_filter(string_split(text,' '), x -> x IN ($list)))"
+  }
+
+  // ---------------------------------------------------------------- T1
+  // Stopword-vote language ID: score each candidate language by marker
+  // hits, predict the argmax (alphabetical tiebreak). One projection pass.
+  private val t1 = QueryDef(
+    "t1_langid",
+    (s, dir) => {
+      val w = words(col("text"))
+      val scored = docs(s, dir).select(
+        (col("doc_id") +: col("lang").as("lang_actual") +:
+          markers.map { case (l, set) => hitCount(w, set).as(s"s_$l") }): _*)
+      val best = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+      // alphabetical priority: first lang hitting the max wins the tie
+      val predFirst = markers.reverse.foldLeft(lit("??")) {
+        case (els, (l, _)) => when(col(s"s_$l") === best, lit(l)).otherwise(els)
+      }
+      scored
+        .withColumn("lang_pred", predFirst)
+        .select("doc_id", "lang_actual", "lang_pred")
+        .orderBy("doc_id")
+    },
+    Some {
+      val scores = markers.map { case (l, set) => s"${oHits(set)} AS s_$l" }
+        .mkString(",\n    ")
+      val best = markers.map { case (l, _) => s"s_$l" }
+        .mkString("greatest(", ", ", ")")
+      val pred = markers.reverse.foldLeft("'??'") { case (els, (l, _)) =>
+        s"CASE WHEN s_$l = $best THEN '$l' ELSE $els END"
+      }
+      s"""SELECT doc_id, lang_actual, $pred AS lang_pred
+         |FROM (
+         |  SELECT doc_id, lang AS lang_actual,
+         |    $scores
+         |  FROM documents
+         |) ORDER BY doc_id""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- T2
+  // Gopher-style quality ratios: word count, mean word length, stopword
+  // ratio → linear score + bucket. Pure per-row arithmetic (IEEE-double
+  // identical across engines — no aggregation-order sensitivity).
+  private val t2 = QueryDef(
+    "t2_quality_score",
+    (s, dir) => {
+      val w = words(col("text"))
+      val nWords = size(w).cast(LongType)
+      val nStop = hitCount(w, Seq("the", "a", "of"))
+      val alpha = length(regexp_replace(col("text"), " ", ""))
+        .cast(LongType)
+      val stopRatio = nStop.cast("double") / nWords.cast("double")
+      val meanLen = alpha.cast("double") / nWords.cast("double")
+      val score = stopRatio * lit(0.5) + meanLen * lit(0.1)
+      docs(s, dir).select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        nStop.as("n_stopwords"),
+        stopRatio.as("stopword_ratio"),
+        meanLen.as("mean_word_len"),
+        score.as("quality_score"),
+        when(nWords < 20, "too_short")
+          .when(stopRatio > 0.15, "boilerplate")
+          .otherwise("ok").as("quality_bucket"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, n_words, n_stopwords,
+       |  CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
+       |  CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+       |  (CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.5
+       |    + (CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.1 AS quality_score,
+       |  CASE WHEN n_words < 20 THEN 'too_short'
+       |       WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.15 THEN 'boilerplate'
+       |       ELSE 'ok' END AS quality_bucket
+       |FROM (
+       |  SELECT doc_id,
+       |    len(string_split(text,' ')) AS n_words,
+       |    ${oHits(Seq("the", "a", "of"))} AS n_stopwords,
+       |    length(replace(text, ' ', '')) AS n_alpha
+       |  FROM documents
+       |) ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- T3
+  // Token counting two ways (whitespace + BPE-ish regex classes),
+  // aggregated per source — partial agg makes the shuffle O(#sources).
+  private val tokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  private val t3 = QueryDef(
+    "t3_token_count",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          size(words(col("text"))).cast(LongType).as("ws"),
+          regexp_count(col("text"), lit(tokenRe)).cast(LongType).as("re"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("re")).as("regex_tokens"))
+        .orderBy("source"),
+    Some(s"""SELECT source, COUNT(*) AS n_docs,
+       |  SUM(len(string_split(text,' '))) AS ws_tokens,
+       |  SUM(len(regexp_extract_all(text, '$tokenRe'))) AS regex_tokens
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  // ---------------------------------------------------------------- T4
+  // 64-bit-style rolling polynomial fingerprint (mod 1e9+7 so both
+  // engines stay in exact BIGINT range): fold over characters, h =
+  // (h*31 + ascii) mod M. Single HOF pass per row, codegen'd.
+  private val fpMod = 1000000007L
+  private val t4 = QueryDef(
+    "t4_fingerprint",
+    (s, dir) => {
+      val codes = transform(split(col("text"), ""),
+        c => ascii(c).cast(LongType))
+      val fp = aggregate(codes, lit(7L),
+        (acc, c) => (acc * 31 + c) % fpMod)
+      docs(s, dir)
+        .select(col("doc_id"), fp.as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(7::BIGINT,
+       |      list_transform(string_split_regex(text,''), c -> ascii(c)::BIGINT)),
+       |    (acc, c) -> (acc*31 + c) % $fpMod) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(t1, t2, t3, t4)
+}
