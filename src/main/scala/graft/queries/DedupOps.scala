@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.HashFunctions._
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** Deduplication operators over `documents`/`embeddings` (SURVEY §2.3
+  * D1–D5). Scale design notes per operator:
+  *
+  *  - D1 exact: one hash-groupBy — partial agg makes the shuffle tiny.
+  *  - D2 Jaccard: PPJoin-style prefix filtering under a global
+  *    (doc-frequency asc, token) order — lossless for J ≥ t, and the
+  *    candidate join only touches each record's rare-token prefix, so the
+  *    O(n²) all-pairs join never materializes. Verification joins
+  *    candidates back to the full shingle sets (exact `array_intersect`).
+  *  - D3 MinHash+LSH: banding turns near-dup search into an equi-join on
+  *    (band, bucket); estimation is signature-only. Map-side sketching,
+  *    one shuffle on band keys.
+  *  - D4 SimHash: 64-bit sketch + pigeonhole blocking (8 blocks of 8
+  *    bits ⇒ every pair with hamming ≤ 7 shares ≥ 1 exact block).
+  *  - D5 embedding cosine: exact baseline via broadcast nested-loop over
+  *    the (always broadcastable) right side; the bounded-candidate scale
+  *    path is S2/S3's LSH/IVF bucketing.
+  */
+object DedupOps extends QueryGroup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** (doc_id, sh: sorted distinct word-3-gram shingles, n). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      array_sort(shingles(split(col("text"), " "), 3)).as("sh"))
+      .withColumn("n", size(col("sh")))
+
+  // ---------------------------------------------------------------- D1
+  // Exact dedup ledger: content hash → keeper id + copy count. Never
+  // empty (one row per distinct content), so it doubles as the keep-list.
+  private val d1 = QueryDef(
+    "d1_dedup_exact",
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("content_hash"),
+    Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin))
+
+  // ---------------------------------------------------------------- D2
+  // Near-dup pairs with word-3-gram Jaccard ≥ 0.8, via prefix filtering:
+  // under any global total order, J(x,y) ≥ t implies the first
+  // |x|−⌈t|x|⌉+1 tokens of x and of y share an element. Ordering tokens
+  // by ascending document frequency keeps prefix buckets tiny.
+  private val jaccardT = 0.8
+  private val d2 = QueryDef(
+    "d2_dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = shingled(s, dir).cache()
+      val tokens = sh.select(col("doc_id"), col("n"),
+        explode(col("sh")).as("tok"))
+      // global order key: (document frequency asc, token) — rare first
+      val dfreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
+      val ordered = tokens.join(dfreq, "tok")
+        .groupBy("doc_id", "n")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
+          .as("ranked"))
+      val prefLen = (col("n") - ceil(col("n") * jaccardT) + 1).cast("int")
+      val prefix = ordered.select(col("doc_id"), col("n"),
+        explode(slice(col("ranked"), lit(1), prefLen)("tok")).as("tok"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // length filter: J ≥ t ⇒ t·|y| ≤ |x| (and symmetric)
+          col("a.n") >= col("b.n") * jaccardT &&
+          col("b.n") >= col("a.n") * jaccardT)
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val verified = cand
+        .join(sh.select(col("doc_id").as("i"), col("sh").as("sha"),
+          col("n").as("na")), "i")
+        .join(sh.select(col("doc_id").as("j"), col("sh").as("shb"),
+          col("n").as("nb")), "j")
+        .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard",
+          col("shared").cast("double") /
+            (col("na") + col("nb") - col("shared")).cast("double"))
+        .filter(col("jaccard") >= jaccardT)
+      verified.select(col("i"), col("j"), col("shared").cast(LongType).as("shared"),
+        col("jaccard")).orderBy("i", "j")
+    },
+    Some(s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
+       |                   for i in range(1, len(words)-1)]) AS sh
+       |  FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents)
+       |), tok AS (SELECT doc_id, unnest(sh) AS t FROM sh),
+       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+       |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i, j, shared,
+       |  CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= $jaccardT
+       |ORDER BY i, j""".stripMargin))
+
+  // ---------------------------------------------------------------- D3
+  // MinHash (k=64) + LSH banding (16 bands × 4 rows): candidate pairs
+  // share ≥ 1 band key; similarity estimated from signature agreement.
+  // Rows-only: xxhash64 has no DuckDB twin.
+  private val mhK = 64
+  private val mhBands = 16
+  private val mhRows = 4
+  private val d3 = QueryDef(
+    "d3_dedup_minhash_lsh",
+    (s, dir) => {
+      val sig = shingled(s, dir)
+        .select(col("doc_id"),
+          minhashSignature(col("sh"), mhK).as("sig"))
+        .cache()
+      val bands = sig.select(col("doc_id"),
+        posexplode(bandKeys(col("sig"), mhBands, mhRows)))
+        .toDF("doc_id", "band", "key")
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val est = cand
+        .join(sig.select(col("doc_id").as("i"), col("sig").as("sa")), "i")
+        .join(sig.select(col("doc_id").as("j"), col("sig").as("sb")), "j")
+        .withColumn("est_jaccard",
+          aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / mhK)
+        .filter(col("est_jaccard") >= 0.5)
+      est.select("i", "j", "est_jaccard").orderBy("i", "j")
+    },
+    None)
+
+  // ---------------------------------------------------------------- D4
+  // SimHash over the shingle set; pigeonhole blocking: hamming ≤ 7 ⇒
+  // at least one of the 8 8-bit blocks matches exactly, so the candidate
+  // join is an equi-join on (block_id, block_value). Rows-only.
+  private val shBlocks = 8
+  private val shMaxHam = shBlocks - 1
+  private val d4 = QueryDef(
+    "d4_dedup_simhash",
+    (s, dir) => {
+      val sig = shingled(s, dir)
+        .select(col("doc_id"), simhash64(col("sh")).as("sig"))
+        .cache()
+      val blocks = sig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until shBlocks).map { b =>
+          shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(255L))
+        }: _*)))
+        .toDF("doc_id", "sig", "block", "v")
+      val cand = blocks.as("a").join(blocks.as("b"),
+        col("a.block") === col("b.block") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .distinct()
+      cand
+        .withColumn("hamming", hamming64(col("sa"), col("sb")))
+        .filter(col("hamming") <= shMaxHam)
+        .select("i", "j", "hamming").orderBy("i", "j")
+    },
+    None)
+
+  // ---------------------------------------------------------------- D5
+  // Embedding-cosine near-dup pairs ≥ 0.4: exact baseline — right side
+  // broadcast, nested-loop on vec_id < vec_id. Bounded-candidate scale
+  // variants live in S2 (LSH) / S3 (IVF). Rows-only (float fold order
+  // has no bit-exact DuckDB twin).
+  private val cosT = 0.4
+  private val d5 = QueryDef(
+    "d5_dedup_embedding",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val pairs = e.as("a").join(broadcast(e.as("b")),
+        col("a.vec_id") < col("b.vec_id"))
+      pairs
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          VectorFunctions.cosine(col("a.embedding"), col("b.embedding"))
+            .as("cosine"))
+        .filter(col("cosine") >= cosT)
+        .orderBy("i", "j")
+    },
+    None)
+
+  override val queries: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5)
+}

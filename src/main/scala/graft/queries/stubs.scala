@@ -1,5 +1,4 @@
 package graft.queries
 
 // Temporary placeholders — each becomes a real group as SURVEY §2 fills in.
-object DedupOps extends QueryGroup { override val queries: Seq[QueryDef] = Seq.empty }
 object SimilarityOps extends QueryGroup { override val queries: Seq[QueryDef] = Seq.empty }
