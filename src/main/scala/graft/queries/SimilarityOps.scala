@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Similarity-search operators over `embeddings` (SURVEY §2.3 S1–S3).
+  *
+  * Pattern shared by all three: the QUERY side is tiny and broadcast; the
+  * DATA side streams. At 100 TB the data side is the scan, so cost is
+  * (#candidates × dim) per query — S1 scores everything (exact baseline),
+  * S2/S3 bound candidates via LSH buckets / IVF cells. Cosine is a pure
+  * codegen'd HOF fold in double precision with a fixed left-to-right
+  * order, which is why S1 can be DuckDB-oracle-exact bit for bit.
+  *
+  * Top-k uses a window over the (few) query ids; at extreme scale the
+  * same plan holds because the scored-candidate set per query is already
+  * bounded (S2/S3) or pre-reduced per partition by AQE partial topK.
+  */
+object SimilarityOps extends QueryGroup {
+
+  private val K = 10
+  private val NQ = 8 // vec_id < NQ are the query vectors
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+
+  private def topK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  // ---------------------------------------------------------------- S1
+  // Exact brute-force: broadcast the 8 query vectors, score every data
+  // vector (one scan pass), window top-k. The DuckDB oracle reproduces
+  // the identical double fold, so ranks + cosines match exactly.
+  private val s1 = QueryDef(
+    "s1_ann_bruteforce",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val scored = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .withColumn("cosine", cosine(col("qe"), col("embedding")))
+        .select("qid", "vec_id", "cosine")
+      topK(scored)
+    },
+    Some(s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQ
+       |), scored AS (
+       |  SELECT qid, vec_id,
+       |    list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(e.embedding[i]::DOUBLE) for i in range(1, len(e.embedding)+1)]), (x,y) -> x+y)
+       |    / ( sqrt(list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(qe[i]::DOUBLE) for i in range(1, len(qe)+1)]), (x,y) -> x+y))
+       |      * sqrt(list_reduce(list_prepend(0.0, [(e.embedding[i]::DOUBLE)*(e.embedding[i]::DOUBLE) for i in range(1, len(e.embedding)+1)]), (x,y) -> x+y)) ) AS cosine
+       |  FROM q, embeddings e WHERE qid <> vec_id
+       |), ranked AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank,
+       |    cosine
+       |  FROM scored
+       |)
+       |SELECT qid, rank, vec_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin))
+
+  // ---------------------------------------------------------------- S2
+  // Random-hyperplane LSH: L=4 tables × 4-bit signatures. A data vector
+  // is a candidate iff it lands in the query's bucket in ANY table —
+  // an equi-join on (table, bucket), candidates ≈ L·n/2^bits per query.
+  // Exact cosine re-ranks the candidates. Rows-only (approx).
+  private val lshTables = 4
+  private val lshBits = 4
+  private val s2 = QueryDef(
+    "s2_ann_lsh",
+    (s, dir) => {
+      val e = emb(s, dir)
+      def buckets(df: DataFrame, idCol: String): DataFrame =
+        df.select(Seq(col("vec_id").as(idCol), col("embedding")) ++
+          (0 until lshTables).map(t =>
+            hyperplaneSignature(col("embedding"), lshBits, 0x5eed + t)
+              .as(s"h$t")): _*)
+          .select(col(idCol), col("embedding"),
+            posexplode(array((0 until lshTables).map(t => col(s"h$t")): _*)))
+          .toDF(idCol, "embedding", "table", "bucket")
+      val dataB = buckets(e, "vec_id")
+      val queryB = buckets(e.filter(col("vec_id") < NQ), "qid")
+        .withColumnRenamed("embedding", "qe")
+      val cand = dataB.join(broadcast(queryB),
+        Seq("table", "bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("qe"), col("embedding"))
+        .dropDuplicates("qid", "vec_id")
+      val scored = cand
+        .withColumn("cosine", cosine(col("qe"), col("embedding")))
+        .select("qid", "vec_id", "cosine")
+      topK(scored)
+    },
+    None)
+
+  // ---------------------------------------------------------------- S3
+  // IVF: 16 coarse cells. Centroids seeded from the first 16 vectors,
+  // refined with one distributed Lloyd iteration (posexplode → per-dim
+  // mean → regroup); every vector is assigned to its nearest cell;
+  // queries probe their nprobe=2 nearest cells. Centroids stay a
+  // broadcast-size model at any data scale. Rows-only (approx).
+  private val ivfCells = 16
+  private val nprobe = 2
+  private val s3 = QueryDef(
+    "s3_ann_ivf",
+    (s, dir) => {
+      val e = emb(s, dir)
+
+      def nearest(df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+        val scored = df.crossJoin(broadcast(cents))
+          .withColumn("sim", cosine(col("embedding"), col("cv")))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cid"))
+        scored.withColumn("r", row_number().over(w)).filter(col("r") <= keep)
+          .drop("r", "cv", "sim")
+      }
+
+      val cents0 = e.filter(col("vec_id") < ivfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assign0 = nearest(e, cents0, 1)
+      // Lloyd step: per-cell per-dimension mean, rebuilt into arrays
+      val cents1 = assign0
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy("cid", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), x => x("m").cast("float")).as("cv"))
+      val assign1 = nearest(e, cents1, 1)
+
+      val q = e.filter(col("vec_id") < NQ)
+      val probes = nearest(q, cents1, nprobe)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("cid"))
+      val cand = assign1.join(broadcast(probes), Seq("cid"))
+        .filter(col("qid") =!= col("vec_id"))
+      val scored = cand
+        .withColumn("cosine", cosine(col("qe"), col("embedding")))
+        .select("qid", "vec_id", "cosine")
+      topK(scored)
+    },
+    None)
+
+  override val queries: Seq[QueryDef] = Seq(s1, s2, s3)
+}
