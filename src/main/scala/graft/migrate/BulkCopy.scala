@@ -1,0 +1,64 @@
+package graft.migrate
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+
+/** Bulk table movement source → transforms → sink (SURVEY M9): the
+  * data-migration half of the reference, re-expressed as one declarative
+  * Spark job. Reads stay pruned/pushed-down (the transform list is
+  * column expressions, not row closures), writes can be partitioned so
+  * downstream reads prune by partition at 100 TB.
+  */
+object BulkCopy {
+
+  final case class Sink(
+      table: Option[String] = None,
+      path: Option[String] = None,
+      format: String = "parquet",
+      mode: SaveMode = SaveMode.Overwrite,
+      partitionBy: Seq[String] = Nil,
+      /** For skew/size control; None leaves AQE in charge. */
+      repartition: Option[Int] = None)
+
+  /** Copy `source` through column transforms into the sink.
+    *
+    * @param transforms (columnName → expression) pairs applied in order;
+    *                   an expression may reference source columns
+    *                   (derive), overwrite an existing column (cast /
+    *                   cleanse), or add a new one.
+    * @param select     optional final projection (column pruning — keeps
+    *                   the scan narrow at scale).
+    */
+  def copy(
+      source: DataFrame,
+      sink: Sink,
+      transforms: Seq[(String, Column)] = Nil,
+      select: Seq[String] = Nil,
+      filter: Option[Column] = None): Unit = {
+    var df = source
+    filter.foreach(f => df = df.filter(f))
+    transforms.foreach { case (name, expr) => df = df.withColumn(name, expr) }
+    if (select.nonEmpty) df = df.select(select.map(df.col): _*)
+    sink.repartition.foreach(n => df = df.repartition(n))
+
+    val writer0 = df.write.format(sink.format).mode(sink.mode)
+    val writer =
+      if (sink.partitionBy.nonEmpty) writer0.partitionBy(sink.partitionBy: _*)
+      else writer0
+
+    (sink.table, sink.path) match {
+      case (Some(t), _) => writer.saveAsTable(t)
+      case (_, Some(p)) => writer.save(p)
+      case _ => throw new IllegalArgumentException(
+        "Sink needs a table or a path")
+    }
+  }
+
+  /** Table-to-table convenience used from migration steps. */
+  def copyTable(spark: SparkSession, from: String, to: String,
+      transforms: Seq[(String, Column)] = Nil,
+      partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    copy(spark.table(from),
+      Sink(table = Some(to), partitionBy = partitionBy, mode = mode),
+      transforms)
+}

@@ -1,0 +1,58 @@
+package graft.migrate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Schema-evolution operations on warehouse tables (SURVEY M10) — the
+  * Spark-native equivalent of the ALTER TABLE statements reference
+  * migrations run as DDL.
+  *
+  * Two cost classes, chosen automatically:
+  *  - METADATA-ONLY: adding a nullable column is `ALTER TABLE ADD
+  *    COLUMNS` — O(1) regardless of table size.
+  *  - REWRITE: drop/rename/cast/backfill change existing bytes, so they
+  *    are an honest one-pass distributed rewrite: CTAS into a staging
+  *    table, swap via atomic-ish drop+rename. At 100 TB this is one scan
+  *    + one write, the floor for a physical schema change on parquet.
+  */
+object SchemaEvolution {
+
+  /** Metadata-only nullable column add. */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      sqlType: String): Unit =
+    spark.sql(s"ALTER TABLE $table ADD COLUMNS (`$name` $sqlType)")
+
+  /** Add + backfill from an expression (rewrite). */
+  def addColumnBackfill(spark: SparkSession, table: String, name: String,
+      expr: Column): Unit =
+    rewrite(spark, table)(_.withColumn(name, expr))
+
+  def dropColumn(spark: SparkSession, table: String, name: String): Unit =
+    rewrite(spark, table)(_.drop(name))
+
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Unit =
+    rewrite(spark, table)(_.withColumnRenamed(from, to))
+
+  /** Type widen / cast (e.g. INT → BIGINT, DECIMAL(10,2) → (18,2)). */
+  def castColumn(spark: SparkSession, table: String, name: String,
+      sqlType: String): Unit =
+    rewrite(spark, table)(df => df.withColumn(name, col(name).cast(sqlType)))
+
+  /** Backfill an existing column with an expression (constant or derived). */
+  def backfill(spark: SparkSession, table: String, name: String,
+      expr: Column): Unit =
+    rewrite(spark, table)(df => df.withColumn(name, expr))
+
+  /** One-pass rewrite via staging table + swap. The staging CTAS runs as
+    * a distributed job; the swap is catalog metadata.
+    */
+  def rewrite(spark: SparkSession, table: String)(
+      f: DataFrame => DataFrame): Unit = {
+    val staging = s"${table}__evolve_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    f(spark.table(table)).write.format("parquet").saveAsTable(staging)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.migrate
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+class SchemaEvolutionSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  private var n = 0
+
+  private def freshTable(): String = {
+    n += 1
+    val t = s"graft_evolve_$n"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id INT, name STRING) USING PARQUET")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a'), (2,'b'), (3,'c')")
+    t
+  }
+
+  test("addColumn is metadata-only and reads back as nulls") {
+    val t = freshTable()
+    SchemaEvolution.addColumn(spark, t, "score", "DOUBLE")
+    val df = spark.table(t)
+    df.schema.fieldNames should contain("score")
+    df.filter(col("score").isNull).count() shouldBe 3
+  }
+
+  test("addColumnBackfill derives values for existing rows") {
+    val t = freshTable()
+    SchemaEvolution.addColumnBackfill(spark, t, "id2", col("id") * 10)
+    spark.table(t).select(sum("id2")).collect()(0).getLong(0) shouldBe 60
+  }
+
+  test("dropColumn") {
+    val t = freshTable()
+    SchemaEvolution.dropColumn(spark, t, "name")
+    spark.table(t).schema.fieldNames.toSeq shouldBe Seq("id")
+    spark.table(t).count() shouldBe 3
+  }
+
+  test("renameColumn") {
+    val t = freshTable()
+    SchemaEvolution.renameColumn(spark, t, "name", "label")
+    spark.table(t).schema.fieldNames.toSeq shouldBe Seq("id", "label")
+    spark.table(t).filter(col("label") === "b").count() shouldBe 1
+  }
+
+  test("castColumn widens int to bigint") {
+    val t = freshTable()
+    SchemaEvolution.castColumn(spark, t, "id", "BIGINT")
+    spark.table(t).schema("id").dataType shouldBe LongType
+    spark.table(t).count() shouldBe 3
+  }
+
+  test("backfill overwrites with an expression") {
+    val t = freshTable()
+    SchemaEvolution.backfill(spark, t, "name", upper(col("name")))
+    spark.table(t).schema("name").dataType shouldBe StringType
+    spark.table(t).select(collect_set("name")).collect()(0)
+      .getSeq[String](0).sorted shouldBe Seq("A", "B", "C")
+  }
+}
