@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2.5 ST1–ST3).
+  *
+  * All state here is keyed and watermark-bounded, which is what makes
+  * the operators safe at scale: state size is O(active keys), expired
+  * state is dropped by the watermark, and each trigger's work is an
+  * incremental shuffle on the grouping key only.
+  */
+object StreamOps {
+
+  // ---------------------------------------------------------------- ST1
+  /** Tumbling-window aggregation with a watermark. Late rows beyond
+    * `watermarkDelay` are dropped; in append mode a window emits exactly
+    * once, when the watermark passes its end.
+    */
+  def tumblingAgg(
+      events: DataFrame,
+      tsCol: String,
+      windowLength: String,
+      watermarkDelay: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  // ---------------------------------------------------------------- ST2
+  final case class Event(userId: Long, ts: Timestamp, value: Double)
+
+  final case class SessionAgg(
+      start: Long, end: Long, nEvents: Long, total: Double)
+
+  final case class Session(
+      userId: Long, start: Timestamp, end: Timestamp,
+      nEvents: Long, total: Double)
+
+  /** Gap-based sessionization with explicit state
+    * (`flatMapGroupsWithState` + event-time timeout): a session closes
+    * when no event for the key arrives within `gapMs` of its last event
+    * (tracked via the watermark). State per key is one small struct —
+    * O(active users), independent of history length.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionAgg]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new Timestamp(s.start),
+          new Timestamp(s.end), s.nEvents, s.total))
+      } else {
+        val evts = rows.toSeq
+        val hi = evts.map(_.ts.getTime).max
+        val lo = evts.map(_.ts.getTime).min
+        val merged = state.getOption
+          .map(s => SessionAgg(math.min(s.start, lo), math.max(s.end, hi),
+            s.nEvents + evts.size, s.total + evts.map(_.value).sum))
+          .getOrElse(SessionAgg(lo, hi, evts.size.toLong,
+            evts.map(_.value).sum))
+        state.update(merged)
+        state.setTimeoutTimestamp(merged.end + gapMs)
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  // ---------------------------------------------------------------- ST3
+  /** Streaming dedup: exactly-once per key within the watermark horizon.
+    * Unlike plain `dropDuplicates`, state for keys older than the
+    * watermark is evicted, so state stays bounded on an infinite stream.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import StreamOps.Event
+
+class StreamOpsSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000)
+
+  test("ST1 tumbling window with watermark emits closed windows once") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val out = StreamOps.tumblingAgg(
+      in.toDF.toDF("ts", "kind", "v"),
+      "ts", "10 seconds", "5 seconds",
+      keys = Seq(col("kind")),
+      aggs = Seq(count(lit(1)).as("n"), sum("v").as("total")))
+
+    val q = out.writeStream.format("memory").queryName("st1")
+      .outputMode("append").start()
+    try {
+      // window [0,10): 3 events; then advance the watermark past 10+5
+      in.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(8), "b", 4.0))
+      q.processAllAvailable()
+      in.addData((ts(30), "a", 9.0))
+      q.processAllAvailable()
+      in.addData((ts(60), "a", 0.0)) // push watermark again
+      q.processAllAvailable()
+
+      val rows = spark.table("st1")
+        .select(col("window.start").cast("long").as("w"), col("kind"),
+          col("n"), col("total"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      rows should contain((0L, "a", 2L, 3.0))
+      rows should contain((0L, "b", 1L, 4.0))
+      rows should contain((30L, "a", 1L, 9.0))
+      // late event beyond the watermark is dropped
+      in.addData((ts(3), "a", 100.0), (ts(90), "a", 0.0))
+      q.processAllAvailable()
+      spark.table("st1").filter(col("total") === 100.0).count() shouldBe 0
+    } finally q.stop()
+  }
+
+  test("ST2 stateful sessionization closes sessions on gap timeout") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val out = StreamOps.sessionize(in.toDS(), gapMs = 10000)
+
+    val q = out.writeStream.format("memory").queryName("st2")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 10s,14s; user 2: event at 12s (kept off epoch
+      // 0 — the initial watermark — so nothing is spuriously "late")
+      in.addData(Event(1, ts(10), 1.0), Event(1, ts(14), 2.0),
+        Event(2, ts(12), 5.0))
+      q.processAllAvailable()
+      // advance watermark past 14s+10s → both sessions time out
+      in.addData(Event(3, ts(60), 0.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(120), 0.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("st2")
+        .select("userId", "nEvents", "total").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      sessions should contain((1L, 2L, 3.0))
+      sessions should contain((2L, 1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("ST3 dedup within watermark keeps first occurrence, bounded state") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = StreamOps.dedupWithinWatermark(
+      in.toDF.toDF("ts", "id", "payload"), "ts", "10 seconds", Seq("id"))
+
+    val q = out.writeStream.format("memory").queryName("st3")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), 100L, "first"), (ts(2), 100L, "dup"),
+        (ts(3), 200L, "only"))
+      q.processAllAvailable()
+      in.addData((ts(5), 100L, "dup2"))
+      q.processAllAvailable()
+
+      val rows = spark.table("st3").select("id", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      rows shouldBe Set((100L, "first"), (200L, "only"))
+    } finally q.stop()
+  }
+}
