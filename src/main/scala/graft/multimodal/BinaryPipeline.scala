@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Multimodal binary-column pipeline (SURVEY MM1–MM2).
+  *
+  * Media assets are rows of an ordinary DataFrame: an opaque `binary`
+  * payload plus TYPED metadata (kind/width/height/duration/codec) that
+  * lives in normal columns, so Catalyst can prune/filter on metadata
+  * WITHOUT touching the bytes (e.g. `kind = 'video'` never deserializes
+  * a payload). That is the property that makes this layout work at
+  * 100 TB: the scan reads metadata columns only, and the binary column
+  * is loaded just for rows that survive the filters.
+  *
+  * Decode/feature-extract runs as `mapPartitions` with an explicit batch
+  * shape (the JVM analogue of `mapInPandas`): rows stream through in
+  * groups of `batchSize`, so per-batch setup (a real codec/model handle)
+  * is amortized and peak memory is bounded by one batch of payloads —
+  * never a whole partition.
+  *
+  * THE DECODER IS A STUB: this container has no image/audio libraries,
+  * so [[StubDecoder]] produces a deterministic fake feature vector from
+  * the bytes. Swapping in a real decoder changes ONE function; all the
+  * Spark-side plumbing (schema, partitioning, batching, output shape)
+  * is real and tested.
+  */
+object BinaryPipeline {
+
+  /** Typed metadata carried beside the opaque payload (MM1). */
+  final case class MediaAsset(
+      assetId: Long,
+      kind: String, // image | audio | video
+      width: Int,
+      height: Int,
+      durationMs: Long,
+      codec: String,
+      data: Array[Byte])
+
+  final case class AssetFeature(assetId: Long, feature: Array[Float])
+
+  final case class FrameFeature(
+      assetId: Long, frameIdx: Int, width: Int, height: Int,
+      feature: Array[Float])
+
+  // --------------------------------------------------------- stub codec
+
+  /** STUB — stands in for a real image/audio/video decoder. Fully
+    * deterministic in (bytes, salt) so specs can assert exact results.
+    */
+  object StubDecoder {
+    val dim = 16
+
+    def decode(bytes: Array[Byte], salt: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L + salt
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      var j = 0
+      while (j < dim) {
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        out(j) = ((h & 0xffff) / 65535.0f); j += 1
+      }
+      out
+    }
+  }
+
+  // ------------------------------------------------------------- MM1
+
+  /** Deterministic fake asset table (no media libs in the container). */
+  def syntheticAssets(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val bytes = Array.tabulate[Byte](64 + (id % 7).toInt * 16)(i =>
+        ((id * 131 + i * 7) % 251).toByte)
+      MediaAsset(id, kind, 64 + (id % 4).toInt * 32, 64,
+        if (kind == "image") 0L else 1000L * (1 + id % 5), "stub", bytes)
+    }
+  }
+
+  /** Decode + featurize with explicit batching. `decodeBatches` (if
+    * given) counts batch invocations so tests can assert the batch shape
+    * actually takes effect.
+    */
+  def features(assets: Dataset[MediaAsset], batchSize: Int,
+      decodeBatches: Option[LongAccumulator] = None): Dataset[AssetFeature] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        decodeBatches.foreach(_.add(1))
+        // a real implementation opens the codec/model ONCE per batch here
+        batch.iterator.map(a =>
+          AssetFeature(a.assetId, StubDecoder.decode(a.data, salt = 0)))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- MM2
+
+  /** Frame-sample + resize pipeline over video assets: every
+    * `frameEveryMs` one frame is "decoded" (stub: salted by frame index)
+    * at the target resolution. Output is long-format (one row per
+    * frame), which keeps downstream aggregation distributable.
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], frameEveryMs: Long,
+      resizeW: Int, resizeH: Int, batchSize: Int = 32): Dataset[FrameFeature] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { a =>
+          val nFrames = math.max(1L, a.durationMs / frameEveryMs).toInt
+          (0 until nFrames).iterator.map { f =>
+            // salt mixes frame index and target size — a real decoder
+            // would seek to frame f and resize to (resizeW, resizeH)
+            FrameFeature(a.assetId, f, resizeW, resizeH,
+              StubDecoder.decode(a.data, salt = f * 31 + resizeW * 7 + resizeH))
+          }
+        }
+      }
+    }
+  }
+
+  /** Metadata-only pruning helper: select assets of a kind WITHOUT
+    * reading payload bytes (projection keeps `data` out of the scan).
+    */
+  def metadataOnly(assets: DataFrame): DataFrame =
+    assets.select("assetId", "kind", "width", "height", "durationMs", "codec")
+}

@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import BinaryPipeline._
+
+class BinaryPipelineSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  test("MM1 schema: binary payload + typed metadata columns") {
+    val assets = syntheticAssets(spark, 30).toDF
+    assets.schema("data").dataType shouldBe BinaryType
+    assets.schema.fieldNames should contain allOf
+      ("assetId", "kind", "width", "height", "durationMs", "codec")
+    // metadata-only projection never touches the payload column
+    metadataOnly(assets).schema.fieldNames should not contain "data"
+    assets.filter(col("kind") === "video").count() shouldBe 10
+  }
+
+  test("MM1 batch decode: deterministic features, batch shape honored") {
+    val assets = syntheticAssets(spark, 100).repartition(4)
+    val acc = spark.sparkContext.longAccumulator("decodeBatches")
+    val feats = features(assets, batchSize = 16, Some(acc)).cache()
+
+    feats.count() shouldBe 100
+    feats.collect().foreach(_.feature.length shouldBe StubDecoder.dim)
+    // batches of ≤16 over 4 partitions of ~25 rows → ~2 batches each;
+    // strictly fewer invocations than rows proves batching is real
+    acc.value.longValue should be >= 4L
+    acc.value.longValue should be < 100L
+
+    // determinism: same input → bit-identical features
+    val again = features(syntheticAssets(spark, 100).repartition(4), 16)
+      .collect().map(f => f.assetId -> f.feature.toSeq).toMap
+    feats.collect().foreach(f => again(f.assetId) shouldBe f.feature.toSeq)
+  }
+
+  test("MM2 frame sampling emits one row per sampled frame at target size") {
+    val assets = syntheticAssets(spark, 30)
+    val frames = sampleFrames(assets, frameEveryMs = 1000,
+      resizeW = 32, resizeH = 24).cache()
+
+    // only videos produce frames; durationMs/1000 frames each
+    val expected = assets.collect().filter(_.kind == "video")
+      .map(a => a.assetId -> (a.durationMs / 1000).toInt).toMap
+    val byAsset = frames.collect().groupBy(_.assetId)
+    byAsset.keySet shouldBe expected.keySet
+    byAsset.foreach { case (id, fs) =>
+      fs.length shouldBe expected(id)
+      fs.map(_.frameIdx).sorted.toSeq shouldBe (0 until expected(id))
+      fs.foreach { f => f.width shouldBe 32; f.height shouldBe 24 }
+    }
+    // frames of the same asset differ (salted by frame index)
+    val multi = byAsset.values.find(_.length > 1).get
+    multi.map(_.feature.toSeq).distinct.length shouldBe multi.length
+  }
+}
