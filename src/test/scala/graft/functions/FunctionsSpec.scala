@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import HashFunctions._
+import VectorFunctions._
+
+class FunctionsSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c).collect()(0).get(0)
+
+  test("shingles produce overlapping n-grams, distinct") {
+    val s = eval1(shingles(split(lit("a b c d a b c d"), " "), 3))
+      .asInstanceOf[scala.collection.Seq[String]]
+    s should contain allOf ("a b c", "b c d", "c d a", "d a b")
+    s.distinct shouldBe s
+    // shorter than n → empty
+    eval1(shingles(split(lit("a b"), " "), 3))
+      .asInstanceOf[scala.collection.Seq[String]] shouldBe Seq.empty
+  }
+
+  test("minhash signature: k slots, deterministic, set-based") {
+    val sig1 = eval1(minhashSignature(shingles(split(lit("x y z w x y"), " "), 2), 16))
+      .asInstanceOf[scala.collection.Seq[Long]]
+    sig1.length shouldBe 16
+    val sig2 = eval1(minhashSignature(shingles(split(lit("x y z w x y"), " "), 2), 16))
+      .asInstanceOf[scala.collection.Seq[Long]]
+    sig2 shouldBe sig1
+    // identical sets → identical signatures regardless of word order
+    // (shingle SETS differ under reorder, so use a same-set pair)
+    val a = eval1(minhashSignature(array(lit("p"), lit("q"), lit("r")), 16))
+    val b = eval1(minhashSignature(array(lit("r"), lit("q"), lit("p")), 16))
+    a shouldBe b
+  }
+
+  test("band keys: bands × rows partition of the signature") {
+    val keys = eval1(bandKeys(minhashSignature(
+      array(lit("p"), lit("q")), 16), 4, 4)).asInstanceOf[scala.collection.Seq[Long]]
+    keys.length shouldBe 4
+  }
+
+  test("simhash: identical sets collide, hamming is xor popcount") {
+    val h1 = eval1(simhash64(split(lit("a b c d e f"), " ")))
+    val h2 = eval1(simhash64(split(lit("f e d c b a"), " ")))
+    h1 shouldBe h2 // order-insensitive (distinct word set)
+    eval1(hamming64(lit(0L), lit(-1L))) shouldBe 64L
+    eval1(hamming64(lit(5L), lit(6L))) shouldBe 2L
+    eval1(hamming64(lit(7L), lit(7L))) shouldBe 0L
+  }
+
+  test("content fingerprint is word-order-insensitive") {
+    eval1(contentFingerprint(lit("the quick brown fox"))) shouldBe
+      eval1(contentFingerprint(lit("fox brown the quick")))
+    eval1(contentFingerprint(lit("the quick brown fox"))) should not be
+      eval1(contentFingerprint(lit("the quick brown cat")))
+  }
+
+  test("vector dot / norm / cosine match hand computation") {
+    val a = array(lit(1.0f), lit(2.0f), lit(3.0f))
+    val b = array(lit(4.0f), lit(-5.0f), lit(6.0f))
+    eval1(dot(a, b)) shouldBe (1.0 * 4 + 2.0 * -5 + 3.0 * 6)
+    eval1(norm(a)) shouldBe math.sqrt(14.0)
+    eval1(cosine(a, a)).asInstanceOf[Double] shouldBe 1.0 +- 1e-12
+    eval1(cosine(a, b)).asInstanceOf[Double] shouldBe
+      (12.0 / (math.sqrt(14.0) * math.sqrt(77.0))) +- 1e-12
+  }
+
+  test("hyperplane signature: deterministic, bit-bounded, sign-flip aware") {
+    val v = array(lit(0.5f), lit(-1.5f), lit(2.5f), lit(0.25f))
+    val s1 = eval1(hyperplaneSignature(v, 16)).asInstanceOf[Long]
+    val s2 = eval1(hyperplaneSignature(v, 16)).asInstanceOf[Long]
+    s1 shouldBe s2
+    (s1 & ~((1L << 16) - 1)) shouldBe 0L // only low 16 bits used
+    // negating the vector flips every sign bit
+    val neg = array(lit(-0.5f), lit(1.5f), lit(-2.5f), lit(-0.25f))
+    val sNeg = eval1(hyperplaneSignature(neg, 16)).asInstanceOf[Long]
+    (s1 ^ sNeg) shouldBe ((1L << 16) - 1)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkEntry
+import graft.TestSpark
+
+/** Plan audits (SURVEY §6): the properties that make these plans hold at
+  * 100 TB — pushdown reaching the scan, narrow read schemas, broadcast
+  * joins where a side is dim-sized, partial aggregation, whole-stage
+  * codegen, and no accidental cartesian joins on the dedup path.
+  */
+class PlanSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q2: filter + projection reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    p should include("PushedFilters: [IsNotNull(l_shipdate)")
+    p should include("GreaterThanOrEqual(l_shipdate")
+    // narrow read: only referenced columns in ReadSchema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    readSchema should include("l_orderkey")
+    readSchema should not include "l_comment"
+    readSchema should not include "l_partkey"
+  }
+
+  test("q1: aggregation is two-phase (map-side partial) and codegen'd") {
+    val p = plan("q1_agg")
+    p.linesIterator.count(_.contains("HashAggregate")) should be >= 2
+    p should include("partial_sum")
+    val codegen = SparkEntry.queries("q1_agg")(spark, TestSpark.sfDir)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.CodegenMode)
+    codegen should include("WholeStageCodegen")
+  }
+
+  test("q3/q4: dim joins broadcast") {
+    plan("q3_join_broadcast") should include("BroadcastHashJoin")
+    plan("q4_star_join") should include("BroadcastHashJoin")
+  }
+
+  test("d2: candidate generation is an equi-join, not a cross join") {
+    val p = plan("d2_dedup_ngram_jaccard")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("s1: query side broadcasts; scan side stays streamed") {
+    val p = plan("s1_ann_bruteforce")
+    p should include("BroadcastNestedLoopJoin")
+    p.linesIterator.count(_.contains("BroadcastExchange")) should be >= 1
+  }
+
+  test("t3/t4: text ops are single-scan, no shuffle beyond final agg") {
+    val p3 = plan("t3_token_count")
+    p3.linesIterator.count(_.contains("Exchange")) should be <= 2 // partial agg + order
+    val p4 = plan("t4_fingerprint")
+    p4.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+  }
+
+  test("every declared query builds and stays lazy (no driver collect)") {
+    SparkEntry.queries.keys.foreach { name =>
+      noException should be thrownBy
+        SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution
+          .analyzed
+    }
+  }
+}
