@@ -18,13 +18,18 @@ object HashFunctions {
   }
 
   /** MinHash signature: k independent min-hashes over a shingle array.
-    * Hash family h_i(s) = xxhash64(i, s) — one pass per permutation, no
-    * shuffle; at 100 TB this is a map-side projection.
+    * The shingle STRING is hashed once (`xxhash64(s)`); each of the k
+    * "permutations" re-hashes that 8-byte long (`xxhash64(i, h)`), which
+    * is ~an order of magnitude cheaper than re-hashing the string k
+    * times. Map-side projection, no shuffle; at 100 TB this runs at scan
+    * speed.
     */
-  def minhashSignature(shingleArr: Column, k: Int): Column =
+  def minhashSignature(shingleArr: Column, k: Int): Column = {
+    val base = transform(shingleArr, s => xxhash64(s))
     array((0 until k).map { i =>
-      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
+      array_min(transform(base, h => xxhash64(lit(i), h)))
     }: _*)
+  }
 
   /** LSH band keys: hash each band of `rows` consecutive signature slots.
     * Equal band key ⇒ candidate pair. Returns array[bands] of longs.

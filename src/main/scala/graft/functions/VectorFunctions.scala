@@ -4,30 +4,37 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Vector math over `Array[Float]` embedding columns, built purely from
-  * codegen'd higher-order functions (`transform`/`zip_with`/`aggregate`) —
-  * no UDFs, so whole-stage codegen stays intact in the ANN hot paths.
+/** Vector math over `Array[Float]` embedding columns. The hot-path dot
+  * product is a native Catalyst expression ([[FloatVecDot]], primitive
+  * loop inside whole-stage codegen); everything else composes from it.
   *
   * Elements are promoted to double BEFORE multiplication and accumulated
   * strictly left-to-right, so the result is deterministic and
-  * reproducible across engines.
+  * reproducible across engines (bit-exact vs. the DuckDB oracle's
+  * identical fold).
   */
 object VectorFunctions {
+
+  import org.apache.spark.sql.GraftBridge
 
   private def toDouble(a: Column): Column =
     transform(a, x => x.cast(DoubleType))
 
-  /** Sequential dot product in double precision. */
+  /** Sequential dot product in double precision (native codegen). */
   def dot(a: Column, b: Column): Column =
+    GraftBridge.column(FloatVecDot(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Reference HOF formulation of [[dot]] — kept for the spec that
+    * asserts the native expression is bit-identical to it.
+    */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
 
-  /** L2 norm. */
-  def norm(a: Column): Column = {
-    val d = toDouble(a)
-    sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
-  }
+  /** L2 norm (self-dot shares the same fold order). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity = dot / (|a| * |b|). */
   def cosine(a: Column, b: Column): Column =

@@ -63,17 +63,15 @@ object DedupOps extends QueryGroup {
     "d2_dedup_ngram_jaccard",
     (s, dir) => {
       val sh = shingled(s, dir).cache()
-      val tokens = sh.select(col("doc_id"), col("n"),
-        explode(col("sh")).as("tok"))
-      // global order key: (document frequency asc, token) — rare first
-      val dfreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
-      val ordered = tokens.join(dfreq, "tok")
-        .groupBy("doc_id", "n")
-        .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
-          .as("ranked"))
+      // Global order = lexicographic (the arrays are already sorted), so
+      // the prefix is a zero-shuffle `slice` straight off the scan. Any
+      // total order is lossless for prefix filtering; switching to
+      // (doc-frequency asc, token) — one extra groupBy + rank pass — is
+      // the variant for corpora whose token frequencies are Zipfian
+      // enough that lexicographic buckets skew.
       val prefLen = (col("n") - ceil(col("n") * jaccardT) + 1).cast("int")
-      val prefix = ordered.select(col("doc_id"), col("n"),
-        explode(slice(col("ranked"), lit(1), prefLen)("tok")).as("tok"))
+      val prefix = sh.select(col("doc_id"), col("n"),
+        explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
       val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -152,14 +150,35 @@ object DedupOps extends QueryGroup {
   // SimHash over the shingle set; pigeonhole blocking: hamming ≤ 7 ⇒
   // at least one of the 8 8-bit blocks matches exactly, so the candidate
   // join is an equi-join on (block_id, block_value). Rows-only.
+  //
+  // The signature is computed by explode + 64 codegen'd conditional sums
+  // (partial-agg friendly) rather than 64 HOF folds per row — identical
+  // bits to HashFunctions.simhash64 (same word hash, same vote rule),
+  // but the hot loop stays in whole-stage codegen. ~5× at sf0.1.
   private val shBlocks = 8
   private val shMaxHam = shBlocks - 1
+
+  /** (doc_id, sig) via the distributed vote formulation. */
+  private[graft] def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val tok = shingled(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = tok.groupBy("doc_id").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as("v0"),
+      (1 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"v$b")): _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), sig.as("sig"))
+  }
+
   private val d4 = QueryDef(
     "d4_dedup_simhash",
     (s, dir) => {
-      val sig = shingled(s, dir)
-        .select(col("doc_id"), simhash64(col("sh")).as("sig"))
-        .cache()
+      val sig = simhashSigs(s, dir).cache()
       val blocks = sig.select(col("doc_id"), col("sig"),
         posexplode(array((0 until shBlocks).map { b =>
           shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(255L))
@@ -187,14 +206,17 @@ object DedupOps extends QueryGroup {
   private val d5 = QueryDef(
     "d5_dedup_embedding",
     (s, dir) => {
+      // norms are computed ONCE per row before the pair join, so each of
+      // the O(n²) candidate pairs costs a single native-codegen dot
       val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.norm(col("embedding")).as("nrm"))
       val pairs = e.as("a").join(broadcast(e.as("b")),
         col("a.vec_id") < col("b.vec_id"))
       pairs
         .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-          VectorFunctions.cosine(col("a.embedding"), col("b.embedding"))
-            .as("cosine"))
+          (VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))).as("cosine"))
         .filter(col("cosine") >= cosT)
         .orderBy("i", "j")
     },

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ Expression bridge for graft's native Catalyst expressions.
+  *
+  * `classic.ExpressionUtils` is `private[sql]`, so — like other Spark
+  * extension libraries — we expose the two conversions from inside the
+  * `org.apache.spark.sql` package rather than copying their logic.
+  */
+object GraftBridge {
+
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}

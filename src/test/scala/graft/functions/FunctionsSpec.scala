@@ -61,6 +61,18 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       eval1(contentFingerprint(lit("the quick brown cat")))
   }
 
+  test("native codegen dot is bit-identical to the HOF fold on real data") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val paired = e.as("a").crossJoin(e.limit(5).as("b"))
+    val diffs = paired.select(
+      dot(col("a.embedding"), col("b.embedding")).as("native"),
+      dotHof(col("a.embedding"), col("b.embedding")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    diffs.count() shouldBe 0L
+  }
+
   test("vector dot / norm / cosine match hand computation") {
     val a = array(lit(1.0f), lit(2.0f), lit(3.0f))
     val b = array(lit(4.0f), lit(-5.0f), lit(6.0f))
