@@ -9,6 +9,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus, "graft-bench")
+    // warm up scan/codegen/shuffle machinery so the first timed query
+    // doesn't absorb one-time session initialization
+    graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").count().write
+      .format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatVecDot
+
+/** Session extension point: registers graft's native Catalyst
+  * expressions as SQL functions, so `spark.sql` users get the codegen'd
+  * hot paths too:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  *   SELECT vec_dot(a.embedding, b.embedding) FROM …
+  *
+  * For an already-running session (tests, notebooks) use
+  * [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[FloatVecDot].getName, null, name, usage, "")
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot",
+        "vec_dot(a, b) - dot product of two float vectors (double fold)"),
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+
+  /** Register on a live session (temp functions, session-scoped). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+}

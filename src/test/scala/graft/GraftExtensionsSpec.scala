@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class GraftExtensionsSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  test("vec_dot is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(
+        |  array(cast(1.0 as float), cast(2.0 as float)),
+        |  array(cast(3.0 as float), cast(4.0 as float))) AS d""".stripMargin)
+      .collect()(0).getDouble(0)
+    r shouldBe 11.0
+  }
+
+  test("extensions class wires the same registry entries at session build") {
+    // a child session built with the extensions object applied
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    // the description list is non-empty and names are unique
+    GraftExtensions.functions.map(_._1.funcName).distinct.size shouldBe
+      GraftExtensions.functions.size
+  }
+}
