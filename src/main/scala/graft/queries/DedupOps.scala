@@ -59,9 +59,11 @@ object DedupOps extends QueryGroup {
   // |x|−⌈t|x|⌉+1 tokens of x and of y share an element. Ordering tokens
   // by ascending document frequency keeps prefix buckets tiny.
   private val jaccardT = 0.8
-  private val d2 = QueryDef(
-    "d2_dedup_ngram_jaccard",
-    (s, dir) => {
+
+  /** Verified near-dup pairs (i < j, Jaccard ≥ [[jaccardT]]) — shared by
+    * d2 (reported directly) and d6 (edge set for clustering).
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
       val sh = shingled(s, dir).cache()
       // Global order = lexicographic (the arrays are already sorted), so
       // the prefix is a zero-shuffle `slice` straight off the scan. Any
@@ -90,21 +92,32 @@ object DedupOps extends QueryGroup {
           col("shared").cast("double") /
             (col("na") + col("nb") - col("shared")).cast("double"))
         .filter(col("jaccard") >= jaccardT)
-      verified.select(col("i"), col("j"), col("shared").cast(LongType).as("shared"),
-        col("jaccard")).orderBy("i", "j")
-    },
-    Some(s"""WITH sh AS (
-       |  SELECT doc_id,
-       |    list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
-       |                   for i in range(1, len(words)-1)]) AS sh
-       |  FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents)
-       |), tok AS (SELECT doc_id, unnest(sh) AS t FROM sh),
-       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
-       |pairs AS (
-       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
-       |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2
-       |)
+      verified.select(col("i"), col("j"),
+        col("shared").cast(LongType).as("shared"), col("jaccard"))
+  }
+
+  /** Shared oracle CTEs: shingle sets, token explode, sizes, pair
+    * overlap counts (the naive all-pairs twin of the prefix-filtered
+    * Spark plan).
+    */
+  private val pairCtes =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
+      |                   for i in range(1, len(words)-1)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents)
+      |), tok AS (SELECT doc_id, unnest(sh) AS t FROM sh),
+      |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+      |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  private val d2 = QueryDef(
+    "d2_dedup_ngram_jaccard",
+    (s, dir) => jaccardPairs(s, dir).orderBy("i", "j"),
+    Some(s"""WITH $pairCtes
        |SELECT i, j, shared,
        |  CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
        |FROM pairs
@@ -222,5 +235,62 @@ object DedupOps extends QueryGroup {
     },
     None)
 
-  override val queries: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5)
+  // ---------------------------------------------------------------- D6
+  // Near-dup CLUSTER assignment: connected components over the verified
+  // Jaccard pair graph, every doc labeled with the min doc_id of its
+  // component (singletons label themselves) — the "pick one per group"
+  // step a dedup pipeline runs after pair generation.
+  //
+  // Iterative min-label propagation as a driver loop of DataFrame steps;
+  // each iteration is one join + groupBy-min, and the only data reaching
+  // the driver is a single convergence count. Iterations ≈ component
+  // diameter (near-dup clusters are shallow; at 100 TB you would add
+  // localCheckpoint() every few rounds to cut lineage, and the
+  // large-star/small-star variant if components could be deep).
+  private val d6 = QueryDef(
+    "d6_dedup_clusters",
+    (s, dir) => {
+      val edges = jaccardPairs(s, dir).select(col("i"), col("j"))
+      // localCheckpoint (eager) truncates lineage: every iteration plans
+      // against a materialized table, not the whole pair pipeline again
+      val sym = edges
+        .union(edges.select(col("j").as("i"), col("i").as("j")))
+        .localCheckpoint()
+      var labels = docs(s, dir)
+        .select(col("doc_id"), col("doc_id").as("cluster"))
+        .localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val prop = sym.join(labels, col("i") === col("doc_id"))
+          .select(col("j").as("doc_id"), col("cluster"))
+        val next = labels.union(prop)
+          .groupBy("doc_id").agg(min("cluster").as("cluster"))
+          .localCheckpoint()
+        val changes = next.as("n")
+          .join(labels.as("o"), "doc_id")
+          .filter(col("n.cluster") =!= col("o.cluster")).count()
+        labels = next
+        converged = changes == 0
+        iter += 1
+      }
+      labels.orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $pairCtes,
+       |good AS (
+       |  SELECT i, j FROM pairs
+       |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= $jaccardT
+       |),
+       |edges AS (SELECT i AS a, j AS b FROM good
+       |          UNION ALL SELECT j, i FROM good),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+       |)
+       |SELECT node AS doc_id, MIN(lab) AS cluster
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6)
 }
