@@ -16,6 +16,13 @@ object BulkCopy {
       format: String = "parquet",
       mode: SaveMode = SaveMode.Overwrite,
       partitionBy: Seq[String] = Nil,
+      /** (numBuckets, columns): hash-bucketed layout so later equi-joins
+        * on these columns are co-located — no shuffle of the big table.
+        * Requires a table sink (bucket metadata lives in the catalog).
+        */
+      bucketBy: Option[(Int, Seq[String])] = None,
+      /** Sort within buckets (pairs with bucketBy for SMJ-ready files). */
+      sortBy: Seq[String] = Nil,
       /** For skew/size control; None leaves AQE in charge. */
       repartition: Option[Int] = None)
 
@@ -40,10 +47,15 @@ object BulkCopy {
     if (select.nonEmpty) df = df.select(select.map(df.col): _*)
     sink.repartition.foreach(n => df = df.repartition(n))
 
-    val writer0 = df.write.format(sink.format).mode(sink.mode)
-    val writer =
-      if (sink.partitionBy.nonEmpty) writer0.partitionBy(sink.partitionBy: _*)
-      else writer0
+    var writer = df.write.format(sink.format).mode(sink.mode)
+    if (sink.partitionBy.nonEmpty)
+      writer = writer.partitionBy(sink.partitionBy: _*)
+    sink.bucketBy.foreach { case (n, cols) =>
+      require(sink.table.nonEmpty, "bucketBy requires a table sink")
+      writer = writer.bucketBy(n, cols.head, cols.tail: _*)
+      if (sink.sortBy.nonEmpty)
+        writer = writer.sortBy(sink.sortBy.head, sink.sortBy.tail: _*)
+    }
 
     (sink.table, sink.path) match {
       case (Some(t), _) => writer.saveAsTable(t)

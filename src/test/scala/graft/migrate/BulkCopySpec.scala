@@ -35,6 +35,33 @@ class BulkCopySpec extends AnyFunSuite with Matchers {
     Files.list(out).iterator().hasNext shouldBe true
   }
 
+  test("bucketed copy: co-located equi-join plans without a shuffle") {
+    val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+    spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    BulkCopy.copy(orders, BulkCopy.Sink(table = Some("graft_orders_b"),
+      bucketBy = Some((4, Seq("o_orderkey"))), sortBy = Seq("o_orderkey")))
+    BulkCopy.copy(li, BulkCopy.Sink(table = Some("graft_lineitem_b"),
+      bucketBy = Some((4, Seq("l_orderkey"))), sortBy = Seq("l_orderkey")))
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_orders_b").join(
+        spark.table("graft_lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      // bucket co-location: the big-table sides join with NO shuffle
+      plan should not include "Exchange hashpartitioning"
+      joined.count() shouldBe li.count()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      prevThreshold)
+  }
+
   test("copyTable table-to-table with append mode") {
     spark.sql("DROP TABLE IF EXISTS graft_copy_src")
     spark.sql("DROP TABLE IF EXISTS graft_copy_dst")
