@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkEntry
+import graft.TestSpark
+
+/** Cross-operator consistency on sf0.001: the sketch-based dedup paths
+  * (MinHash-LSH, SimHash) must agree with the exact Jaccard join on
+  * strong near-dups, and cluster assignment must respect the pair graph.
+  * These semantic gates cover the rows-only operators that have no
+  * DuckDB oracle.
+  */
+class DedupConsistencySpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+
+  private lazy val exactPairs: Map[(Long, Long), Double] =
+    run("d2_dedup_ngram_jaccard").select("i", "j", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("exact Jaccard finds the planted near-dups") {
+    exactPairs.size should be >= 20
+    all(exactPairs.values) should be >= 0.8
+  }
+
+  test("minhash-LSH recovers every strong (J ≥ 0.9) exact pair") {
+    // at J ≥ 0.9 a 16-band×4-row LSH misses with prob (1-J⁴)¹⁶ < 1e-8
+    val lsh = run("d3_dedup_minhash_lsh").select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = exactPairs.filter(_._2 >= 0.9).keySet
+    strong.diff(lsh) shouldBe empty
+  }
+
+  test("simhash candidates are real near-dups (precision gate)") {
+    val sim = run("d4_dedup_simhash").select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    sim should not be empty
+    // hamming ≤ 7 on 64-bit sketches of ~50-shingle docs ⇒ the pair
+    // should also be an exact near-dup (allow a small false-pos margin)
+    val falsePos = sim.count(p => !exactPairs.contains(p))
+    falsePos.toDouble / sim.size should be <= 0.2
+  }
+
+  test("cluster assignment is consistent with the pair graph (d6)") {
+    val cluster = run("d6_dedup_clusters").select("doc_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc labeled, labels are component minima ⇒ label ≤ id
+    cluster.foreach { case (id, c) => c should be <= id }
+    // linked docs share a cluster
+    exactPairs.keys.foreach { case (i, j) =>
+      cluster(i) shouldBe cluster(j)
+    }
+    // docs in no pair are singletons
+    val paired = exactPairs.keys.flatMap(p => Seq(p._1, p._2)).toSet
+    cluster.filterNot(kv => paired(kv._1))
+      .foreach { case (id, c) => c shouldBe id }
+    // transitive case: a chain like {8,12,120,360} collapses to one label
+    val chains = exactPairs.keys
+      .groupBy(_._1).filter(_._2.size > 1)
+    chains.foreach { case (i, pairs) =>
+      pairs.map(p => cluster(p._2)).toSet.size shouldBe 1
+    }
+  }
+}
