@@ -117,6 +117,8 @@ final class Migrator(
 
     files.foreach { file =>
       val base = file.getFileName.toString
+      // deliberate divergence: the reference's /\.sql/ (Core.pm:171)
+      // also matches e.g. "x.sql.bak"; we require the .sql suffix
       if (base.endsWith(".sql")) {
         logger.debug(s" - running $base as sql")
         runSqlStep(file)

@@ -71,4 +71,20 @@ class PlanSpec extends AnyFunSuite with Matchers {
           .analyzed
     }
   }
+
+  test("no query plans an unbounded CartesianProduct") {
+    // broadcast nested-loop against a dim-sized side is fine (s1/d5);
+    // a CartesianProduct of two streamed sides is never acceptable
+    SparkEntry.queries.keys.foreach { name =>
+      withClue(name) {
+        // d6 runs an iterative driver loop on construction; its plan
+        // pieces are audited via d2 (shared pair pipeline)
+        if (name != "d6_dedup_clusters") {
+          val p = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+            .queryExecution.executedPlan.toString
+          p should not include "CartesianProduct"
+        }
+      }
+    }
+  }
 }

@@ -51,6 +51,36 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("ST1 file-source stream: parquet directory drives the same agg") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    val batch = Seq((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(8), "b", 4.0))
+      .toDF("ts", "kind", "v")
+    batch.write.mode("overwrite").parquet(dir.toString)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    val out = StreamOps.tumblingAgg(stream, "ts", "10 seconds", "5 seconds",
+      keys = Seq(col("kind")),
+      aggs = Seq(count(lit(1)).as("n"), sum("v").as("total")))
+    val q = out.writeStream.format("memory").queryName("st1f")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a late file advances the watermark and closes the first window
+      Seq((ts(60), "a", 0.0)).toDF("ts", "kind", "v")
+        .write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      Seq((ts(120), "a", 0.0)).toDF("ts", "kind", "v")
+        .write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val rows = spark.table("st1f")
+        .select(col("kind"), col("n"), col("total")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      rows should contain(("a", 2L, 3.0))
+      rows should contain(("b", 1L, 4.0))
+    } finally q.stop()
+  }
+
   test("ST2 stateful sessionization closes sessions on gap timeout") {
     import spark.implicits._
     val in = MemoryStream[Event](spark)
