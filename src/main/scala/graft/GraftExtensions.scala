@@ -35,7 +35,19 @@ object GraftExtensions {
     (FunctionIdentifier("vec_dot"),
       info("vec_dot",
         "vec_dot(a, b) - dot product of two float vectors (double fold)"),
-      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))),
+    (FunctionIdentifier("topk_by_score"),
+      info("topk_by_score",
+        "topk_by_score(score, id, k) - partial-agg top-k as array<struct<score,id>>"),
+      (children: Seq[Expression]) => {
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"topk_by_score: k must be an integer literal, got $other")
+        }
+        graft.functions.TopKByScore(children(0), children(1), k)
+      }))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =

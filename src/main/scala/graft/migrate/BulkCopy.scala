@@ -65,6 +65,18 @@ object BulkCopy {
     }
   }
 
+  /** Key-based upsert (the MERGE a data migration needs): rows of
+    * `updates` replace target rows sharing the key; new keys insert.
+    * One anti-join + union + staged rewrite — a single distributed pass
+    * over the target, which is the floor for merge-on-parquet (formats
+    * with delete vectors make this cheaper; the API stays the same).
+    */
+  def upsertTable(spark: SparkSession, target: String, updates: DataFrame,
+      keys: Seq[String]): Unit =
+    SchemaEvolution.rewrite(spark, target) { current =>
+      current.join(updates, keys, "left_anti").unionByName(updates)
+    }
+
   /** Table-to-table convenience used from migration steps. */
   def copyTable(spark: SparkSession, from: String, to: String,
       transforms: Seq[(String, Column)] = Nil,

@@ -17,6 +17,17 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     r shouldBe 11.0
   }
 
+  test("topk_by_score is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val top = spark.sql(
+      """SELECT topk_by_score(score, id, 2) AS t FROM VALUES
+        |  (1.0D, 9L), (3.0D, 2L), (2.0D, 5L), (3.0D, 1L) AS v(score, id)
+        |""".stripMargin).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    top.map(r => (r.getDouble(0), r.getLong(1))) shouldBe
+      Seq((3.0, 1L), (3.0, 2L))
+  }
+
   test("extensions class wires the same registry entries at session build") {
     // a child session built with the extensions object applied
     val ext = new org.apache.spark.sql.SparkSessionExtensions

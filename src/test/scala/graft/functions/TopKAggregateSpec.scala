@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import TopKAggregate.topKByScore
+
+class TopKAggregateSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  test("aggregate top-k equals the window top-k on real data") {
+    val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .select(col("o_orderpriority").as("g"),
+        col("o_totalprice").as("score"), col("o_orderkey").as("id"))
+
+    val viaAgg = orders.groupBy("g")
+      .agg(topKByScore(col("score"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").as("score"), col("col.id").as("id"))
+
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val viaWindow = orders
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("g", "rank", "score", "id")
+
+    val a = viaAgg.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val b = viaWindow.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    a shouldBe b
+    a.size should be > 0
+  }
+
+  test("partial aggregation: plan shows two-phase agg, heap caps at k") {
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("g", col("id") % 3)
+      .withColumn("score", (col("id") * 37 % 1001).cast("double"))
+    val agg = df.groupBy("g").agg(topKByScore(col("score"), col("id"), 4).as("top"))
+    agg.queryExecution.executedPlan.toString should include("partial_topk")
+    val rows = agg.select(col("g"), col("top")).collect()
+    rows.foreach(_.getSeq[Any](1).size shouldBe 4)
+  }
+
+  test("ties break toward the smaller id") {
+    import spark.implicits._
+    val df = Seq((1.0, 9L), (1.0, 2L), (1.0, 5L), (0.5, 1L))
+      .toDF("score", "id")
+    val top = df.agg(topKByScore(col("score"), col("id"), 2).as("t"))
+      .select(col("t")("id")).collect()(0).getSeq[Long](0)
+    top shouldBe Seq(2L, 5L)
+  }
+}

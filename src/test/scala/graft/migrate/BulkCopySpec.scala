@@ -62,6 +62,19 @@ class BulkCopySpec extends AnyFunSuite with Matchers {
       prevThreshold)
   }
 
+  test("upsertTable merges on key: updates replace, new keys insert") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_upsert_t")
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "name", "v").write.saveAsTable("graft_upsert_t")
+    val updates = Seq((2L, "b2", 200), (4L, "d", 40)).toDF("id", "name", "v")
+    BulkCopy.upsertTable(spark, "graft_upsert_t", updates, Seq("id"))
+    val rows = spark.table("graft_upsert_t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    rows shouldBe Set((1L, "a", 10), (2L, "b2", 200), (3L, "c", 30),
+      (4L, "d", 40))
+  }
+
   test("copyTable table-to-table with append mode") {
     spark.sql("DROP TABLE IF EXISTS graft_copy_src")
     spark.sql("DROP TABLE IF EXISTS graft_copy_dst")
