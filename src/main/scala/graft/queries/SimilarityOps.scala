@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import graft.functions.TopKAggregate
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 
@@ -17,9 +18,11 @@ import graft.sources.Tables
   * codegen'd HOF fold in double precision with a fixed left-to-right
   * order, which is why S1 can be DuckDB-oracle-exact bit for bit.
   *
-  * Top-k uses a window over the (few) query ids; at extreme scale the
-  * same plan holds because the scored-candidate set per query is already
-  * bounded (S2/S3) or pre-reduced per partition by AQE partial topK.
+  * Top-k: s1 ranks with a window (its oracle mirrors ROW_NUMBER
+  * bit-for-bit); s2/s3 use the custom bounded-heap aggregate
+  * ([[graft.functions.TopKByScore]]) whose map-side partial aggregation
+  * ships ≤ K rows per partition per query — the skew-safe shape for
+  * approximate search at 100 TB.
   */
 object SimilarityOps extends QueryGroup {
 
@@ -29,6 +32,9 @@ object SimilarityOps extends QueryGroup {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
 
+  /** Window top-k: exact rank semantics `(cosine desc, vec_id asc)` —
+    * used by s1, whose DuckDB oracle mirrors ROW_NUMBER exactly.
+    */
   private def topK(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -39,6 +45,20 @@ object SimilarityOps extends QueryGroup {
         col("cosine"))
       .orderBy("qid", "rank")
   }
+
+  /** Aggregate top-k via [[TopKAggregate]] (same ranking rule): the
+    * shuffle carries ≤ K rows per partition per query instead of every
+    * scored candidate — the shape s2/s3 need at 100 TB, where a hot
+    * query's candidate list would otherwise pile onto one reducer.
+    */
+  private def topKAgg(scored: DataFrame): DataFrame =
+    scored.groupBy("qid")
+      .agg(TopKAggregate.topKByScore(col("cosine"), col("vec_id"), K)
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
+      .orderBy("qid", "rank")
 
   // ---------------------------------------------------------------- S1
   // Exact brute-force: broadcast the 8 query vectors, score every data
@@ -102,7 +122,7 @@ object SimilarityOps extends QueryGroup {
       val scored = cand
         .withColumn("cosine", cosine(col("qe"), col("embedding")))
         .select("qid", "vec_id", "cosine")
-      topK(scored)
+      topKAgg(scored)
     },
     None)
 
@@ -150,7 +170,7 @@ object SimilarityOps extends QueryGroup {
       val scored = cand
         .withColumn("cosine", cosine(col("qe"), col("embedding")))
         .select("qid", "vec_id", "cosine")
-      topK(scored)
+      topKAgg(scored)
     },
     None)
 
