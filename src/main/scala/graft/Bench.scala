@@ -15,12 +15,23 @@ object Bench {
       .groupBy("l_returnflag").count().write
       .format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Unit =
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // steady-state measurement: one untimed warmup (codegen compile,
+      // JIT, page cache), then the timed run; caches cleared so queries
+      // don't interfere with each other
+      try once() catch { case _: Throwable => () }
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try once()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      // localCheckpoint blocks (d6) are not catalog-cached; drop them too
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
