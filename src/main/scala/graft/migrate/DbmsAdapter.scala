@@ -15,6 +15,14 @@ trait DbmsAdapter {
 
   /** Run a (possibly multi-statement) DDL/DML script. */
   def runDdl(db: String, script: String): Unit
+
+  /** Ledger contents, or None when the ledger table doesn't exist yet
+    * (bootstrap: everything is pending — Core.pm:215-227).
+    */
+  def appliedMigrations(db: String, table: String): Option[Seq[String]]
+
+  /** Core.pm:203 — insert into the single-text-column ledger table. */
+  def recordMigration(db: String, table: String, name: String): Unit
 }
 
 /** Adapter over the Spark catalog: databases are warehouse namespaces,
@@ -42,5 +50,15 @@ final class SparkCatalogAdapter(spark: SparkSession) extends DbmsAdapter {
     spark.sql(s"USE ${q(db)}")
     try SqlScript.split(script).foreach(spark.sql(_))
     finally spark.sql(s"USE ${q(prev)}")
+  }
+
+  override def appliedMigrations(db: String, table: String): Option[Seq[String]] =
+    if (!spark.catalog.tableExists(s"$db.$table")) None
+    else Some(spark.table(s"$db.$table")
+      .select("migration").collect().map(_.getString(0)).toSeq)
+
+  override def recordMigration(db: String, table: String, name: String): Unit = {
+    val lit = name.replace("'", "''")
+    spark.sql(s"INSERT INTO ${q(db)}.`$table` VALUES ('$lit')")
   }
 }

@@ -92,13 +92,9 @@ final class Migrator(
 
   /** Ledger contents; empty when the ledger table doesn't exist yet. */
   def appliedMigrations(): Seq[String] =
-    if (!spark.catalog.tableExists(qualifiedLedger)) Seq.empty
-    else spark.table(qualifiedLedger)
-      .select("migration").collect().map(_.getString(0)).toSeq
+    dbms.appliedMigrations(database, migrationTable).getOrElse(Seq.empty)
 
   // ----------------------------------------------------------- private
-
-  private def qualifiedLedger = s"$database.$migrationTable"
 
   private def children(dir: Path): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
@@ -150,12 +146,9 @@ final class Migrator(
       throw new RuntimeException(s"$file failed: $stderr")
   }
 
-  /** Core.pm:203 — insert into the single-text-column ledger table. */
-  private def recordApplied(name: String): Unit = {
-    val lit = name.replace("'", "''")
-    spark.sql(
-      s"INSERT INTO `$database`.`$migrationTable` VALUES ('$lit')")
-  }
+  /** Core.pm:203 — record through the adapter's ledger. */
+  private def recordApplied(name: String): Unit =
+    dbms.recordMigration(database, migrationTable, name)
 }
 
 object Migrator {
