@@ -1,0 +1,15 @@
+package graft
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8, "plan-dump")
+    val dir = "/root/testdata/sf0.001"
+    Seq("q1_agg", "q2_filter_project", "q4_star_join", "q28_asof_join",
+        "d2_dedup_ngram_jaccard", "s1_ann_bruteforce").foreach { n =>
+      println(s"===== $n =====")
+      println(SparkEntry.queries(n)(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+        .linesIterator.take(40).mkString("\n"))
+    }
+    spark.stop()
+  }
+}
