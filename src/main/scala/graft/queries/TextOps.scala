@@ -167,5 +167,35 @@ object TextOps extends QueryGroup {
        |    (acc, c) -> (acc*31 + c) % $fpMod) AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin))
 
-  override val queries: Seq[QueryDef] = Seq(t1, t2, t3, t4)
+  // ---------------------------------------------------------------- T5
+  // Corpus vocabulary stats: 5 most frequent words per language.
+  // Explode → partial-agg count on (lang, word) → per-lang rank. The
+  // count shuffle is bounded by |vocab|×|langs| regardless of corpus
+  // size, so the plan is 100 TB-safe.
+  private val t5 = QueryDef(
+    "t5_vocab_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, dir)
+        .select(col("lang"), explode(words(col("text"))).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("word"))
+      counts
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 5)
+        .select("lang", "rank", "word", "cnt")
+        .orderBy("lang", "rank")
+    },
+    Some("""SELECT lang, rank, word, cnt FROM (
+       |  SELECT lang, word, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rank
+       |  FROM (
+       |    SELECT lang, word, COUNT(*) AS cnt FROM (
+       |      SELECT lang, unnest(string_split(text,' ')) AS word FROM documents
+       |    ) GROUP BY lang, word
+       |  )
+       |) WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(t1, t2, t3, t4, t5)
 }
