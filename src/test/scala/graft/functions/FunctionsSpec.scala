@@ -83,6 +83,24 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       (12.0 / (math.sqrt(14.0) * math.sqrt(77.0))) +- 1e-12
   }
 
+  test("vector identities hold on random float vectors") {
+    val rnd = new scala.util.Random(42)
+    (0 until 25).foreach { _ =>
+      val n = 1 + rnd.nextInt(16)
+      val xs = Array.fill(n)(rnd.nextFloat() * 4 - 2)
+      val ys = Array.fill(n)(rnd.nextFloat() * 4 - 2)
+      val ax = array(xs.map(lit(_)): _*)
+      val ay = array(ys.map(lit(_)): _*)
+      // symmetry and Cauchy-Schwarz
+      eval1(dot(ax, ay)) shouldBe eval1(dot(ay, ax))
+      val c = eval1(cosine(ax, ay)).asInstanceOf[Double]
+      c should (be >= -1.0000001 and be <= 1.0000001)
+      // norm consistency: |v|² == v·v
+      val nv = eval1(norm(ax)).asInstanceOf[Double]
+      (nv * nv) shouldBe eval1(dot(ax, ax)).asInstanceOf[Double] +- 1e-9
+    }
+  }
+
   test("hyperplane signature: deterministic, bit-bounded, sign-flip aware") {
     val v = array(lit(0.5f), lit(-1.5f), lit(2.5f), lit(0.25f))
     val s1 = eval1(hyperplaneSignature(v, 16)).asInstanceOf[Long]
