@@ -5,6 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Text hashing/sketching primitives for dedup, built from native
   * expressions (`xxhash64`, HOFs) — codegen'd, shuffle-free per row.
+  *
+  * Algorithms follow the published constructions: MinHash (Broder, "On
+  * the resemblance and containment of documents", 1997), SimHash
+  * (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002; Manku/Jain/Sarma, "Detecting near-duplicates
+  * for web crawling", WWW 2007), LSH banding (Leskovec/Rajaraman/Ullman,
+  * "Mining of Massive Datasets" ch. 3).
   */
 object HashFunctions {
 

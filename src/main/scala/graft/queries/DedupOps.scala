@@ -12,8 +12,9 @@ import graft.sources.Tables
   * D1–D5). Scale design notes per operator:
   *
   *  - D1 exact: one hash-groupBy — partial agg makes the shuffle tiny.
-  *  - D2 Jaccard: PPJoin-style prefix filtering under a global
-  *    (doc-frequency asc, token) order — lossless for J ≥ t, and the
+  *  - D2 Jaccard: PPJoin-style prefix filtering (Xiao/Wang/Lin/Yu,
+  *    "Efficient similarity joins for near duplicate detection",
+  *    WWW 2008) under a global total token order — lossless for J ≥ t, and the
   *    candidate join only touches each record's rare-token prefix, so the
   *    O(n²) all-pairs join never materializes. Verification joins
   *    candidates back to the full shingle sets (exact `array_intersect`).

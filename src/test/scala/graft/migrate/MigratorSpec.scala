@@ -118,6 +118,22 @@ class MigratorSpec extends AnyFunSuite with Matchers {
       Seq("01-first", "02-second", "03-third", "04-fourth")
   }
 
+  test("a failing SQL step aborts the migration and is not recorded") {
+    val (db, schema, migrations) = freshCase()
+    writeFirstTwo(migrations)
+    mk(db, schema, migrations).createOrUpdate()
+    val m3 = Files.createDirectories(migrations.resolve("03-broken"))
+    Files.writeString(m3.resolve("01-bad.sql"),
+      "CREATE TABLE ok_first (id INT) USING PARQUET;\nSELECT FROM nonsense syntax;")
+    intercept[Exception] {
+      mk(db, schema, migrations).createOrUpdate()
+    }
+    applied(db) shouldBe Seq("01-first", "02-second")
+    // statements before the failure did run (same as feeding the script
+    // to a DBMS CLI: no cross-statement transaction on DDL)
+    spark.catalog.tableExists(s"$db.ok_first") shouldBe true
+  }
+
   test("dry run executes nothing and records nothing") {
     val (db, schema, migrations) = freshCase()
     writeFirstTwo(migrations)
