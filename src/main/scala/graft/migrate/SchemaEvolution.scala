@@ -45,14 +45,26 @@ object SchemaEvolution {
     rewrite(spark, table)(df => df.withColumn(name, expr))
 
   /** One-pass rewrite via staging table + swap. The staging CTAS runs as
-    * a distributed job; the swap is catalog metadata.
+    * a distributed job; the swap is catalog metadata. The source table's
+    * partition layout is preserved (for partition columns that survive
+    * the transform) — losing it would silently kill partition pruning
+    * for every downstream reader.
     */
   def rewrite(spark: SparkSession, table: String)(
       f: DataFrame => DataFrame): Unit = {
+    val partCols = spark.catalog.listColumns(table).collect()
+      .filter(_.isPartition).map(_.name).toSeq
     val staging = s"${table}__evolve_staging"
     spark.sql(s"DROP TABLE IF EXISTS $staging")
-    f(spark.table(table)).write.format("parquet").saveAsTable(staging)
+    val out = f(spark.table(table))
+    val keptParts = partCols.filter(out.schema.fieldNames.contains)
+    val w = out.write.format("parquet")
+    (if (keptParts.nonEmpty) w.partitionBy(keptParts: _*) else w)
+      .saveAsTable(staging)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    // RENAME moves the data directory but does not migrate the partition
+    // entries in the catalog — without a repair the table reads as empty
+    if (keptParts.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
   }
 }

@@ -56,6 +56,25 @@ class SchemaEvolutionSpec extends AnyFunSuite with Matchers {
     spark.table(t).count() shouldBe 3
   }
 
+  test("rewrite preserves a partitioned table's layout") {
+    n += 1
+    val t = s"graft_evolve_part_$n"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(
+      s"CREATE TABLE $t (id INT, name STRING) USING PARQUET PARTITIONED BY (region STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a','eu'), (2,'b','us'), (3,'c','eu')")
+    SchemaEvolution.addColumnBackfill(spark, t, "id2", col("id") * 2)
+    // partition column survives as a partition column
+    spark.catalog.listColumns(t).collect()
+      .filter(_.isPartition).map(_.name).toSeq shouldBe Seq("region")
+    spark.table(t).filter(col("region") === "eu").count() shouldBe 2
+    // dropping the partition column degrades gracefully to unpartitioned
+    SchemaEvolution.dropColumn(spark, t, "region")
+    spark.catalog.listColumns(t).collect()
+      .filter(_.isPartition) shouldBe empty
+    spark.table(t).count() shouldBe 3
+  }
+
   test("backfill overwrites with an expression") {
     val t = freshTable()
     SchemaEvolution.backfill(spark, t, "name", upper(col("name")))
