@@ -54,17 +54,43 @@ object SchemaEvolution {
       f: DataFrame => DataFrame): Unit = {
     val partCols = spark.catalog.listColumns(table).collect()
       .filter(_.isPartition).map(_.name).toSeq
+    val buckets = bucketSpec(spark, table)
     val staging = s"${table}__evolve_staging"
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     val out = f(spark.table(table))
-    val keptParts = partCols.filter(out.schema.fieldNames.contains)
-    val w = out.write.format("parquet")
-    (if (keptParts.nonEmpty) w.partitionBy(keptParts: _*) else w)
-      .saveAsTable(staging)
+    val cols = out.schema.fieldNames.toSet
+    val keptParts = partCols.filter(cols)
+    var w = out.write.format("parquet")
+    if (keptParts.nonEmpty) w = w.partitionBy(keptParts: _*)
+    buckets.foreach { case (n, bCols, sCols) =>
+      if (bCols.forall(cols)) {
+        w = w.bucketBy(n, bCols.head, bCols.tail: _*)
+        val keptSort = sCols.filter(cols)
+        if (keptSort.nonEmpty) w = w.sortBy(keptSort.head, keptSort.tail: _*)
+      }
+    }
+    w.saveAsTable(staging)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     // RENAME moves the data directory but does not migrate the partition
     // entries in the catalog — without a repair the table reads as empty
     if (keptParts.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+  }
+
+  /** (numBuckets, bucketCols, sortCols) from DESCRIBE EXTENDED — the
+    * catalog API does not expose bucketing, but losing it on rewrite
+    * would silently re-introduce shuffles into co-located joins.
+    */
+  private[migrate] def bucketSpec(
+      spark: SparkSession, table: String): Option[(Int, Seq[String], Seq[String])] = {
+    val desc = spark.sql(s"DESCRIBE EXTENDED $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def parseCols(v: String): Seq[String] =
+      v.trim.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+    desc.get("Num Buckets").map(_.trim.toInt).filter(_ > 0).map { n =>
+      (n, desc.get("Bucket Columns").map(parseCols).getOrElse(Nil),
+        desc.get("Sort Columns").map(parseCols).getOrElse(Nil))
+    }
   }
 }

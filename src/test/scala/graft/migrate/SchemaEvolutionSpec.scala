@@ -75,6 +75,18 @@ class SchemaEvolutionSpec extends AnyFunSuite with Matchers {
     spark.table(t).count() shouldBe 3
   }
 
+  test("rewrite preserves a bucketed table's bucket spec") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_evolve_bucketed")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.bucketBy(4, "id").sortBy("id")
+      .saveAsTable("graft_evolve_bucketed")
+    SchemaEvolution.castColumn(spark, "graft_evolve_bucketed", "v", "STRING")
+    SchemaEvolution.bucketSpec(spark, "graft_evolve_bucketed") shouldBe
+      Some((4, Seq("id"), Seq("id")))
+    spark.table("graft_evolve_bucketed").count() shouldBe 3
+  }
+
   test("backfill overwrites with an expression") {
     val t = freshTable()
     SchemaEvolution.backfill(spark, t, "name", upper(col("name")))
