@@ -242,40 +242,18 @@ object DedupOps extends QueryGroup {
   // component (singletons label themselves) — the "pick one per group"
   // step a dedup pipeline runs after pair generation.
   //
-  // Iterative min-label propagation as a driver loop of DataFrame steps;
-  // each iteration is one join + groupBy-min, and the only data reaching
-  // the driver is a single convergence count. Iterations ≈ component
-  // diameter (near-dup clusters are shallow; at 100 TB you would add
-  // localCheckpoint() every few rounds to cut lineage, and the
-  // large-star/small-star variant if components could be deep).
+  // Delegates to [[graft.operators.ConnectedComponents]] (min-label
+  // propagation + pointer jumping, O(log diameter) rounds, checkpointed
+  // lineage) — see that operator for the scale analysis.
   private val d6 = QueryDef(
     "d6_dedup_clusters",
     (s, dir) => {
-      val edges = jaccardPairs(s, dir).select(col("i"), col("j"))
-      // localCheckpoint (eager) truncates lineage: every iteration plans
-      // against a materialized table, not the whole pair pipeline again
-      val sym = edges
-        .union(edges.select(col("j").as("i"), col("i").as("j")))
-        .localCheckpoint()
-      var labels = docs(s, dir)
-        .select(col("doc_id"), col("doc_id").as("cluster"))
-        .localCheckpoint()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val prop = sym.join(labels, col("i") === col("doc_id"))
-          .select(col("j").as("doc_id"), col("cluster"))
-        val next = labels.union(prop)
-          .groupBy("doc_id").agg(min("cluster").as("cluster"))
-          .localCheckpoint()
-        val changes = next.as("n")
-          .join(labels.as("o"), "doc_id")
-          .filter(col("n.cluster") =!= col("o.cluster")).count()
-        labels = next
-        converged = changes == 0
-        iter += 1
-      }
-      labels.orderBy("doc_id")
+      val edges = jaccardPairs(s, dir)
+        .select(col("i").as("src"), col("j").as("dst"))
+      val nodes = docs(s, dir).select(col("doc_id").as("id"))
+      graft.operators.ConnectedComponents.run(nodes, edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+        .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $pairCtes,
        |good AS (

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  private def labelsOf(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      maxIter: Int = 50): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.run(
+      nodes.toDF("id"), edges.toDF("src", "dst"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a 200-node chain converges (pointer jumping beats O(diameter))") {
+    // plain propagation needs ~200 rounds here; pointer jumping ~8
+    val nodes = (0L until 200L)
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val labels = labelsOf(nodes, edges, maxIter = 15)
+    labels.values.toSet shouldBe Set(0L)
+  }
+
+  test("separate components keep separate min labels; isolates are own") {
+    val labels = labelsOf(
+      nodes = Seq(1L, 2L, 3L, 10L, 11L, 50L),
+      edges = Seq((2L, 3L), (10L, 11L), (3L, 1L)))
+    labels(1L) shouldBe 1L
+    labels(2L) shouldBe 1L
+    labels(3L) shouldBe 1L
+    labels(10L) shouldBe 10L
+    labels(11L) shouldBe 10L
+    labels(50L) shouldBe 50L // isolated node labels itself
+  }
+
+  test("non-convergence raises instead of returning wrong labels") {
+    val nodes = (0L until 64L)
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    an[IllegalStateException] should be thrownBy
+      labelsOf(nodes, edges, maxIter = 2)
+  }
+}
