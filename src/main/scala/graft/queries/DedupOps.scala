@@ -271,5 +271,37 @@ object DedupOps extends QueryGroup {
        |SELECT node AS doc_id, MIN(lab) AS cluster
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
 
-  override val queries: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6)
+  // ---------------------------------------------------------------- D7
+  // The end product of the dedup pipeline: the corpus with every
+  // near-dup cluster collapsed to its keeper (min doc_id per component).
+  // Output is the kept documents only — what a training run would read.
+  private val d7 = QueryDef(
+    "d7_dedup_apply",
+    (s, dir) => {
+      val edges = jaccardPairs(s, dir)
+        .select(col("i").as("src"), col("j").as("dst"))
+      val nodes = docs(s, dir).select(col("doc_id").as("id"))
+      graft.operators.ConnectedComponents.run(nodes, edges)
+        .filter(col("id") === col("component")) // keepers label themselves
+        .select(col("id").as("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $pairCtes,
+       |good AS (
+       |  SELECT i, j FROM pairs
+       |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= $jaccardT
+       |),
+       |edges AS (SELECT i AS a, j AS b FROM good
+       |          UNION ALL SELECT j, i FROM good),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+       |)
+       |SELECT node AS doc_id FROM reach
+       |GROUP BY node HAVING node = MIN(lab)
+       |ORDER BY doc_id""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7)
 }

@@ -46,6 +46,33 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     falsePos.toDouble / sim.size should be <= 0.2
   }
 
+  test("q11 approximate distincts stay within the promised error bound") {
+    val rows = run("q11_approx_count_distinct").collect()
+    rows should not be empty
+    // exact per-group distinct counts for comparison
+    val e = graft.sources.Tables.load(spark, TestSpark.sfDir, "orders")
+    val exact = e.groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.countDistinct("o_custkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (status, approx) = (r.getString(0), r.getLong(1))
+      val d = exact(status).toDouble
+      // rsd=0.01 → generous 5% acceptance band
+      math.abs(approx - d) / d should be <= 0.05
+    }
+  }
+
+  test("d7 keeps exactly one document per cluster (keeper set)") {
+    val kept = run("d7_dedup_apply").collect().map(_.getLong(0)).toSet
+    val cluster = run("d6_dedup_clusters").select("doc_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kept shouldBe cluster.values.toSet // keepers are the cluster labels
+    // every document's cluster representative is kept
+    cluster.values.foreach(c => kept should contain(c))
+    // and no two kept docs share a cluster
+    kept.map(cluster).size shouldBe kept.size
+  }
+
   test("cluster assignment is consistent with the pair graph (d6)") {
     val cluster = run("d6_dedup_clusters").select("doc_id", "cluster")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
