@@ -139,9 +139,12 @@ object TextOps extends QueryGroup {
           sum(col("ws")).as("ws_tokens"),
           sum(col("re")).as("regex_tokens"))
         .orderBy("source"),
+    // CAST(SUM(..) AS BIGINT): DuckDB sums BIGINT into HUGEINT (int128),
+    // which pandas renders as float64 ("1435.0") and fails the driver's
+    // value-hash against Spark's int64 — r1's only hash mismatch.
     Some(s"""SELECT source, COUNT(*) AS n_docs,
-       |  SUM(len(string_split(text,' '))) AS ws_tokens,
-       |  SUM(len(regexp_extract_all(text, '$tokenRe'))) AS regex_tokens
+       |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(len(regexp_extract_all(text, '$tokenRe'))) AS BIGINT) AS regex_tokens
        |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
   // ---------------------------------------------------------------- T4

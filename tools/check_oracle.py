@@ -48,6 +48,20 @@ def main(sf_dir, out_dir):
             d = con.execute(sql)
             d_names = [c[0] for c in d.description]
             d_rows = d.fetchall()
+            # Driver-parity type check: the driver hashes pandas frames, so
+            # a DuckDB HUGEINT/DECIMAL column (rendered as float64/object)
+            # hash-mismatches Spark's int64 even when values are equal.
+            # Catch any oracle column type pandas won't round-trip as the
+            # Spark type.
+            d_arrow = con.execute(sql).fetch_arrow_table()
+            lossy = [f"{f.name}:{f.type}" for f in d_arrow.schema
+                     if "int128" in str(f.type)
+                     or str(f.type).startswith("decimal")]
+            if lossy:
+                print(f"FAIL {name}: pandas-lossy oracle column types "
+                      f"{lossy} (CAST them in the SQL)")
+                n_bad += 1
+                continue
             sc, sr = frame(s_rows, s_names)
             dc, dr = frame([tuple(r) for r in d_rows], d_names)
             if sc != dc:
