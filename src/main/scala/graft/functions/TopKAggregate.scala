@@ -37,6 +37,22 @@ case class TopKByScore(
 
   override def children: Seq[Expression] = Seq(score, id)
 
+  // update() casts eval results straight to Double/Long, so reject other
+  // types at analysis time — via SQL `topk_by_score` a float score would
+  // otherwise surface as an executor ClassCastException mid-job.
+  // (checkInputDataTypes rather than ExpectsInputTypes: AbstractDataType
+  // is private[sql] in Spark 4.1.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (score.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by_score: score must be DOUBLE, got ${score.dataType.sql}")
+    else if (id.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by_score: id must be BIGINT, got ${id.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def nullable: Boolean = false
 
   override def dataType: DataType = ArrayType(StructType(Seq(

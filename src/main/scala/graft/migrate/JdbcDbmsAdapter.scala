@@ -13,6 +13,14 @@ import java.sql.{Connection, DriverManager}
   * `dropSuffix` adapt to engines (like embedded Derby) that
   * create/remove databases via connection attributes rather than
   * CREATE/DROP DATABASE statements.
+  *
+  * Server DBMSes (Postgres/MySQL style) can't run CREATE/DROP DATABASE
+  * over a connection to the database being created (it doesn't exist
+  * yet) or dropped (can't drop the database you're connected to) —
+  * those engines must supply `adminUrl`, a maintenance-database URL
+  * (e.g. `.../postgres`) that create/drop statements and `existsQuery`
+  * catalog probes run over. Connect-success probing of `urlFor(db)` is
+  * only the fallback for embedded engines with no catalog database.
   */
 final class JdbcDbmsAdapter(
     urlFor: String => String,
@@ -21,16 +29,26 @@ final class JdbcDbmsAdapter(
     override val driverName: String = "jdbc",
     createSuffix: String = "",
     dropSuffix: String = "",
+    adminUrl: Option[String] = None,
     createStatement: Option[String => String] = None,
-    dropStatement: Option[String => String] = None) extends DbmsAdapter {
+    dropStatement: Option[String => String] = None,
+    existsQuery: Option[String => String] = None) extends DbmsAdapter {
+
+  require(createStatement.isEmpty && dropStatement.isEmpty
+    || adminUrl.nonEmpty,
+    "createStatement/dropStatement run CREATE/DROP DATABASE and need an " +
+      "adminUrl (maintenance DB) — they cannot run on the target database")
 
   private def connect(url: String): Connection =
     DriverManager.getConnection(url, user.orNull, password.orNull)
 
+  private def admin: String =
+    adminUrl.getOrElse(throw new IllegalStateException("adminUrl not set"))
+
   override def createDatabase(db: String): Unit =
     createStatement match {
-      case Some(stmt) => // server DBMS: CREATE DATABASE over an admin conn
-        withConn(urlFor(db)) { c => c.createStatement().execute(stmt(db)) }
+      case Some(stmt) => // server DBMS: CREATE DATABASE over the admin conn
+        withConn(admin) { c => c.createStatement().execute(stmt(db)) }
       case None => // embedded style: creation happens via URL attributes
         connect(urlFor(db) + createSuffix).close()
     }
@@ -38,7 +56,7 @@ final class JdbcDbmsAdapter(
   override def dropDatabase(db: String): Unit =
     dropStatement match {
       case Some(stmt) =>
-        withConn(urlFor(db)) { c => c.createStatement().execute(stmt(db)) }
+        withConn(admin) { c => c.createStatement().execute(stmt(db)) }
       case None =>
         try connect(urlFor(db) + dropSuffix).close()
         catch {
@@ -50,8 +68,16 @@ final class JdbcDbmsAdapter(
     }
 
   override def databaseExists(db: String): Boolean =
-    try { connect(urlFor(db)).close(); true }
-    catch { case _: java.sql.SQLException => false }
+    existsQuery match {
+      case Some(q) => // catalog probe on the admin DB — no connect-failure abuse
+        withConn(admin) { c =>
+          val rs = c.createStatement().executeQuery(q(db))
+          try rs.next() finally rs.close()
+        }
+      case None =>
+        try { connect(urlFor(db)).close(); true }
+        catch { case _: java.sql.SQLException => false }
+    }
 
   override def runDdl(db: String, script: String): Unit =
     withConn(urlFor(db)) { c =>
@@ -97,4 +123,23 @@ object JdbcDbmsAdapter {
       driverName = "derby",
       createSuffix = ";create=true",
       dropSuffix = ";drop=true")
+
+  /** Postgres-shaped server adapter: DDL-on-admin-DB + pg_database
+    * catalog probe (cf. reference Database::Migrator::Pg, which shells
+    * out to createdb/dropdb against the cluster, not the target DB).
+    * Untested here (no server in this environment); the admin-routing
+    * contract it exercises is covered by the Derby-backed specs.
+    */
+  def postgresShaped(host: String, port: Int, user: String,
+      password: String): JdbcDbmsAdapter =
+    new JdbcDbmsAdapter(
+      urlFor = db => s"jdbc:postgresql://$host:$port/$db",
+      user = Some(user),
+      password = Some(password),
+      driverName = "postgresql",
+      adminUrl = Some(s"jdbc:postgresql://$host:$port/postgres"),
+      createStatement = Some(db => s"""CREATE DATABASE "$db""""),
+      dropStatement = Some(db => s"""DROP DATABASE IF EXISTS "$db""""),
+      existsQuery =
+        Some(db => s"SELECT 1 FROM pg_database WHERE datname = '$db'"))
 }

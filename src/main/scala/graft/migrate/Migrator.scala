@@ -98,8 +98,12 @@ final class Migrator(
 
   private def children(dir: Path): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala.toSeq
-      .filterNot(_.getFileName.toString.startsWith(".")) // no_hidden
+    else {
+      val st = Files.list(dir) // must close: each list() holds an fd open
+      try st.iterator().asScala.toSeq
+        .filterNot(_.getFileName.toString.startsWith(".")) // no_hidden
+      finally st.close()
+    }
 
   /** Core.pm:160 `_run_one_migration`. */
   private def runOneMigration(migration: Path): Unit = {

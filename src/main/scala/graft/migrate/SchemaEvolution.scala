@@ -70,11 +70,28 @@ object SchemaEvolution {
       }
     }
     w.saveAsTable(staging)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    require(spark.catalog.tableExists(staging),
+      s"staging table $staging missing after CTAS — aborting before touching $table")
+    // Swap with no data-loss window: the original is renamed aside (not
+    // dropped) before staging takes its name, so at every instant the data
+    // exists under some table; a crash leaves either the original intact
+    // (possibly as __evolve_backup) or the swap complete. Readers can see
+    // the table absent only for the instant between the two renames, and a
+    // failed second rename restores the original immediately.
+    val backup = s"${table}__evolve_backup"
+    spark.sql(s"DROP TABLE IF EXISTS $backup")
+    spark.sql(s"ALTER TABLE $table RENAME TO $backup")
+    try spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    catch {
+      case e: Throwable =>
+        spark.sql(s"ALTER TABLE $backup RENAME TO $table")
+        if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+        throw e
+    }
     // RENAME moves the data directory but does not migrate the partition
     // entries in the catalog — without a repair the table reads as empty
     if (keptParts.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.sql(s"DROP TABLE $backup")
   }
 
   /** (numBuckets, bucketCols, sortCols) from DESCRIBE EXTENDED — the

@@ -41,6 +41,9 @@ object TimeOps {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} clash with left side")
+    val reserved = Seq("__ts", "__src")
+    require(!reserved.exists(c => leftCols.contains(c) || payload.contains(c)),
+      s"columns $reserved are reserved by asOfJoin; rename them first")
 
     val l = payload.foldLeft(
       left.withColumn("__ts", col(leftTsMs)).withColumn("__src", lit(1))) {
@@ -55,8 +58,12 @@ object TimeOps {
     }.select(l.columns.map(col): _*)
 
     // at equal __ts the right row sorts first (__src 0 < 1) ⇒ visible to
-    // the left row's running window: at-or-before
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__src"))
+    // the left row's running window: at-or-before. Payload columns extend
+    // the ordering so right rows tied on (key, ts) resolve to the same
+    // winner (greatest payload tuple) on every run — `last` over an
+    // order-ambiguous window would otherwise be nondeterministic.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts") +: col("__src") +: payload.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val attached = payload.foldLeft(l.unionByName(r)) { (df, c) =>
       df.withColumn(c,

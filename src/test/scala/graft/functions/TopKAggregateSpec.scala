@@ -47,6 +47,28 @@ class TopKAggregateSpec extends AnyFunSuite with Matchers {
     rows.foreach(_.getSeq[Any](1).size shouldBe 4)
   }
 
+  test("wrong input types fail at analysis time, not mid-execution") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val df = Seq((1.0f, 1), (2.0f, 2)).toDF("fscore", "iid")
+    df.createOrReplaceTempView("topk_typecheck")
+    // float score / int id: must be an AnalysisException (plan time), not
+    // a ClassCastException from an executor
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT topk_by_score(fscore, CAST(iid AS BIGINT), 2) FROM topk_typecheck")
+        .collect()
+    }
+    e.getClass.getName should include("AnalysisException")
+    e.getMessage should include("DOUBLE")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT topk_by_score(CAST(fscore AS DOUBLE), iid, 2) FROM topk_typecheck")
+        .collect()
+    }
+    e2.getClass.getName should include("AnalysisException")
+  }
+
   test("ties break toward the smaller id") {
     import spark.implicits._
     val df = Seq((1.0, 9L), (1.0, 2L), (1.0, 5L), (0.5, 1L))

@@ -79,6 +79,40 @@ class JdbcDbmsAdapterSpec extends AnyFunSuite with Matchers {
     mk().databaseExists() shouldBe false
   }
 
+  test("server-style create/drop statements route through the admin DB " +
+    "and databaseExists probes the catalog, not connect-success") {
+    // "admin DB" stand-in: a Derby memory db holding a dbs catalog table,
+    // exactly the shape of pg_database probing on a Postgres maintenance DB
+    val adminUrl = "jdbc:derby:memory:graft_admin_cat"
+    val c = DriverManager.getConnection(adminUrl + ";create=true")
+    try {
+      c.createStatement().execute("CREATE TABLE dbs (name VARCHAR(100))")
+      c.createStatement().execute("INSERT INTO dbs VALUES ('prod_db')")
+    } finally c.close()
+
+    val adapter = new JdbcDbmsAdapter(
+      // urlFor would fail for everything — proves no call touches it
+      urlFor = db => s"jdbc:derby:memory:no_such_$db",
+      adminUrl = Some(adminUrl),
+      createStatement = Some(db => s"INSERT INTO dbs VALUES ('$db')"),
+      dropStatement = Some(db => s"DELETE FROM dbs WHERE name = '$db'"),
+      existsQuery = Some(db => s"SELECT 1 FROM dbs WHERE name = '$db'"))
+
+    adapter.databaseExists("prod_db") shouldBe true
+    adapter.databaseExists("absent") shouldBe false
+    adapter.createDatabase("fresh_db")
+    adapter.databaseExists("fresh_db") shouldBe true
+    adapter.dropDatabase("fresh_db")
+    adapter.databaseExists("fresh_db") shouldBe false
+  }
+
+  test("create/drop statements without an adminUrl are rejected at " +
+    "construction") {
+    an[IllegalArgumentException] should be thrownBy new JdbcDbmsAdapter(
+      urlFor = db => s"jdbc:derby:memory:$db",
+      createStatement = Some(db => s"CREATE DATABASE $db"))
+  }
+
   test("bootstrap: adapter reports None for a missing ledger table") {
     val adapter = JdbcDbmsAdapter.derbyInMemory()
     val db = "graft_derby_boot"

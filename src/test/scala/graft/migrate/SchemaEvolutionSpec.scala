@@ -87,6 +87,14 @@ class SchemaEvolutionSpec extends AnyFunSuite with Matchers {
     spark.table("graft_evolve_bucketed").count() shouldBe 3
   }
 
+  test("rewrite's swap leaves no staging or backup table behind") {
+    val t = freshTable()
+    SchemaEvolution.castColumn(spark, t, "id", "BIGINT")
+    spark.catalog.tableExists(s"${t}__evolve_staging") shouldBe false
+    spark.catalog.tableExists(s"${t}__evolve_backup") shouldBe false
+    spark.table(t).count() shouldBe 3
+  }
+
   test("backfill overwrites with an expression") {
     val t = freshTable()
     SchemaEvolution.backfill(spark, t, "name", upper(col("name")))

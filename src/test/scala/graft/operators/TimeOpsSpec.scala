@@ -44,6 +44,28 @@ class TimeOpsSpec extends AnyFunSuite with Matchers {
     out("p4") shouldBe null      // no right rows at all for u3
   }
 
+  test("asOfJoin ties on (key, ts) resolve deterministically to the " +
+    "greatest payload tuple") {
+    import spark.implicits._
+    val left = Seq(("k", 100L, "L")).toDF("k", "lts", "tag")
+    // two right rows at the exact same (key, ts): winner must be stable
+    val right = Seq(("k", 50L, "pA"), ("k", 50L, "pZ"))
+      .toDF("k", "rts", "pid")
+    (1 to 5).foreach { _ =>
+      val out = TimeOps.asOfJoin(left, right, "k", "lts", "rts",
+        payload = Seq("pid")).collect()
+      out.map(_.getAs[String]("pid")).toSeq shouldBe Seq("pZ")
+    }
+  }
+
+  test("asOfJoin rejects reserved working-column names") {
+    import spark.implicits._
+    val l = Seq(("k", 1L, 9L)).toDF("k", "lts", "__ts")
+    val r = Seq(("k", 1L, "p")).toDF("k", "rts", "pid")
+    an[IllegalArgumentException] should be thrownBy
+      TimeOps.asOfJoin(l, r, "k", "lts", "rts", payload = Seq("pid"))
+  }
+
   test("asOfJoin on real events matches the q28 shape (count + coverage)") {
     val e = graft.sources.Tables.load(spark, TestSpark.sfDir, "events")
       .select("event_id", "user_id", "ts_ms", "event_type")
