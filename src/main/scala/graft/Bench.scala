@@ -21,6 +21,12 @@ object Bench {
       // JIT, page cache), then the timed run; caches cleared so queries
       // don't interfere with each other
       try once() catch { case _: Throwable => () }
+      // drop the warmup's cached/checkpointed blocks BEFORE timing — for
+      // iterative queries they otherwise pile into the timed run's memory
+      // budget and show up as GC, not as the query's real cost
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       try once()
       catch { case e: Throwable =>

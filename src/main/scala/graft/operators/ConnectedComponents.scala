@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Distributed connected components by iterative min-label propagation
   * with pointer jumping (label compression), the standard alternating
@@ -11,13 +12,24 @@ import org.apache.spark.sql.functions._
   * label(label(x))`, so convergence is O(log diameter) rounds rather
   * than O(diameter) — a million-long chain converges in ~20 rounds.
   *
-  * Each round is two joins + a groupBy-min over checkpointed inputs
-  * (lineage stays flat); the only driver-side data is one convergence
-  * count per round.
+  * Scale design: the iteration runs over EDGE-INCIDENT nodes only.
+  * Singleton nodes (no edges) can never change label, so they bypass
+  * the loop entirely and rejoin with `component = id` in one final
+  * join. For dedup workloads the pair graph is orders of magnitude
+  * smaller than the corpus, so at 100 TB this turns per-round shuffles
+  * over every document into per-round shuffles over just the near-dup
+  * graph — the full corpus is touched exactly twice (edge extraction,
+  * final join).
+  *
+  * Each round is one materializing job: pull-min groupBy + pointer-jump
+  * join, checkpointed (flat lineage), with the convergence flag carried
+  * as a `chg` column — detecting a fixed point is a `take(1)` on the
+  * already-materialized frame, not an extra join+count job.
   *
   * @param nodes one column `id`
   * @param edges columns `src`, `dst` (undirected; both orders implied)
-  * @return (id, component) where component = min id in the component
+  * @return (id, component) for every id in `nodes`, where component =
+  *         min id in the connected component
   */
 object ConnectedComponents {
 
@@ -27,36 +39,53 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
 
-    var labels = nodes.select(col("id"), col("id").as("component"))
+    // Fused round 0 over edge nodes only: component = min(id, neighbors)
+    // — exactly the first pull from identity labels, for one groupBy.
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"),
+        least(col("src"), col("mn")).as("component"))
       .localCheckpoint()
+
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // pull the min label across edges
+      // pull the min label across edges; carry each node's previous
+      // label through the aggregation (each id has exactly ONE labels
+      // row, so min(old) recovers it) for in-flight change detection
       val viaEdges = sym
         .join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("component"))
-      val pulled = labels.union(viaEdges)
-        .groupBy("id").agg(min("component").as("component"))
-      // pointer jump: label(x) ← min(label(x), label(label(x)))
+        .select(col("dst").as("id"), col("component"),
+          lit(null).cast(LongType).as("old"))
+      val pulled = labels
+        .select(col("id"), col("component"), col("component").as("old"))
+        .unionByName(viaEdges)
+        .groupBy("id")
+        .agg(min("component").as("component"), min("old").as("old"))
+      // pointer jump: label(x) ← min(label(x), label(label(x))).
+      // Every component value is the id of some edge node, so the inner
+      // self-join covers all rows.
       val jumpedRaw = pulled.as("x")
         .join(pulled.as("p"), col("x.component") === col("p.id"))
         .select(col("x.id").as("id"),
-          least(col("x.component"), col("p.component")).as("component"))
+          least(col("x.component"), col("p.component")).as("component"),
+          (least(col("x.component"), col("p.component")) =!= col("x.old"))
+            .as("chg"))
         .localCheckpoint()
       // rebase on the materialized RDD: fresh attribute ids, so the next
       // round's union/join of this frame with its own derivatives can't
       // trip Catalyst's duplicate-attribute constraint rewriting
       val jumped = spark.createDataFrame(jumpedRaw.rdd, jumpedRaw.schema)
-      val changes = jumped.as("n").join(labels.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component")).count()
-      labels = jumped
-      converged = changes == 0
+      converged = jumped.filter(col("chg")).isEmpty
+      labels = jumped.select("id", "component")
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds")
-    labels
+    // singletons (and any node absent from the edge set) label themselves
+    nodes.join(labels, Seq("id"), "left")
+      .select(nodes("id"),
+        coalesce(col("component"), nodes("id")).as("component"))
   }
 }

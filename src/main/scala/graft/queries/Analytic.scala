@@ -154,14 +154,27 @@ object Analytic extends QueryGroup {
       |ORDER BY bucket""".stripMargin))
 
   // --------------------------------------------------------------- Q23
-  // Exact quartiles via ntile over a total order — one sort, then tiny
-  // aggregation; the 100 TB variant would swap in approx_percentile.
+  // Exact quartiles with exact NTILE semantics, but NOT via an
+  // unpartitioned window (single-partition wall at scale): global rank
+  // from GlobalOrder (range partition + offset zip), then the NTILE
+  // bucket formula — the first N%k buckets get ⌈N/k⌉ rows, the rest
+  // ⌊N/k⌋. The count() feeding N is a parquet-metadata read.
   private val q23 = QueryDef(
     "q23_percentiles",
     (s, dir) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, dir, "orders")
-        .select(col("o_totalprice"), ntile(4).over(w).cast("long").as("quartile"))
+      val o = t(s, dir, "orders").select("o_totalprice", "o_orderkey")
+      val n = o.count()
+      val k = 4L
+      val q = n / k
+      val m = n % k
+      val ranked = graft.operators.GlobalOrder.withGlobalRank(
+        o, Seq(col("o_totalprice"), col("o_orderkey")), "r")
+      val quartile =
+        when(lit(m) > 0 && col("r") <= m * (q + 1),
+          floor((col("r") - 1) / (q + 1)) + 1)
+          .otherwise(lit(m) + floor((col("r") - 1 - m * (q + 1)) / q) + 1)
+      ranked
+        .select(col("o_totalprice"), quartile.cast("long").as("quartile"))
         .groupBy(col("quartile"))
         .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"),
           count(lit(1)).as("n"))
