@@ -214,8 +214,9 @@ object DedupOps extends QueryGroup {
   // ---------------------------------------------------------------- D5
   // Embedding-cosine near-dup pairs ≥ 0.4: exact baseline — right side
   // broadcast, nested-loop on vec_id < vec_id. Bounded-candidate scale
-  // variants live in S2 (LSH) / S3 (IVF). Rows-only (float fold order
-  // has no bit-exact DuckDB twin).
+  // variants live in S2 (LSH) / S3 (IVF). Oracle: DuckDB reproduces the
+  // identical strict left-to-right float→double fold (same model as s1),
+  // so cosines — and the ≥ threshold set — match bit for bit.
   private val cosT = 0.4
   private val d5 = QueryDef(
     "d5_dedup_embedding",
@@ -234,7 +235,22 @@ object DedupOps extends QueryGroup {
         .filter(col("cosine") >= cosT)
         .orderBy("i", "j")
     },
-    None)
+    Some(s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(0.0,
+       |      [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE)
+       |       for i in range(1, len(embedding)+1)]), (x,y) -> x+y)) AS nrm
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j,
+       |    list_reduce(list_prepend(0.0,
+       |      [(a.embedding[i]::DOUBLE)*(b.embedding[i]::DOUBLE)
+       |       for i in range(1, len(a.embedding)+1)]), (x,y) -> x+y)
+       |      / (a.nrm * b.nrm) AS cosine
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |)
+       |SELECT i, j, cosine FROM scored
+       |WHERE cosine >= $cosT ORDER BY i, j""".stripMargin))
 
   // ---------------------------------------------------------------- D6
   // Near-dup CLUSTER assignment: connected components over the verified
