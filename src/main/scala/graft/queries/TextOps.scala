@@ -200,5 +200,109 @@ object TextOps extends QueryGroup {
        |  )
        |) WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
 
-  override val queries: Seq[QueryDef] = Seq(t1, t2, t3, t4, t5)
+  // ---------------------------------------------------------------- T6
+  // Benchmark decontamination (GPT-3 appx C / PaLM style): flag corpus
+  // docs sharing any word 4-gram with the benchmark/eval set (here the
+  // deterministic holdout doc_id % 97 == 0). The benchmark gram set is
+  // eval-suite-sized — fixed, tiny relative to any corpus — so it is
+  // BROADCAST and the corpus side never shuffles: contamination checking
+  // at 100 TB runs at scan speed, then a per-doc count aggregation.
+  private val contamN = 4
+  private val benchMod = 97
+  private val t6 = QueryDef(
+    "t6_decontaminate",
+    (s, dir) => {
+      import graft.functions.HashFunctions.shingles
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(shingles(words(col("text")), contamN)).as("g"))
+      val bench = grams.filter(col("doc_id") % benchMod === 0)
+        .select("g").distinct()
+      grams.filter(col("doc_id") % benchMod =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(count_distinct(col("g")).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+       |g AS (SELECT doc_id,
+       |  unnest(list_distinct([list_aggregate(words[i:i+${contamN - 1}],'string_agg',' ')
+       |                        for i in range(1, len(words)-${contamN - 2})])) AS g
+       |  FROM w),
+       |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % $benchMod = 0)
+       |SELECT doc_id, COUNT(DISTINCT g.g) AS n_shared
+       |FROM g JOIN bench USING(g)
+       |WHERE doc_id % $benchMod <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- T7
+  // Gopher-style repetition scoring: duplicate-word fraction and
+  // top-word fraction per document. ONE explode → (doc, word) counts →
+  // per-doc aggregate — all partial-agg friendly, no per-row HOF folds;
+  // ratios are single double divisions (bit-identical across engines).
+  private val t7 = QueryDef(
+    "t7_repetition",
+    (s, dir) => {
+      val wc = docs(s, dir)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_count"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") /
+            col("n_words").cast("double")).as("dup_ratio"),
+          (col("top_count").cast("double") /
+            col("n_words").cast("double")).as("top_word_ratio"))
+        .withColumn("repetitive", col("dup_ratio") > 0.5)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_words, n_distinct,
+       |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_ratio,
+       |  CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_ratio,
+       |  (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)) > 0.5 AS repetitive
+       |FROM (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |    COUNT(*) AS n_distinct, MAX(c) AS top_count
+       |  FROM (
+       |    SELECT doc_id, w, COUNT(*) AS c FROM (
+       |      SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+       |    ) GROUP BY doc_id, w
+       |  ) GROUP BY doc_id
+       |) ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- T8
+  // Exact domain-mixture sampling: per-source quota = ceil(frac × n_src),
+  // filled deterministically by ascending doc_id. Both the quota count
+  // and the rank ride ONE window partitioned by source — a single
+  // shuffle, no per-source collect; sources are independent partitions
+  // so this scales with the widest source, not the corpus.
+  private val t8 = QueryDef(
+    "t8_mixture_sample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val frac = when(srcNum % 2 === 0, 0.2).otherwise(0.6)
+      val w = Window.partitionBy(col("source"))
+      val ranked = docs(s, dir)
+        .select(col("source"), col("doc_id"), frac.as("frac"))
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("doc_id"))).cast(LongType))
+        .withColumn("n_src", count(lit(1)).over(w))
+      ranked
+        .filter(col("rn") <= ceil(col("frac") * col("n_src")))
+        .select("source", "doc_id", "rn")
+        .orderBy("source", "rn")
+    },
+    Some("""SELECT source, doc_id, rn FROM (
+       |  SELECT source, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS n_src,
+       |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+       |         THEN 0.2 ELSE 0.6 END AS frac
+       |  FROM documents
+       |) WHERE rn <= CEIL(frac * n_src)
+       |ORDER BY source, rn""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(t1, t2, t3, t4, t5, t6, t7, t8)
 }

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkEntry
+import graft.TestSpark
+
+/** T6–T8 (decontamination, repetition scoring, mixture sampling):
+  * result invariants plus the plan shapes that carry them to 100 TB.
+  */
+class TextPipelineSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+
+  test("t6: no benchmark doc leaks into the contaminated set; counts > 0") {
+    val out = run("t6_decontaminate")
+    out.filter(col("doc_id") % 97 === 0).count() shouldBe 0
+    out.filter(col("n_shared") < 1).count() shouldBe 0
+  }
+
+  test("t6: benchmark gram set is broadcast — corpus side never shuffles " +
+    "for the join") {
+    val p = run("t6_decontaminate").queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+  }
+
+  test("t7: ratio invariants hold on the real corpus") {
+    val out = run("t7_repetition").cache()
+    out.filter(col("n_distinct") > col("n_words")).count() shouldBe 0
+    out.filter(col("dup_ratio") < 0 || col("dup_ratio") >= 1)
+      .count() shouldBe 0
+    out.filter(col("top_word_ratio") * col("n_words") < 1).count() shouldBe 0
+    out.unpersist()
+  }
+
+  test("t8: every source hits its quota exactly, ranks contiguous") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+    val srcCounts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run("t8_mixture_sample").groupBy("source")
+      .agg(count(lit(1)).as("k"), max("rn").as("maxrn")).collect()
+    kept should not be empty
+    kept.foreach { r =>
+      val src = r.getString(0)
+      val frac = if (src.stripPrefix("src").toInt % 2 == 0) 0.2 else 0.6
+      val quota = math.ceil(frac * srcCounts(src)).toLong
+      r.getLong(1) shouldBe quota
+      r.getLong(2) shouldBe quota // ranks are 1..quota with no gaps
+    }
+  }
+
+  test("t8: one hash shuffle carries both the rank and the quota count") {
+    val p = run("t8_mixture_sample").queryExecution.executedPlan.toString
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+  }
+}
