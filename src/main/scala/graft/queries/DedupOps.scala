@@ -32,11 +32,19 @@ object DedupOps extends QueryGroup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** (doc_id, sh: sorted distinct word-3-gram shingles, n). */
+  /** (doc_id, sh: sorted distinct word-3-gram shingles hashed to longs,
+    * n). Hashing each shingle ONCE here makes every downstream compare,
+    * shuffle and intersect operate on 8-byte longs instead of ~20-byte
+    * strings; numeric order is as valid a total order for prefix
+    * filtering as lexicographic (any total order is lossless), and a
+    * 64-bit collision across a corpus' shingle vocabulary is ~2⁻⁶⁴ per
+    * pair — far below the driver-measured float tolerance.
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      array_sort(shingles(split(col("text"), " "), 3)).as("sh"))
+      array_sort(transform(shingles(split(col("text"), " "), 3),
+        t => xxhash64(t))).as("sh"))
       .withColumn("n", size(col("sh")))
 
   // ---------------------------------------------------------------- D1
@@ -82,7 +90,10 @@ object DedupOps extends QueryGroup {
           col("a.n") >= col("b.n") * jaccardT &&
           col("b.n") >= col("a.n") * jaccardT)
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .distinct()
+      // NOTE no distinct() here: docs sharing several prefix tokens yield
+      // duplicate candidates (a few % — verification is idempotent), and
+      // deduping AFTER the ≥t filter shuffles hundreds of rows instead of
+      // the full candidate set
       val verified = cand
         .join(sh.select(col("doc_id").as("i"), col("sh").as("sha"),
           col("n").as("na")), "i")
@@ -95,6 +106,7 @@ object DedupOps extends QueryGroup {
         .filter(col("jaccard") >= jaccardT)
       verified.select(col("i"), col("j"),
         col("shared").cast(LongType).as("shared"), col("jaccard"))
+        .dropDuplicates("i", "j")
   }
 
   /** Shared oracle CTEs: shingle sets, token explode, sizes, pair
