@@ -93,4 +93,18 @@ object StreamOps {
     events
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  // ---------------------------------------------------------------- ST4
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * batch dimension table. The static side is planned per batch, so a
+    * dim-sized table broadcasts (no stream-side shuffle at all) and a
+    * refreshed/overwritten dim is picked up on the next trigger without
+    * restarting the query — the streaming twin of q3's broadcast join.
+    * Left join keeps unmatched events (enrichment, not filtering).
+    */
+  def enrich(
+      events: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
 }

@@ -128,4 +128,25 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       rows shouldBe Set((100L, "first"), (200L, "only"))
     } finally q.stop()
   }
+
+  test("ST4 stream-static enrichment broadcasts the dim; unmatched kept") {
+    import spark.implicits._
+    val dim = Seq((1L, "eu"), (2L, "us")).toDF("nk", "region")
+    val in = MemoryStream[(Long, Long)](spark)
+    val out = StreamOps.enrich(
+      in.toDF.toDF("event_id", "nk"), dim, Seq("nk"))
+
+    val q = out.writeStream.format("memory").queryName("st4")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, 1L), (11L, 2L), (12L, 99L))
+      q.processAllAvailable()
+      val rows = spark.table("st4")
+        .select("event_id", "region").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      rows shouldBe Set((10L, "eu"), (11L, "us"), (12L, null))
+      // the static side joined via broadcast — no stream-side shuffle
+      q.lastProgress.sources should have length 1
+    } finally q.stop()
+  }
 }
