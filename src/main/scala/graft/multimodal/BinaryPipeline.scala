@@ -129,4 +129,46 @@ object BinaryPipeline {
     */
   def metadataOnly(assets: DataFrame): DataFrame =
     assets.select("assetId", "kind", "width", "height", "durationMs", "codec")
+
+  // ------------------------------------------------------------- MM3
+
+  final case class AssetHash(assetId: Long, phash: Long)
+
+  /** Perceptual 64-bit hash computed in the SAME batch pass as the
+    * decode (never materializes features twice): bit i compares
+    * `feature[i mod dim]` against a per-tile threshold, so similar
+    * feature vectors flip few bits — the locality property a real pHash
+    * (DCT low-frequency signs) provides. Only the feature extraction is
+    * stubbed; the hash and everything downstream are real.
+    */
+  def phashes(assets: Dataset[MediaAsset],
+      batchSize: Int = 32): Dataset[AssetHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val f = StubDecoder.decode(a.data, salt = 0)
+          var h = 0L
+          var i = 0
+          while (i < 64) {
+            val thr = 0.35f + 0.1f * (i / StubDecoder.dim)
+            if (f(i % StubDecoder.dim) > thr) h |= (1L << i)
+            i += 1
+          }
+          AssetHash(a.assetId, h)
+        }
+      }
+    }
+  }
+
+  /** MM3: near-duplicate media pairs by perceptual hash — the multimodal
+    * face of the dedup stack. Candidate blocking + hamming verification
+    * reuse [[graft.operators.HammingNearDup]] (same operator as text
+    * simhash d4), so the 100 TB shape is identical: explode ×(maxHam+1)
+    * blocks, one equi-join shuffle, no all-pairs comparison.
+    */
+  def phashDedup(assets: Dataset[MediaAsset], maxHam: Int = 3,
+      batchSize: Int = 32): DataFrame =
+    graft.operators.HammingNearDup.pairs(
+      phashes(assets, batchSize).toDF(), "assetId", "phash", maxHam)
 }

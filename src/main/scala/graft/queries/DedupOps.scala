@@ -173,9 +173,10 @@ object DedupOps extends QueryGroup {
     None)
 
   // ---------------------------------------------------------------- D4
-  // SimHash over the shingle set; pigeonhole blocking: hamming ≤ 7 ⇒
-  // at least one of the 8 8-bit blocks matches exactly, so the candidate
-  // join is an equi-join on (block_id, block_value). Rows-only.
+  // SimHash over the shingle set; candidate generation + hamming verify
+  // delegate to [[graft.operators.HammingNearDup]] (pigeonhole blocking:
+  // hamming ≤ 7 ⇒ at least one of the 8 8-bit blocks matches exactly, so
+  // candidates come from an equi-join on (block, value)). Rows-only.
   //
   // The signature is computed by explode + 64 codegen'd conditional sums
   // (partial-agg friendly) rather than 64 HOF folds per row — identical
@@ -205,21 +206,9 @@ object DedupOps extends QueryGroup {
     "d4_dedup_simhash",
     (s, dir) => {
       val sig = simhashSigs(s, dir).cache()
-      val blocks = sig.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until shBlocks).map { b =>
-          shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(255L))
-        }: _*)))
-        .toDF("doc_id", "sig", "block", "v")
-      val cand = blocks.as("a").join(blocks.as("b"),
-        col("a.block") === col("b.block") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-          col("a.sig").as("sa"), col("b.sig").as("sb"))
-        .distinct()
-      cand
-        .withColumn("hamming", hamming64(col("sa"), col("sb")))
-        .filter(col("hamming") <= shMaxHam)
-        .select("i", "j", "hamming").orderBy("i", "j")
+      graft.operators.HammingNearDup
+        .pairs(sig, "doc_id", "sig", shMaxHam)
+        .orderBy("i", "j")
     },
     None)
 

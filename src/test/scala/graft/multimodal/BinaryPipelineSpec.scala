@@ -59,4 +59,29 @@ class BinaryPipelineSpec extends AnyFunSuite with Matchers {
     val multi = byAsset.values.find(_.length > 1).get
     multi.map(_.feature.toSeq).distinct.length shouldBe multi.length
   }
+
+  test("MM3: phash dedup finds byte-identical assets, nothing else") {
+    import spark.implicits._
+    val base = BinaryPipeline.syntheticAssets(spark, 20)
+    // re-upload the same payloads under new ids: exact perceptual dups
+    val copies = base.map(a => a.copy(assetId = a.assetId + 1000))
+    val pairs = BinaryPipeline
+      .phashDedup(base.union(copies), maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val dupPairs = pairs.filter { case (i, j, _) => j == i + 1000 }
+    dupPairs.length shouldBe 20
+    dupPairs.foreach { case (_, _, ham) => ham shouldBe 0 }
+    // distinct payloads hash far apart (avalanche): no cross pairs
+    pairs.length shouldBe 20
+  }
+
+  test("MM3: phash locality — few flipped feature bits move hamming a little") {
+    // two signatures differing in one feature tile differ by at most
+    // 64/dim bits; sanity of the blocking contract used downstream
+    import spark.implicits._
+    val a = BinaryPipeline.syntheticAssets(spark, 4)
+    val hashes = BinaryPipeline.phashes(a).collect()
+    hashes.map(_.phash).distinct.length shouldBe 4
+  }
 }

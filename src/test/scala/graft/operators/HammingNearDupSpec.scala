@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+class HammingNearDupSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  private def pairsOf(sigs: Seq[(Long, Long)], maxHam: Int) = {
+    import spark.implicits._
+    HammingNearDup.pairs(sigs.toDF("id", "sig"), "id", "sig", maxHam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("finds exactly the pairs within the hamming budget") {
+    val sigs = Seq(
+      1L -> 0x0000000000000000L,
+      2L -> 0x0000000000000007L, // ham 3 from id 1
+      3L -> 0x00000000000000FFL, // ham 8 from id 1, ham 5 from id 2
+      4L -> 0xFFFFFFFFFFFFFFFFL) // far from everything
+    pairsOf(sigs, 3) shouldBe Set((1L, 2L, 3L))
+    pairsOf(sigs, 5) shouldBe Set((1L, 2L, 3L), (2L, 3L, 5L))
+    pairsOf(sigs, 0) shouldBe Set.empty
+  }
+
+  test("blocking is lossless vs brute force on random signatures") {
+    val rnd = new scala.util.Random(42)
+    val sigs = (1L to 200L).map { i =>
+      // clustered signatures: low ids share a base pattern with few flips
+      val base = if (i % 4 == 0) 0x1234567890ABCDEFL else rnd.nextLong()
+      i -> (base ^ (1L << rnd.nextInt(64)))
+    }
+    val brute = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= 4
+    } yield (i, j, h.toLong)).toSet
+    pairsOf(sigs, 4) shouldBe brute
+  }
+
+  test("identical signatures pair at hamming 0 for any budget") {
+    val sigs = Seq(1L -> 42L, 2L -> 42L, 3L -> -1L)
+    pairsOf(sigs, 0) shouldBe Set((1L, 2L, 0L))
+  }
+}
