@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Set-similarity self-join: all pairs with Jaccard ≥ t, via PPJoin-style
+  * prefix filtering (Xiao/Wang/Lin/Yu, "Efficient similarity joins for
+  * near duplicate detection", WWW 2008): under ANY global total token
+  * order, J(x,y) ≥ t implies the first |x|−⌈t·|x|⌉+1 tokens of x and y
+  * share an element, so candidate generation is an equi-join on prefix
+  * tokens only — the O(n²) all-pairs join never materializes. Exact
+  * `array_intersect` verification filters false positives, so the result
+  * is EXACT for either ordering.
+  *
+  * Two orderings:
+  *  - default: the tokens' own (numeric) order — zero extra shuffles,
+  *    the prefix is a `slice` straight off the sorted token array.
+  *  - `dfOrdered = true`: ascending document frequency — two extra
+  *    shuffles (df count + per-doc re-rank), but prefix buckets hold the
+  *    RAREST tokens, which is the skew armor for Zipfian corpora where
+  *    a frequent token would otherwise form one giant join bucket. At
+  *    100 TB with natural-language shingles this is the ordering to run.
+  *
+  * @param toks (id, tokens) — tokens must be SORTED distinct longs
+  *             (hash tokens first; see DedupOps.shingled)
+  * @return (i, j, shared, jaccard) with i < j, jaccard ≥ t
+  */
+object JaccardNearDup {
+
+  def pairs(toks: DataFrame, idCol: String, toksCol: String,
+      t: Double, dfOrdered: Boolean = false): DataFrame = {
+    val sh = toks.select(col(idCol).as("doc_id"), col(toksCol).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .cache()
+    val prefLen = (col("n") - ceil(col("n") * t) + 1).cast("int")
+
+    val prefix =
+      if (!dfOrdered)
+        sh.select(col("doc_id"), col("n"),
+          explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
+      else {
+        // re-rank each doc's tokens by (global df asc, tok) and keep the
+        // prefix of RAREST tokens — same lossless bound, smallest buckets
+        val tok = sh.select(col("doc_id"), col("n"),
+          explode(col("sh")).as("tok"))
+        val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("tok"))
+        tok.join(df, "tok")
+          .withColumn("pos", row_number().over(w))
+          .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
+          .select("doc_id", "n", "tok")
+      }
+
+    val cand = prefix.as("a").join(prefix.as("b"),
+      col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        // length filter: J ≥ t ⇒ t·|y| ≤ |x| (and symmetric)
+        col("a.n") >= col("b.n") * t &&
+        col("b.n") >= col("a.n") * t)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    // duplicate candidates (several shared prefix tokens) are verified
+    // redundantly and deduped AFTER the ≥t filter, where rows are few
+    cand
+      .join(sh.select(col("doc_id").as("i"), col("sh").as("sha"),
+        col("n").as("na")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb"),
+        col("n").as("nb")), "j")
+      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= t)
+      .select(col("i"), col("j"),
+        col("shared").cast(LongType).as("shared"), col("jaccard"))
+      .dropDuplicates("i", "j")
+  }
+}

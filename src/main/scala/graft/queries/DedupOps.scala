@@ -70,44 +70,14 @@ object DedupOps extends QueryGroup {
   private val jaccardT = 0.8
 
   /** Verified near-dup pairs (i < j, Jaccard ≥ [[jaccardT]]) — shared by
-    * d2 (reported directly) and d6 (edge set for clustering).
+    * d2 (reported directly) and d6/d7 (edge set for clustering).
+    * Delegates to [[graft.operators.JaccardNearDup]] with the zero-shuffle
+    * token-order prefix (its `dfOrdered = true` variant is the skew armor
+    * for Zipfian corpora at scale — identical results, spec-verified).
     */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-      val sh = shingled(s, dir).cache()
-      // Global order = lexicographic (the arrays are already sorted), so
-      // the prefix is a zero-shuffle `slice` straight off the scan. Any
-      // total order is lossless for prefix filtering; switching to
-      // (doc-frequency asc, token) — one extra groupBy + rank pass — is
-      // the variant for corpora whose token frequencies are Zipfian
-      // enough that lexicographic buckets skew.
-      val prefLen = (col("n") - ceil(col("n") * jaccardT) + 1).cast("int")
-      val prefix = sh.select(col("doc_id"), col("n"),
-        explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
-      val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          // length filter: J ≥ t ⇒ t·|y| ≤ |x| (and symmetric)
-          col("a.n") >= col("b.n") * jaccardT &&
-          col("b.n") >= col("a.n") * jaccardT)
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      // NOTE no distinct() here: docs sharing several prefix tokens yield
-      // duplicate candidates (a few % — verification is idempotent), and
-      // deduping AFTER the ≥t filter shuffles hundreds of rows instead of
-      // the full candidate set
-      val verified = cand
-        .join(sh.select(col("doc_id").as("i"), col("sh").as("sha"),
-          col("n").as("na")), "i")
-        .join(sh.select(col("doc_id").as("j"), col("sh").as("shb"),
-          col("n").as("nb")), "j")
-        .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
-        .withColumn("jaccard",
-          col("shared").cast("double") /
-            (col("na") + col("nb") - col("shared")).cast("double"))
-        .filter(col("jaccard") >= jaccardT)
-      verified.select(col("i"), col("j"),
-        col("shared").cast(LongType).as("shared"), col("jaccard"))
-        .dropDuplicates("i", "j")
-  }
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.JaccardNearDup.pairs(
+      shingled(s, dir), "doc_id", "sh", jaccardT)
 
   /** Shared oracle CTEs: shingle sets, token explode, sizes, pair
     * overlap counts (the naive all-pairs twin of the prefix-filtered

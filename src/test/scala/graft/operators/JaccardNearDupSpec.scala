@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+class JaccardNearDupSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  private def toks(rows: (Long, Seq[Long])*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("id", "toks")
+      .select(col("id"), array_sort(col("toks")).as("toks"))
+  }
+
+  test("exact pairs at the threshold boundary") {
+    val df = toks(
+      1L -> Seq(1L, 2L, 3L, 4L, 5L),
+      2L -> Seq(1L, 2L, 3L, 4L, 6L), // J = 4/6 = 0.667
+      3L -> Seq(1L, 2L, 3L, 4L, 5L), // J = 1.0 with id 1
+      4L -> Seq(7L, 8L, 9L))
+    val out = JaccardNearDup.pairs(df, "id", "toks", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out shouldBe Set((1L, 3L))
+    val loose = JaccardNearDup.pairs(df, "id", "toks", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    loose shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+  }
+
+  test("df-ordered prefix returns IDENTICAL pairs to token-ordered " +
+    "on the real corpus") {
+    val sh = graft.sources.Tables
+      .load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"),
+        array_sort(transform(
+          graft.functions.HashFunctions.shingles(split(col("text"), " "), 3),
+          t => xxhash64(t))).as("sh"))
+    def collectPairs(dfOrdered: Boolean) =
+      JaccardNearDup.pairs(sh, "doc_id", "sh", 0.8, dfOrdered)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = collectPairs(dfOrdered = false)
+    val byDf = collectPairs(dfOrdered = true)
+    byDf shouldBe plain
+    plain should not be empty
+  }
+
+  test("candidate join is an equi-join, never cartesian (both orderings)") {
+    val df = toks(1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 2L, 4L))
+    Seq(false, true).foreach { ord =>
+      val p = JaccardNearDup.pairs(df, "id", "toks", 0.8, ord)
+        .queryExecution.executedPlan.toString
+      p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoopJoin"
+    }
+  }
+}
