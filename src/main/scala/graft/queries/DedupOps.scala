@@ -112,15 +112,26 @@ object DedupOps extends QueryGroup {
   // MinHash (k=64) + LSH banding (16 bands × 4 rows): candidate pairs
   // share ≥ 1 band key; similarity estimated from signature agreement.
   // Rows-only: xxhash64 has no DuckDB twin.
+  //
+  // The k min-hashes are computed by explode + 64 codegen'd min
+  // aggregates (the same trick as simhashSigs): partial-agg friendly
+  // and no boxed HOF folds — the per-row `array_min(transform(...))`
+  // formulation stays available as HashFunctions.minhashSignature.
   private val mhK = 64
   private val mhBands = 16
   private val mhRows = 4
   private val d3 = QueryDef(
     "d3_dedup_minhash_lsh",
     (s, dir) => {
-      val sig = shingled(s, dir)
+      // shingles are already hashed longs; permutation i = xxhash64(i, h)
+      val tok = shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+      val sig = tok.groupBy("doc_id")
+        .agg(min(xxhash64(lit(0), col("h"))).as("m0"),
+          (1 until mhK).map(i =>
+            min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
         .select(col("doc_id"),
-          minhashSignature(col("sh"), mhK).as("sig"))
+          array((0 until mhK).map(i => col(s"m$i")): _*).as("sig"))
         .cache()
       val bands = sig.select(col("doc_id"),
         posexplode(bandKeys(col("sig"), mhBands, mhRows)))
