@@ -17,26 +17,30 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      // steady-state measurement: one untimed warmup (codegen compile,
-      // JIT, page cache), then the timed run; caches cleared so queries
-      // don't interfere with each other
-      try once() catch { case _: Throwable => () }
-      // drop the warmup's cached/checkpointed blocks BEFORE timing — for
-      // iterative queries they otherwise pile into the timed run's memory
-      // budget and show up as GC, not as the query's real cost
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      val t0 = System.nanoTime()
-      try once()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      // drop cached/checkpointed blocks between runs — queries must not
+      // interfere, and a prior run's blocks otherwise pile into the next
+      // run's memory budget and show up as GC, not as the query's cost
+      def clear(): Unit = {
+        spark.catalog.clearCache()
+        // localCheckpoint blocks (d6/d7) are not catalog-cached
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      // localCheckpoint blocks (d6) are not catalog-cached; drop them too
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // steady-state measurement: one untimed warmup (codegen compile,
+      // JIT, page cache), then TWO timed runs keeping the min — a single
+      // host stall (GC pause, CPU steal) otherwise poisons the round's
+      // number for one query by 5-10× (observed twice on d7)
+      try once() catch { case _: Throwable => () }
+      val dt = (0 until 2).map { _ =>
+        clear()
+        val t0 = System.nanoTime()
+        try once()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      clear()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -79,6 +79,8 @@ object ConnectedComponents {
       converged = jumped.filter(col("chg")).isEmpty
       labels = jumped.select("id", "component")
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter done at ${System.nanoTime()}")
     }
     if (!converged)
       throw new IllegalStateException(
