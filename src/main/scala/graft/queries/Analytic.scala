@@ -431,7 +431,34 @@ object Analytic extends QueryGroup {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY returnflag, linestatus, g_flag""".stripMargin))
 
+  // --------------------------------------------------------------- Q34
+  // Window navigation + distribution functions (lead / first_value /
+  // percent_rank / cume_dist) in one per-key windowed pass — one shuffle
+  // on the partition key, all four functions share the same sort.
+  private val q34 = QueryDef(
+    "q34_window_shift",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first_value(col("o_totalprice")).over(w).as("first_price"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd
+      |FROM orders
+      |WHERE o_custkey <= 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33)
+      q29, q30, q31, q32, q33, q34)
 }

@@ -107,4 +107,31 @@ object StreamOps {
       dim: DataFrame,
       keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
+
+  // ---------------------------------------------------------------- ST5
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the same key whose time falls in `[leftTs, leftTs +
+    * within]` (attribution: purchases within N of a view). BOTH sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * which is exactly what lets Spark EVICT join state: a buffered row
+    * is dropped once the other side's watermark passes its interval, so
+    * state is O(events per `within` window), not O(stream history).
+    *
+    * `key` must be named identically on both sides; `leftTs`/`rightTs`
+    * must differ (they stay in the output for downstream windowing).
+    */
+  def intervalJoin(
+      left: DataFrame, leftTs: String, leftDelay: String,
+      right: DataFrame, rightTs: String, rightDelay: String,
+      key: String, within: String): DataFrame = {
+    require(leftTs != rightTs,
+      s"leftTs and rightTs must be distinct column names, both are '$leftTs'")
+    val l = left.withWatermark(leftTs, leftDelay).alias("l")
+    val r = right.withWatermark(rightTs, rightDelay).alias("r")
+    l.join(r, expr(
+      s"""l.$key = r.$key AND
+         |r.$rightTs >= l.$leftTs AND
+         |r.$rightTs <= l.$leftTs + INTERVAL '$within'""".stripMargin))
+      .drop(r(key))
+  }
 }

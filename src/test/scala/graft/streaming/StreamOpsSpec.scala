@@ -149,4 +149,31 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       q.lastProgress.sources should have length 1
     } finally q.stop()
   }
+
+  test("ST5 stream-stream interval join pairs within the window only") {
+    import spark.implicits._
+    val views = MemoryStream[(Long, Timestamp)](spark)
+    val buys = MemoryStream[(Long, Timestamp)](spark)
+    val out = StreamOps.intervalJoin(
+      views.toDF.toDF("user", "vts"), "vts", "5 seconds",
+      buys.toDF.toDF("user", "bts"), "bts", "5 seconds",
+      key = "user", within = "10 seconds")
+
+    val q = out.writeStream.format("memory").queryName("st5")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, ts(100)), (2L, ts(100)))
+      buys.addData(
+        (1L, ts(105)), // within 10s of view → joined
+        (1L, ts(150)), // far after → not joined
+        (2L, ts(95))) // before the view → not joined
+      q.processAllAvailable()
+      val rows = spark.table("st5")
+        .select(col("user"), col("vts").cast("long"), col("bts").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      rows shouldBe Set((1L, 100L, 105L))
+      // state eviction contract: both sides watermarked
+      q.lastProgress.eventTime should not be null
+    } finally q.stop()
+  }
 }
