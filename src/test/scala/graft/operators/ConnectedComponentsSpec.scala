@@ -43,4 +43,29 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
     an[IllegalStateException] should be thrownBy
       labelsOf(nodes, edges, maxIter = 2)
   }
+
+  test("singletons never enter the iteration (edge-restricted loop)") {
+    // one tiny component + many isolated nodes: rounds operate on the
+    // 3 edge nodes only — the contract that makes CC corpus-scale-free
+    import spark.implicits._
+    val nodes = (0L until 5000L).toDF("id")
+    val edges = Seq((4997L, 4998L), (4998L, 4999L)).toDF("src", "dst")
+    val out = ConnectedComponents.run(nodes, edges)
+    out.count() shouldBe 5000
+    out.filter(org.apache.spark.sql.functions.col("id") >= 4997L)
+      .collect().map(_.getLong(1)).toSet shouldBe Set(4997L)
+    // spot-check singleton self-labels
+    out.filter(org.apache.spark.sql.functions.col("id") === 123L)
+      .collect()(0).getLong(1) shouldBe 123L
+  }
+
+  test("a 20k-node chain converges within the O(log diameter) budget") {
+    // diameter 20000: plain min-propagation needs ~20000 rounds;
+    // pointer jumping must land well under 2·log2(20000) ≈ 29
+    val nodes = (0L until 20000L)
+    val edges = (0L until 19999L).map(i => (i, i + 1))
+    val labels = labelsOf(nodes, edges, maxIter = 29)
+    labels.values.toSet shouldBe Set(0L)
+    labels.size shouldBe 20000
+  }
 }
