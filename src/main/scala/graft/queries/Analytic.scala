@@ -458,7 +458,37 @@ object Analytic extends QueryGroup {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  // --------------------------------------------------------------- Q35
+  // Array construction + manipulation per group: collect_list under a
+  // deterministic sort, then element/slice/predicate ops. Outputs stay
+  // SCALAR (first/last/size/contains) — array-valued result columns
+  // would hash differently between the engines' client stacks even when
+  // equal (the HUGEINT lesson), while in-plan arrays are fully portable.
+  private val q35 = QueryDef(
+    "q35_array_ops",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 500)
+        .groupBy(col("o_custkey"))
+        .agg(array_sort(collect_list(col("o_orderkey"))).as("keys"))
+        .select(col("o_custkey"),
+          size(col("keys")).cast("long").as("n_orders"),
+          element_at(col("keys"), 1).as("first_key"),
+          element_at(col("keys"), -1).as("last_key"),
+          array_contains(col("keys"), col("o_custkey") * 100)
+            .as("has_centennial"))
+        .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey,
+      |  CAST(len(keys) AS BIGINT) AS n_orders,
+      |  keys[1] AS first_key,
+      |  keys[-1] AS last_key,
+      |  list_contains(keys, o_custkey * 100) AS has_centennial
+      |FROM (
+      |  SELECT o_custkey, list_sort(list(o_orderkey)) AS keys
+      |  FROM orders WHERE o_custkey <= 500 GROUP BY o_custkey
+      |) ORDER BY o_custkey""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34)
+      q29, q30, q31, q32, q33, q34, q35)
 }
