@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.Analytic,
     graft.queries.TextOps,
     graft.queries.DedupOps,
-    graft.queries.SimilarityOps)
+    graft.queries.SimilarityOps,
+    graft.queries.PipelineOps)
 
   def all: Seq[QueryDef] = groups.flatMap(_.queries)
 

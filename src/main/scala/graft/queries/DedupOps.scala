@@ -273,18 +273,23 @@ object DedupOps extends QueryGroup {
   // The end product of the dedup pipeline: the corpus with every
   // near-dup cluster collapsed to its keeper (min doc_id per component).
   // Output is the kept documents only — what a training run would read.
-  private val d7 = QueryDef(
-    "d7_dedup_apply",
-    (s, dir) => {
-      val edges = jaccardPairs(s, dir)
-        .select(col("i").as("src"), col("j").as("dst"))
-      val nodes = docs(s, dir).select(col("doc_id").as("id"))
-      graft.operators.ConnectedComponents.run(nodes, edges)
-        .filter(col("id") === col("component")) // keepers label themselves
-        .select(col("id").as("doc_id"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE $pairCtes,
+  /** Kept doc_ids after near-dup collapse (min id per Jaccard cluster,
+    * singletons kept) — d7's body, shared with the composed pipeline p1.
+    */
+  private[queries] def keeperIds(s: SparkSession, dir: String): DataFrame = {
+    val edges = jaccardPairs(s, dir)
+      .select(col("i").as("src"), col("j").as("dst"))
+    val nodes = docs(s, dir).select(col("doc_id").as("id"))
+    graft.operators.ConnectedComponents.run(nodes, edges)
+      .filter(col("id") === col("component")) // keepers label themselves
+      .select(col("id").as("doc_id"))
+  }
+
+  /** The oracle CTE block computing keeper ids (recursive CC), shared
+    * with p1's oracle. Expects to be spliced after WITH RECURSIVE.
+    */
+  private[queries] val keeperCtes: String =
+    s"""$pairCtes,
        |good AS (
        |  SELECT i, j FROM pairs
        |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
@@ -296,10 +301,17 @@ object DedupOps extends QueryGroup {
        |  SELECT doc_id AS node, doc_id AS lab FROM documents
        |  UNION
        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
-       |)
-       |SELECT node AS doc_id FROM reach
-       |GROUP BY node HAVING node = MIN(lab)
-       |ORDER BY doc_id""".stripMargin))
+       |),
+       |keepers AS (
+       |  SELECT node AS doc_id FROM reach
+       |  GROUP BY node HAVING node = MIN(lab)
+       |)""".stripMargin
+
+  private val d7 = QueryDef(
+    "d7_dedup_apply",
+    (s, dir) => keeperIds(s, dir).orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $keeperCtes
+       |SELECT doc_id FROM keepers ORDER BY doc_id""".stripMargin))
 
   override val queries: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7)
 }

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.HashFunctions.shingles
+import graft.sources.Tables
+
+/** The composed training-data pipeline (P1): what a user actually runs
+  * before a training job — every stage is one of the already-verified
+  * operators, composed as a SINGLE lazy DataFrame plan:
+  *
+  *   near-dup collapse (d7 keepers) → benchmark holdout + 4-gram
+  *   decontamination (t6) → quality filter (t2's keep rule) → exact
+  *   per-source mixture sampling (t8)
+  *
+  * Because the whole pipeline is one plan, Catalyst sees it whole:
+  * stage filters combine and push toward the scans, the holdout/quality
+  * predicates prune before any join, and the only corpus-wide shuffles
+  * are the ones each stage needs anyway (dedup's prefix join, the final
+  * per-source window). The DuckDB oracle chains the SAME stage CTEs, so
+  * the end-to-end composition — not just each stage — is hash-verified.
+  */
+object PipelineOps extends QueryGroup {
+
+  private val p1 = QueryDef(
+    "p1_training_corpus",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val keep = DedupOps.keeperIds(s, dir)
+      val grams = d.select(col("doc_id"),
+        explode(shingles(TextOps.words(col("text")), TextOps.contamN))
+          .as("g"))
+      val bench = grams.filter(col("doc_id") % TextOps.benchMod === 0)
+        .select("g").distinct()
+      val contaminated = grams
+        .filter(col("doc_id") % TextOps.benchMod =!= 0)
+        .join(broadcast(bench), "g")
+        .select("doc_id").distinct()
+      val eligible = d
+        .filter(col("doc_id") % TextOps.benchMod =!= 0) // eval holdout out
+        .filter(TextOps.qualityOk(col("text")))
+        .join(keep, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select("source", "doc_id")
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val w = Window.partitionBy(col("source"))
+      eligible
+        .withColumn("frac", when(srcNum % 2 === 0, 0.2).otherwise(0.6))
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("doc_id"))).cast(LongType))
+        .withColumn("n_src", count(lit(1)).over(w))
+        .filter(col("rn") <= ceil(col("frac") * col("n_src")))
+        .select("source", "doc_id", "rn")
+        .orderBy("source", "rn")
+    },
+    Some(s"""WITH RECURSIVE ${DedupOps.keeperCtes},
+       |w4 AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+       |g4 AS (SELECT doc_id,
+       |  unnest(list_distinct([list_aggregate(words[i:i+${TextOps.contamN - 1}],'string_agg',' ')
+       |                        for i in range(1, len(words)-${TextOps.contamN - 2})])) AS g
+       |  FROM w4),
+       |bench AS (SELECT DISTINCT g FROM g4 WHERE doc_id % ${TextOps.benchMod} = 0),
+       |contam AS (SELECT DISTINCT g4.doc_id FROM g4 JOIN bench USING(g)
+       |           WHERE doc_id % ${TextOps.benchMod} <> 0),
+       |eligible AS (
+       |  SELECT d.source, d.doc_id FROM documents d
+       |  JOIN keepers k ON k.doc_id = d.doc_id
+       |  WHERE d.doc_id % ${TextOps.benchMod} <> 0
+       |    AND ${TextOps.qualityOkSql("d.text")}
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+       |),
+       |sampled AS (
+       |  SELECT source, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS n_src,
+       |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+       |         THEN 0.2 ELSE 0.6 END AS frac
+       |  FROM eligible
+       |)
+       |SELECT source, doc_id, rn FROM sampled
+       |WHERE rn <= CEIL(frac * n_src)
+       |ORDER BY source, rn""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(p1)
+}

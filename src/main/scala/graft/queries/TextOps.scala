@@ -33,7 +33,25 @@ object TextOps extends QueryGroup {
     "fr" -> Seq("join", "sort", "hash"),
     "zh" -> Seq("table", "scan", "key"))
 
-  private def words(c: Column): Column = split(c, " ")
+  private[queries] def words(c: Column): Column = split(c, " ")
+
+  /** t2's keep-rule as a predicate on `text` — shared with pipeline p1:
+    * long enough and not stopword-stuffed ("ok" bucket).
+    */
+  private[queries] def qualityOk(text: Column): Column = {
+    val w = words(text)
+    val nWords = size(w).cast(LongType)
+    val nStop = hitCount(w, Seq("the", "a", "of"))
+    val stopRatio = nStop.cast("double") / nWords.cast("double")
+    nWords >= 20 && stopRatio <= 0.15
+  }
+
+  /** The same rule in DuckDB SQL (predicate over a `text` column). */
+  private[queries] def qualityOkSql(text: String): String = {
+    val n = s"len(string_split($text,' '))"
+    val stop = s"len(list_filter(string_split($text,' '), x -> x IN ('the', 'a', 'of')))"
+    s"($n >= 20 AND CAST($stop AS DOUBLE) / CAST($n AS DOUBLE) <= 0.15)"
+  }
 
   /** #tokens of `w` that appear in `set` (with multiplicity). */
   private def hitCount(w: Column, set: Seq[String]): Column =
@@ -207,8 +225,8 @@ object TextOps extends QueryGroup {
   // eval-suite-sized — fixed, tiny relative to any corpus — so it is
   // BROADCAST and the corpus side never shuffles: contamination checking
   // at 100 TB runs at scan speed, then a per-doc count aggregation.
-  private val contamN = 4
-  private val benchMod = 97
+  private[queries] val contamN = 4
+  private[queries] val benchMod = 97
   private val t6 = QueryDef(
     "t6_decontaminate",
     (s, dir) => {
