@@ -57,4 +57,20 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     val p = run("t8_mixture_sample").queryExecution.executedPlan.toString
     p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
   }
+
+  test("p1: composed pipeline keeps stage contracts — no cartesian, " +
+    "benchmark grams broadcast, holdout filter pushed to a scan") {
+    val df = run("p1_training_corpus")
+    val p = df.queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin")
+    // result invariants: no benchmark doc, quotas respected per source
+    val rows = df.cache()
+    rows.filter(col("doc_id") % 97 === 0).count() shouldBe 0
+    val bad = rows.groupBy("source")
+      .agg(count(lit(1)).as("k"), max("rn").as("m"))
+      .filter(col("k") =!= col("m")).count()
+    bad shouldBe 0 // ranks contiguous 1..k within every source
+    rows.unpersist()
+  }
 }
