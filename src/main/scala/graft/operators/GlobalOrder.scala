@@ -37,4 +37,39 @@ object GlobalOrder {
     spark.createDataFrame(indexed,
       sorted.schema.add(outCol, LongType, nullable = false))
   }
+
+  /** Append the INCLUSIVE running sum of `valueCol` (a long column) in
+    * `sortCols` order as `outCol` — the distributed prefix sum. Same
+    * two-job shape as [[withGlobalRank]]: per-partition sums are
+    * collected (one long per partition), their cumulative offsets are
+    * broadcast back, and each partition adds its offset to a local
+    * running sum. Equivalent to `SUM(v) OVER (ORDER BY ... ROWS
+    * UNBOUNDED PRECEDING)` but with no single-partition window wall.
+    */
+  def withGlobalCumSum(df: DataFrame, sortCols: Seq[Column],
+      valueCol: String, outCol: String = "cumsum"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    // job 1: one long per partition (the shuffle files are then reused)
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator(pid -> s)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = sum before pid
+    val bcast = spark.sparkContext.broadcast(offsets)
+    // job 2: partition-local running sum + broadcast offset
+    val summed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bcast.value(pid)
+      it.map { r =>
+        run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    spark.createDataFrame(summed,
+      sorted.schema.add(outCol, LongType, nullable = false))
+  }
 }

@@ -322,5 +322,45 @@ object TextOps extends QueryGroup {
        |) WHERE rn <= CEIL(frac * n_src)
        |ORDER BY source, rn""".stripMargin))
 
-  override val queries: Seq[QueryDef] = Seq(t1, t2, t3, t4, t5, t6, t7, t8)
+  // ---------------------------------------------------------------- T9
+  // Sequence packing: assign documents (in deterministic doc_id order)
+  // to fixed-token-budget training packs — pack id = ⌊tokens-before /
+  // budget⌋, offset = tokens-before − pack·budget (documents straddling
+  // a boundary start the next pack's worth of overflow, the standard
+  // concat-then-chunk layout). The running token count comes from
+  // GlobalOrder.withGlobalCumSum — a distributed prefix sum, NOT an
+  // unpartitioned window — so packing 100 TB never funnels through one
+  // executor. Oracle: DuckDB's running-sum window is the single-node
+  // twin of the same arithmetic.
+  private val packBudget = 512L
+  private val t9 = QueryDef(
+    "t9_sequence_pack",
+    (s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("n_tokens"))
+      val summed = graft.operators.GlobalOrder.withGlobalCumSum(
+        toks, Seq(col("doc_id")), "n_tokens", "cum_tokens")
+      summed
+        .withColumn("tokens_before", col("cum_tokens") - col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("tokens_before") / packBudget).cast(LongType).as("pack_id"),
+          (col("tokens_before") % packBudget).as("pack_offset"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, n_tokens,
+       |  CAST(FLOOR(tokens_before / $packBudget) AS BIGINT) AS pack_id,
+       |  tokens_before % $packBudget AS pack_offset
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - n_tokens AS tokens_before
+       |  FROM (
+       |    SELECT doc_id, len(string_split(text,' ')) AS n_tokens
+       |    FROM documents
+       |  )
+       |) ORDER BY doc_id""".stripMargin))
+
+  override val queries: Seq[QueryDef] =
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9)
 }

@@ -40,6 +40,20 @@ class GlobalOrderSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset(key)
   }
 
+  test("withGlobalCumSum equals the single-partition window running sum") {
+    val df = spark.range(0, 5000).select(
+      (col("id") * 2654435761L % 5000).as("key"), col("id"),
+      (col("id") % 97 + 1).as("v"))
+    val viaOp = GlobalOrder
+      .withGlobalCumSum(df, Seq(col("key"), col("id")), "v", "cs")
+      .select(col("id"), col("cs"))
+    val w = Window.orderBy(col("key"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = df.select(col("id"), sum("v").over(w).as("cs"))
+    viaOp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      viaWindow.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
   test("q23 formula matches window ntile on the real table") {
     val dir = TestSpark.sfDir
     val viaQuery = graft.SparkEntry.queries("q23_percentiles")(spark, dir)
