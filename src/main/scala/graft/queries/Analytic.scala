@@ -488,7 +488,45 @@ object Analytic extends QueryGroup {
       |  FROM orders WHERE o_custkey <= 500 GROUP BY o_custkey
       |) ORDER BY o_custkey""".stripMargin))
 
+  // --------------------------------------------------------------- Q36
+  // Edit-distance similarity between consecutive documents of a source
+  // (lag window pairing keeps it O(n) pairs — never all-pairs). Both
+  // engines implement the same classic Levenshtein, so the distances
+  // and the derived similarity ratio are integer/double exact.
+  private val q36 = QueryDef(
+    "q36_edit_distance",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+        .withColumn("prev_id", lag(col("doc_id"), 1).over(w))
+        .withColumn("prev_len",
+          length(lag(col("text"), 1).over(w)).cast("long"))
+        .withColumn("lev",
+          levenshtein(col("text"), lag(col("text"), 1).over(w)).cast("long"))
+        // all window expressions are materialized ABOVE this filter — a
+        // window recomputed after the filter would see the pruned frame
+        .filter(col("prev_id").isNotNull)
+        .select(col("source"), col("prev_id"), col("doc_id"), col("lev"),
+          (lit(1.0) - col("lev").cast("double") /
+            greatest(length(col("text")), col("prev_len")).cast("double"))
+            .as("similarity"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""SELECT source, prev_id, doc_id, lev,
+      |  1.0 - CAST(lev AS DOUBLE) / CAST(greatest(length(text), length(prev_text)) AS DOUBLE) AS similarity
+      |FROM (
+      |  SELECT source, doc_id, text,
+      |    LAG(doc_id) OVER w AS prev_id,
+      |    LAG(text) OVER w AS prev_text,
+      |    CAST(levenshtein(text, LAG(text) OVER w) AS BIGINT) AS lev
+      |  FROM documents
+      |  WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+      |)
+      |WHERE prev_id IS NOT NULL
+      |ORDER BY source, doc_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34, q35)
+      q29, q30, q31, q32, q33, q34, q35, q36)
 }
