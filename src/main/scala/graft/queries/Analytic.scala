@@ -490,9 +490,13 @@ object Analytic extends QueryGroup {
 
   // --------------------------------------------------------------- Q36
   // Edit-distance similarity between consecutive documents of a source
-  // (lag window pairing keeps it O(n) pairs — never all-pairs). Both
-  // engines implement the same classic Levenshtein, so the distances
-  // and the derived similarity ratio are integer/double exact.
+  // (lag window pairing keeps it O(n) pairs — never all-pairs), with
+  // Spark's THRESHOLDED levenshtein: beyond `levT` edits the exact
+  // distance is useless for near-dup work, and the banded DP costs
+  // O(k·n) instead of O(n²) per pair — the bound that keeps edit
+  // distance affordable over long documents. Capped pairs report
+  // lev = -1, similarity NULL (both engines via the same CASE).
+  private val levT = 150
   private val q36 = QueryDef(
     "q36_edit_distance",
     (s, dir) => {
@@ -503,23 +507,28 @@ object Analytic extends QueryGroup {
         .withColumn("prev_len",
           length(lag(col("text"), 1).over(w)).cast("long"))
         .withColumn("lev",
-          levenshtein(col("text"), lag(col("text"), 1).over(w)).cast("long"))
+          levenshtein(col("text"), lag(col("text"), 1).over(w), levT)
+            .cast("long"))
         // all window expressions are materialized ABOVE this filter — a
         // window recomputed after the filter would see the pruned frame
         .filter(col("prev_id").isNotNull)
         .select(col("source"), col("prev_id"), col("doc_id"), col("lev"),
-          (lit(1.0) - col("lev").cast("double") /
-            greatest(length(col("text")), col("prev_len")).cast("double"))
+          when(col("lev") >= 0,
+            lit(1.0) - col("lev").cast("double") /
+              greatest(length(col("text")), col("prev_len")).cast("double"))
             .as("similarity"))
         .orderBy(col("source"), col("doc_id"))
     },
-    Some("""SELECT source, prev_id, doc_id, lev,
-      |  1.0 - CAST(lev AS DOUBLE) / CAST(greatest(length(text), length(prev_text)) AS DOUBLE) AS similarity
+    Some(s"""SELECT source, prev_id, doc_id,
+      |  CASE WHEN lev_raw > $levT THEN -1 ELSE lev_raw END AS lev,
+      |  CASE WHEN lev_raw > $levT THEN NULL
+      |       ELSE 1.0 - CAST(lev_raw AS DOUBLE) / CAST(greatest(length(text), length(prev_text)) AS DOUBLE)
+      |  END AS similarity
       |FROM (
       |  SELECT source, doc_id, text,
       |    LAG(doc_id) OVER w AS prev_id,
       |    LAG(text) OVER w AS prev_text,
-      |    CAST(levenshtein(text, LAG(text) OVER w) AS BIGINT) AS lev
+      |    CAST(levenshtein(text, LAG(text) OVER w) AS BIGINT) AS lev_raw
       |  FROM documents
       |  WINDOW w AS (PARTITION BY source ORDER BY doc_id)
       |)
