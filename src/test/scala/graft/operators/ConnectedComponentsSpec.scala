@@ -59,6 +59,31 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
       .collect()(0).getLong(1) shouldBe 123L
   }
 
+  test("random graphs match a union-find reference") {
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val n = 150
+      val nodes = (0L until n.toLong)
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(i => i -> {
+        // component representative = min node id in the component
+        nodes.filter(j => find(j.toInt) == find(i.toInt)).min
+      }).toMap
+      withClue(s"trial $trial: ") {
+        labelsOf(nodes, edges) shouldBe expected
+      }
+    }
+  }
+
   test("a 20k-node chain converges within the O(log diameter) budget") {
     // diameter 20000: plain min-propagation needs ~20000 rounds;
     // pointer jumping must land well under 2·log2(20000) ≈ 29

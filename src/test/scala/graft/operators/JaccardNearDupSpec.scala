@@ -48,6 +48,28 @@ class JaccardNearDupSpec extends AnyFunSuite with Matchers {
     plain should not be empty
   }
 
+  test("operator equals brute-force Jaccard on random corpora " +
+    "(both orderings, several thresholds)") {
+    val rnd = new scala.util.Random(7)
+    // random small token sets over a small vocab → plenty of near-dups
+    val corpus = (1L to 120L).map { id =>
+      val size = 5 + rnd.nextInt(15)
+      id -> Seq.fill(size)(rnd.nextInt(40).toLong + 1000L).distinct
+    }
+    val brute = (t: Double) => (for {
+      (i, si) <- corpus; (j, sj) <- corpus if i < j
+      inter = si.toSet.intersect(sj.toSet).size
+      jac = inter.toDouble / (si.toSet.size + sj.toSet.size - inter)
+      if jac >= t
+    } yield (i, j, inter.toLong)).toSet
+    val df = toks(corpus: _*)
+    for (t <- Seq(0.5, 0.8); ord <- Seq(false, true)) {
+      val got = JaccardNearDup.pairs(df, "id", "toks", t, ord)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      withClue(s"t=$t dfOrdered=$ord: ") { got shouldBe brute(t) }
+    }
+  }
+
   test("candidate join is an equi-join, never cartesian (both orderings)") {
     val df = toks(1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 2L, 4L))
     Seq(false, true).foreach { ord =>
