@@ -75,6 +75,34 @@ class BulkCopySpec extends AnyFunSuite with Matchers {
       (4L, "d", 40))
   }
 
+  test("incrementalCopy appends only past the high watermark, " +
+    "bootstraps an absent target, and pushes the range filter down") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_incr_t")
+    val batch1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("ts", "v")
+    BulkCopy.incrementalCopy(spark, batch1, "graft_incr_t", "ts") shouldBe 3
+
+    // overlapping re-sync: only ts > 3 rows are new
+    val batch2 = Seq((2L, "dup"), (3L, "dup"), (4L, "d"), (5L, "e"))
+      .toDF("ts", "v")
+    BulkCopy.incrementalCopy(spark, batch2, "graft_incr_t", "ts") shouldBe 2
+    spark.table("graft_incr_t").count() shouldBe 5
+    spark.table("graft_incr_t").filter(col("v") === "dup").count() shouldBe 0
+
+    // idempotent: nothing new → nothing appended
+    BulkCopy.incrementalCopy(spark, batch2, "graft_incr_t", "ts") shouldBe 0
+
+    // the delta predicate reaches the source scan when reading files
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-incr-src").toString
+    batch2.write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val hwm = spark.table("graft_incr_t").agg(max("ts")).collect()(0).getLong(0)
+    val plan = src.filter(col("ts") > hwm)
+      .queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [IsNotNull(ts), GreaterThan(ts")
+  }
+
   test("copyTable table-to-table with append mode") {
     spark.sql("DROP TABLE IF EXISTS graft_copy_src")
     spark.sql("DROP TABLE IF EXISTS graft_copy_dst")
