@@ -27,11 +27,12 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
       }
       // steady-state measurement: one untimed warmup (codegen compile,
-      // JIT, page cache), then TWO timed runs keeping the min — a single
-      // host stall (GC pause, CPU steal) otherwise poisons the round's
-      // number for one query by 5-10× (observed twice on d7)
-      try once() catch { case _: Throwable => () }
-      val dt = (0 until 2).map { _ =>
+      // JIT, page cache), then a timed run; queries over 1 s get a
+      // second timed run and report the min — a single host stall (GC
+      // pause, CPU steal) poisoned a multi-second query's number by
+      // 5-10× twice, while sub-second queries are stable and re-timing
+      // all of them would double the bench's wall time
+      def timed(): Double = {
         clear()
         val t0 = System.nanoTime()
         try once()
@@ -39,7 +40,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
+      try once() catch { case _: Throwable => () }
+      val dt1 = timed()
+      val dt = if (dt1 > 1.0) math.min(dt1, timed()) else dt1
       clear()
       name -> dt
     }
