@@ -361,6 +361,31 @@ object TextOps extends QueryGroup {
        |  )
        |) ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- T10
+  // Deterministic train/val/test splitting by content-independent hash
+  // bucket: md5(doc_id) → 256 buckets via the first two hex chars →
+  // ~90/5/5 ranges. Pure per-row projection (no shuffle, no RNG state,
+  // reproducible across engines/runs/cluster sizes — the property a
+  // held-out split must have). Hex-string range compare avoids any
+  // engine-specific hex→int parsing.
+  private val t10 = QueryDef(
+    "t10_hash_split",
+    (s, dir) => {
+      val bucket = substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      docs(s, dir)
+        .select(col("doc_id"),
+          when(bucket < "e6", "train") // 230/256 ≈ 89.8%
+            .when(bucket < "f3", "val") // 13/256 ≈ 5.1%
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+       |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'train'
+       |       WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'f3' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10)
 }
