@@ -535,7 +535,27 @@ object Analytic extends QueryGroup {
       |WHERE prev_id IS NOT NULL
       |ORDER BY source, doc_id""".stripMargin))
 
+  // --------------------------------------------------------------- Q37
+  // Sketch-based percentiles (Greenwald-Khanna via approx_percentile):
+  // the 100 TB path for q23's exact quantiles — single partial-agg pass,
+  // mergeable fixed-size sketch per group, no global sort. Rows-only
+  // (sketch internals differ per engine); the rank-error bound vs the
+  // exact quantiles is asserted in ApproxSpec.
+  private val q37 = QueryDef(
+    "q37_approx_percentiles",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(5000))
+            .as("p50"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(5000))
+            .as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+    None)
+
   override val queries: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34, q35, q36)
+      q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }

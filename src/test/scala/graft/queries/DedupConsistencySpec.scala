@@ -62,6 +62,24 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q37 sketch percentiles stay within the GK rank-error bound") {
+    val rows = run("q37_approx_percentiles").collect()
+    rows should not be empty
+    val o = graft.sources.Tables.load(spark, TestSpark.sfDir, "orders")
+    rows.foreach { r =>
+      val (prio, p50, p90, n) =
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+      val grp = o.filter(
+        org.apache.spark.sql.functions.col("o_orderpriority") === prio)
+        .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+      // accuracy=5000 promises rank error ≤ n/5000; use a 2× margin
+      val tol = math.max(1, (2.0 * n / 5000).ceil.toInt)
+      def rankOf(v: Double): Int = grp.count(_ <= v)
+      math.abs(rankOf(p50) - 0.5 * n) should be <= (tol + 1).toDouble * 2
+      math.abs(rankOf(p90) - 0.9 * n) should be <= (tol + 1).toDouble * 2
+    }
+  }
+
   test("d7 keeps exactly one document per cluster (keeper set)") {
     val kept = run("d7_dedup_apply").collect().map(_.getLong(0)).toSet
     val cluster = run("d6_dedup_clusters").select("doc_id", "cluster")
