@@ -36,6 +36,16 @@ object GraftExtensions {
       info("vec_dot",
         "vec_dot(a, b) - dot product of two float vectors (double fold)"),
       (children: Seq[Expression]) => FloatVecDot(children(0), children(1))),
+    (FunctionIdentifier("vec_cosine"),
+      info("vec_cosine",
+        "vec_cosine(a, b) - cosine similarity of two float vectors " +
+          "(same fold order as the DataFrame-side cosine)"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        val (a, b) = (children(0), children(1))
+        Divide(FloatVecDot(a, b),
+          Multiply(Sqrt(FloatVecDot(a, a)), Sqrt(FloatVecDot(b, b))))
+      }),
     (FunctionIdentifier("topk_by_score"),
       info("topk_by_score",
         "topk_by_score(score, id, k) - partial-agg top-k as array<struct<score,id>>"),

@@ -17,6 +17,23 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     r shouldBe 11.0
   }
 
+  test("vec_cosine matches the DataFrame-side cosine bit for bit") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT vec_cosine(
+        |  array(cast(1.0 as float), cast(2.0 as float), cast(0.5 as float)),
+        |  array(cast(3.0 as float), cast(4.0 as float), cast(1.5 as float))) AS c""".stripMargin)
+      .collect()(0).getDouble(0)
+    import org.apache.spark.sql.functions._
+    val viaDf = spark.range(1).select(
+      graft.functions.VectorFunctions.cosine(
+        array(lit(1.0f), lit(2.0f), lit(0.5f)),
+        array(lit(3.0f), lit(4.0f), lit(1.5f))).as("c"))
+      .collect()(0).getDouble(0)
+    viaSql shouldBe viaDf
+    viaSql should be(0.985 +- 0.02)
+  }
+
   test("topk_by_score is callable from SQL after registration") {
     GraftExtensions.register(spark)
     val top = spark.sql(
