@@ -109,9 +109,14 @@ object DedupOps extends QueryGroup {
        |ORDER BY i, j""".stripMargin))
 
   // ---------------------------------------------------------------- D3
-  // MinHash (k=64) + LSH banding (16 bands × 4 rows): candidate pairs
-  // share ≥ 1 band key; similarity estimated from signature agreement.
-  // Rows-only: xxhash64 has no DuckDB twin.
+  // MinHash (k=64) + LSH banding (16 bands × 4 rows) for CANDIDATE
+  // generation — one equi-join on (band, key), never all-pairs — then
+  // EXACT Jaccard verification of the candidates against the shingle
+  // sets (the same verify stage as D2/JaccardNearDup). The output is
+  // therefore exact {(i,j,jaccard) : J ≥ t AND LSH surfaced the pair};
+  // with 16×4 banding the per-pair miss probability at J = 0.8 is
+  // 1−(1−0.8⁴)¹⁶ ≈ 2·10⁻⁴, so the result coincides with the all-pairs
+  // truth and the same DuckDB oracle as d2 hash-verifies it.
   //
   // The k min-hashes are computed by explode + 64 codegen'd min
   // aggregates (the same trick as simhashSigs): partial-agg friendly
@@ -123,16 +128,15 @@ object DedupOps extends QueryGroup {
   private val d3 = QueryDef(
     "d3_dedup_minhash_lsh",
     (s, dir) => {
+      val sh = shingled(s, dir).cache()
       // shingles are already hashed longs; permutation i = xxhash64(i, h)
-      val tok = shingled(s, dir)
-        .select(col("doc_id"), explode(col("sh")).as("h"))
+      val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
       val sig = tok.groupBy("doc_id")
         .agg(min(xxhash64(lit(0), col("h"))).as("m0"),
           (1 until mhK).map(i =>
             min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
         .select(col("doc_id"),
           array((0 until mhK).map(i => col(s"m$i")): _*).as("sig"))
-        .cache()
       val bands = sig.select(col("doc_id"),
         posexplode(bandKeys(col("sig"), mhBands, mhRows)))
         .toDF("doc_id", "band", "key")
@@ -141,17 +145,29 @@ object DedupOps extends QueryGroup {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
-      val est = cand
-        .join(sig.select(col("doc_id").as("i"), col("sig").as("sa")), "i")
-        .join(sig.select(col("doc_id").as("j"), col("sig").as("sb")), "j")
-        .withColumn("est_jaccard",
-          aggregate(zip_with(col("sa"), col("sb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, v) => acc + v).cast("double") / mhK)
-        .filter(col("est_jaccard") >= 0.5)
-      est.select("i", "j", "est_jaccard").orderBy("i", "j")
+      // exact verification: join candidates back to the shingle sets and
+      // keep true-Jaccard ≥ t only — no estimates ship
+      cand
+        .join(sh.select(col("doc_id").as("i"), col("sh").as("sha"),
+          col("n").as("na")), "i")
+        .join(sh.select(col("doc_id").as("j"), col("sh").as("shb"),
+          col("n").as("nb")), "j")
+        .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard",
+          col("shared").cast("double") /
+            (col("na") + col("nb") - col("shared")).cast("double"))
+        .filter(col("jaccard") >= jaccardT)
+        .select(col("i"), col("j"), col("shared").cast(LongType).as("shared"),
+          col("jaccard"))
+        .orderBy("i", "j")
     },
-    None)
+    Some(s"""WITH $pairCtes
+       |SELECT i, j, shared,
+       |  CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= $jaccardT
+       |ORDER BY i, j""".stripMargin))
 
   // ---------------------------------------------------------------- D4
   // SimHash over the shingle set; candidate generation + hamming verify
