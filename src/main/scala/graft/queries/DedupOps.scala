@@ -173,7 +173,13 @@ object DedupOps extends QueryGroup {
   // SimHash over the shingle set; candidate generation + hamming verify
   // delegate to [[graft.operators.HammingNearDup]] (pigeonhole blocking:
   // hamming ≤ 7 ⇒ at least one of the 8 8-bit blocks matches exactly, so
-  // candidates come from an equi-join on (block, value)). Rows-only.
+  // candidates come from an equi-join on (block, value)).
+  //
+  // Two-stage oracle: the signatures (Spark xxhash64 — no DuckDB twin)
+  // are materialized via [[graft.sources.VerifyTap]]; DuckDB then
+  // brute-forces ALL-PAIRS hamming over them, which checks the pigeonhole
+  // blocking's losslessness claim (every pair ≤ maxHam found, none
+  // beyond) on real data, not just the property spec.
   //
   // The signature is computed by explode + 64 codegen'd conditional sums
   // (partial-agg friendly) rather than 64 HOF folds per row — identical
@@ -202,12 +208,20 @@ object DedupOps extends QueryGroup {
   private val d4 = QueryDef(
     "d4_dedup_simhash",
     (s, dir) => {
-      val sig = simhashSigs(s, dir).cache()
+      val sig = graft.sources.VerifyTap(simhashSigs(s, dir), "d4_sigs")
       graft.operators.HammingNearDup
         .pairs(sig, "doc_id", "sig", shMaxHam)
         .orderBy("i", "j")
     },
-    None)
+    Some(s"""WITH sigs AS (
+       |  SELECT doc_id, sig
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/d4_sigs/*.parquet')
+       |)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $shMaxHam
+       |ORDER BY i, j""".stripMargin))
 
   // ---------------------------------------------------------------- D5
   // Embedding-cosine near-dup pairs ≥ 0.4: exact baseline — right side

@@ -96,9 +96,35 @@ object SimilarityOps extends QueryGroup {
   // Random-hyperplane LSH: L=4 tables × 4-bit signatures. A data vector
   // is a candidate iff it lands in the query's bucket in ANY table —
   // an equi-join on (table, bucket), candidates ≈ L·n/2^bits per query.
-  // Exact cosine re-ranks the candidates. Rows-only (approx).
+  // Exact cosine re-ranks the candidates.
+  //
+  // Two-stage oracle: the bucketing (Spark hyperplane hashes — no DuckDB
+  // twin) decides WHICH pairs are candidates; those are materialized via
+  // [[graft.sources.VerifyTap]] and DuckDB re-runs everything above the
+  // tap — the s1-style left-to-right cosine fold and the ROW_NUMBER
+  // top-k — so the re-rank + TopKByScore heap logic is hash-verified.
   private val lshTables = 4
   private val lshBits = 4
+
+  /** The s1-oracle cosine/top-k SQL over a materialized candidate tap. */
+  private def rerankOracle(tap: String): String =
+    s"""WITH cand AS (
+       |  SELECT qid, vec_id, qe, embedding
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/$tap/*.parquet')
+       |), scored AS (
+       |  SELECT qid, vec_id,
+       |    list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)
+       |    / ( sqrt(list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(qe[i]::DOUBLE) for i in range(1, len(qe)+1)]), (x,y) -> x+y))
+       |      * sqrt(list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)) ) AS cosine
+       |  FROM cand
+       |), ranked AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank,
+       |    cosine
+       |  FROM scored
+       |)
+       |SELECT qid, rank, vec_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
   private val s2 = QueryDef(
     "s2_ann_lsh",
     (s, dir) => {
@@ -114,24 +140,26 @@ object SimilarityOps extends QueryGroup {
       val dataB = buckets(e, "vec_id")
       val queryB = buckets(e.filter(col("vec_id") < NQ), "qid")
         .withColumnRenamed("embedding", "qe")
-      val cand = dataB.join(broadcast(queryB),
-        Seq("table", "bucket"))
-        .filter(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id"), col("qe"), col("embedding"))
-        .dropDuplicates("qid", "vec_id")
+      val cand = graft.sources.VerifyTap(
+        dataB.join(broadcast(queryB), Seq("table", "bucket"))
+          .filter(col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id"), col("qe"), col("embedding"))
+          .dropDuplicates("qid", "vec_id"),
+        "s2_cand")
       val scored = cand
         .withColumn("cosine", cosine(col("qe"), col("embedding")))
         .select("qid", "vec_id", "cosine")
       topKAgg(scored)
     },
-    None)
+    Some(rerankOracle("s2_cand")))
 
   // ---------------------------------------------------------------- S3
   // IVF: 16 coarse cells. Centroids seeded from the first 16 vectors,
   // refined with one distributed Lloyd iteration (posexplode → per-dim
   // mean → regroup); every vector is assigned to its nearest cell;
   // queries probe their nprobe=2 nearest cells. Centroids stay a
-  // broadcast-size model at any data scale. Rows-only (approx).
+  // broadcast-size model at any data scale. Oracle: same candidate-tap
+  // re-rank scheme as s2 (DuckDB verifies cosine + top-k above the tap).
   private val ivfCells = 16
   private val nprobe = 2
   private val s3 = QueryDef(
@@ -165,14 +193,17 @@ object SimilarityOps extends QueryGroup {
       val probes = nearest(q, cents1, nprobe)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("cid"))
-      val cand = assign1.join(broadcast(probes), Seq("cid"))
-        .filter(col("qid") =!= col("vec_id"))
+      val cand = graft.sources.VerifyTap(
+        assign1.join(broadcast(probes), Seq("cid"))
+          .filter(col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id"), col("qe"), col("embedding")),
+        "s3_cand")
       val scored = cand
         .withColumn("cosine", cosine(col("qe"), col("embedding")))
         .select("qid", "vec_id", "cosine")
       topKAgg(scored)
     },
-    None)
+    Some(rerankOracle("s3_cand")))
 
   override val queries: Seq[QueryDef] = Seq(s1, s2, s3)
 }
