@@ -20,11 +20,13 @@ import org.apache.spark.util.LongAccumulator
   * is amortized and peak memory is bounded by one batch of payloads —
   * never a whole partition.
   *
-  * THE DECODER IS A STUB: this container has no image/audio libraries,
-  * so [[StubDecoder]] produces a deterministic fake feature vector from
-  * the bytes. Swapping in a real decoder changes ONE function; all the
-  * Spark-side plumbing (schema, partitioning, batching, output shape)
-  * is real and tested.
+  * IMAGE DECODE IS REAL: `kind = "image"` payloads are decoded with the
+  * JDK's `javax.imageio` ([[ImageCodec]] — PNG/BMP/GIF/JPEG), so image
+  * features and perceptual hashes are computed from actual pixels, and
+  * two encodings of the same pixels dedup together. Audio/video remain
+  * on [[StubDecoder]] (deterministic fake — the JDK ships no
+  * audio/video codecs and this container has no external media
+  * libraries); swapping in a real codec changes only that dispatch arm.
   */
 object BinaryPipeline {
 
@@ -44,10 +46,18 @@ object BinaryPipeline {
       assetId: Long, frameIdx: Int, width: Int, height: Int,
       feature: Array[Float])
 
-  // --------------------------------------------------------- stub codec
+  // ---------------------------------------------------------- decoders
 
-  /** STUB — stands in for a real image/audio/video decoder. Fully
-    * deterministic in (bytes, salt) so specs can assert exact results.
+  /** Per-kind decode dispatch: real pixels for images, deterministic
+    * stub for audio/video. Both produce [[StubDecoder.dim]] floats.
+    */
+  private def decodeFeature(a: MediaAsset, salt: Int): Array[Float] =
+    if (a.kind == "image") ImageCodec.features(a.data)
+    else StubDecoder.decode(a.data, salt)
+
+  /** STUB — stands in for a real AUDIO/VIDEO decoder only (images go
+    * through [[ImageCodec]]). Fully deterministic in (bytes, salt) so
+    * specs can assert exact results.
     */
   object StubDecoder {
     val dim = 16
@@ -68,18 +78,54 @@ object BinaryPipeline {
 
   // ------------------------------------------------------------- MM1
 
-  /** Deterministic fake asset table (no media libs in the container). */
+  /** Deterministic asset table. Image rows carry REAL PNG payloads
+    * (an id-keyed 8×8 block pattern rendered with java.awt and encoded
+    * by ImageIO — distinct ids get visually distinct images, so their
+    * aHashes land far apart); audio/video rows carry opaque fake bytes.
+    */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
     import spark.implicits._
     spark.range(n).map { id =>
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val bytes = Array.tabulate[Byte](64 + (id % 7).toInt * 16)(i =>
-        ((id * 131 + i * 7) % 251).toByte)
-      MediaAsset(id, kind, 64 + (id % 4).toInt * 32, 64,
-        if (kind == "image") 0L else 1000L * (1 + id % 5), "stub", bytes)
+      val w = 64 + (id % 4).toInt * 32
+      val bytes =
+        if (kind == "image") ImageCodec.encode(syntheticImage(id, w, 64), "png")
+        else Array.tabulate[Byte](64 + (id % 7).toInt * 16)(i =>
+          ((id * 131 + i * 7) % 251).toByte)
+      MediaAsset(id, kind, w, 64,
+        if (kind == "image") 0L else 1000L * (1 + id % 5),
+        if (kind == "image") "png" else "stub", bytes)
     }
+  }
+
+  /** Deterministic id-keyed test image: 8×8 grid of black/white blocks
+    * decided by a splitmix64 bit of (id, cell) — per-id ~random visual
+    * content, stable across JVMs.
+    */
+  private[multimodal] def syntheticImage(id: Long, w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = (y * 8 / h) * 8 + (x * 8 / w)
+        img.setRGB(x, y, if (mixBit(id * 64 + cell)) 0xffffff else 0x000000)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def mixBit(z0: Long): Boolean = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) < 0
   }
 
   /** Decode + featurize with explicit batching. `decodeBatches` (if
@@ -92,9 +138,9 @@ object BinaryPipeline {
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         decodeBatches.foreach(_.add(1))
-        // a real implementation opens the codec/model ONCE per batch here
+        // per-batch setup (codec/model handles) is amortized here
         batch.iterator.map(a =>
-          AssetFeature(a.assetId, StubDecoder.decode(a.data, salt = 0)))
+          AssetFeature(a.assetId, decodeFeature(a, salt = 0)))
       }
     }
   }
@@ -135,11 +181,12 @@ object BinaryPipeline {
   final case class AssetHash(assetId: Long, phash: Long)
 
   /** Perceptual 64-bit hash computed in the SAME batch pass as the
-    * decode (never materializes features twice): bit i compares
-    * `feature[i mod dim]` against a per-tile threshold, so similar
-    * feature vectors flip few bits — the locality property a real pHash
-    * (DCT low-frequency signs) provides. Only the feature extraction is
-    * stubbed; the hash and everything downstream are real.
+    * decode (never materializes features twice). Images get the REAL
+    * average-hash ([[ImageCodec.aHash64]]: 8×8 grayscale, threshold by
+    * mean — hamming tracks visual difference, so re-encodings of the
+    * same pixels collide at distance 0). Audio/video fall back to a
+    * threshold hash over the stub features with the same locality
+    * contract (few flipped feature values flip few bits).
     */
   def phashes(assets: Dataset[MediaAsset],
       batchSize: Int = 32): Dataset[AssetHash] = {
@@ -147,14 +194,19 @@ object BinaryPipeline {
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { a =>
-          val f = StubDecoder.decode(a.data, salt = 0)
-          var h = 0L
-          var i = 0
-          while (i < 64) {
-            val thr = 0.35f + 0.1f * (i / StubDecoder.dim)
-            if (f(i % StubDecoder.dim) > thr) h |= (1L << i)
-            i += 1
-          }
+          val h =
+            if (a.kind == "image") ImageCodec.aHash64(a.data)
+            else {
+              val f = StubDecoder.decode(a.data, salt = 0)
+              var acc = 0L
+              var i = 0
+              while (i < 64) {
+                val thr = 0.35f + 0.1f * (i / StubDecoder.dim)
+                if (f(i % StubDecoder.dim) > thr) acc |= (1L << i)
+                i += 1
+              }
+              acc
+            }
           AssetHash(a.assetId, h)
         }
       }

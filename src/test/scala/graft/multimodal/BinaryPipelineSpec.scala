@@ -76,6 +76,62 @@ class BinaryPipelineSpec extends AnyFunSuite with Matchers {
     pairs.length shouldBe 20
   }
 
+  test("MM1 real decode: image features come from actual pixels") {
+    // white image → all tile luminances 1.0; black → 0.0 — values a
+    // byte-hash stub could never produce on purpose
+    val white = BinaryPipeline.syntheticImage(0, 64, 64)
+    val g = white.createGraphics()
+    g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, 64, 64); g.dispose()
+    val whiteF = ImageCodec.features(ImageCodec.encode(white, "png"))
+    all(whiteF.toSeq) shouldBe 1.0f +- 0.01f
+
+    // PNG and BMP encodings of the SAME pixels decode to identical
+    // features and identical aHash — different bytes, same image
+    val img = BinaryPipeline.syntheticImage(7, 96, 64)
+    val png = ImageCodec.encode(img, "png")
+    val bmp = ImageCodec.encode(img, "bmp")
+    png.toSeq should not be bmp.toSeq
+    ImageCodec.features(png).toSeq shouldBe ImageCodec.features(bmp).toSeq
+    ImageCodec.aHash64(png) shouldBe ImageCodec.aHash64(bmp)
+  }
+
+  test("MM2 real resize: featuresAt decodes at the target frame size") {
+    val img = BinaryPipeline.syntheticImage(3, 128, 64)
+    val bytes = ImageCodec.encode(img, "png")
+    val f = ImageCodec.featuresAt(bytes, 32, 24)
+    f.length shouldBe ImageCodec.dim
+    // downsampled content still reflects the source pixels: resizing a
+    // uniform image yields uniform tiles
+    val flat = new java.awt.image.BufferedImage(128, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = flat.createGraphics()
+    g.setColor(new java.awt.Color(200, 200, 200))
+    g.fillRect(0, 0, 128, 64); g.dispose()
+    val ff = ImageCodec.featuresAt(ImageCodec.encode(flat, "png"), 32, 24)
+    all(ff.toSeq) shouldBe (200f / 255f) +- 0.02f
+  }
+
+  test("MM3 real pHash: a re-encoded image is a near-dup despite new bytes") {
+    import spark.implicits._
+    val base = BinaryPipeline.syntheticAssets(spark, 21)
+      .filter(_.kind == "image")
+    // re-encode every image as BMP under a new id: bytes change, pixels
+    // don't — exact (byte-hash) dedup misses these, perceptual catches
+    val reenc = base.map { a =>
+      a.copy(assetId = a.assetId + 1000,
+        data = ImageCodec.encode(ImageCodec.read(a.data), "bmp"),
+        codec = "bmp")
+    }
+    val union = base.union(reenc).cache()
+    union.map(a => new String(java.util.Arrays.copyOf(a.data, 2)))
+      .distinct().count() shouldBe 2 // PNG + BMP magic: bytes really differ
+    val pairs = BinaryPipeline.phashDedup(union, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = base.count()
+    pairs.length shouldBe n
+    pairs.foreach { case (i, j, ham) => j shouldBe i + 1000; ham shouldBe 0L }
+  }
+
   test("MM3: phash locality — few flipped feature bits move hamming a little") {
     // two signatures differing in one feature tile differ by at most
     // 64/dim bits; sanity of the blocking contract used downstream
