@@ -51,9 +51,24 @@ final class Migrator(
     val verbose: Boolean = false,
     val quiet: Boolean = false,
     val adapter: DbmsAdapter = null,
+    val sqlCli: Option[Seq[String]] = None,
     logSink: String => Unit = s => Console.err.println(s)) {
 
+  // Constructor validation — the analogue of the reference's Moose type
+  // constraints (lib/Database/Migrator/Types.pm:1-29 provides Str/Dir/
+  // File/Maybe[Str] etc.; Moose rejects bad attrs at construction, so we
+  // do too rather than failing mid-migration).
   require(!(quiet && verbose), "Cannot be both quiet and verbose")
+  require(database.trim.nonEmpty, "database name must be non-empty")
+  require(migrationTable.trim.nonEmpty, "migration table must be non-empty")
+  port.foreach(p =>
+    require(p >= 1 && p <= 65535, s"port must be in [1, 65535], got $p"))
+  require(Files.isDirectory(migrationsDir),
+    s"migrations dir does not exist or is not a directory: $migrationsDir")
+  schemaFile.foreach(f => require(Files.isRegularFile(f),
+    s"schema file does not exist: $f"))
+  sqlCli.foreach(c =>
+    require(c.nonEmpty, "sqlCli must name a command when provided"))
 
   private val dbms: DbmsAdapter =
     Option(adapter).getOrElse(new SparkCatalogAdapter(spark))
@@ -135,9 +150,26 @@ final class Migrator(
     if (!dryRun) recordApplied(name)
   }
 
+  /** `.sql` steps run through the DBMS adapter by default. When `sqlCli`
+    * is set they instead shell out to the database's NATIVE command-line
+    * client with the file appended (the reference's `_run_ddl` shape —
+    * each DBMS subclass builds `mysql`/`psql` argv and feeds it the DDL,
+    * e.g. Core.pm:150/:178 via the Pg/mysql `_run_ddl` impls). That is
+    * what migrations relying on client-side directives (psql `\\copy`,
+    * `\\set`) need; failure contract matches the external-program step:
+    * nonzero exit OR nonempty stderr.
+    */
   private def runSqlStep(file: Path): Unit =
     if (dryRun) logger.info(s"Dry run - would run DDL in $file")
-    else dbms.runDdl(database, Files.readString(file))
+    else sqlCli match {
+      case Some(cmd) =>
+        val stderr = new StringBuilder
+        val exit = Process(cmd :+ file.toAbsolutePath.toString)
+          .!(ProcessLogger(_ => (), e => stderr.append(e).append('\n')))
+        if (exit != 0 || stderr.nonEmpty)
+          throw new RuntimeException(s"$file failed: $stderr")
+      case None => dbms.runDdl(database, Files.readString(file))
+    }
 
   /** External program: fails on nonzero exit OR nonempty stderr
     * (Core.pm:183-190).
@@ -170,10 +202,11 @@ object Migrator {
       verbose: Boolean = false,
       quiet: Boolean = false,
       adapter: DbmsAdapter = null,
+      sqlCli: Option[Seq[String]] = None,
       logSink: String => Unit = s => Console.err.println(s)): Migrator =
     new Migrator(spark, database, migrationsDir, schemaFile, migrationTable,
       username = username.orElse(user), dryRun = dryRun, verbose = verbose,
-      quiet = quiet, adapter = adapter, logSink = logSink)
+      quiet = quiet, adapter = adapter, sqlCli = sqlCli, logSink = logSink)
 }
 
 /** Core.pm:277-284 `_numeric_or_alpha_sort`: names matching `^(\d+)(.+)`

@@ -185,6 +185,74 @@ class MigratorSpec extends AnyFunSuite with Matchers {
       username = Some("bob")).username shouldBe Some("bob")
   }
 
+  test("constructor type constraints (Types.pm parity)") {
+    val (db, schema, migrations) = freshCase()
+    // port range
+    intercept[IllegalArgumentException] {
+      new Migrator(spark, db, migrations, port = Some(0))
+    }.getMessage should include("port")
+    intercept[IllegalArgumentException] {
+      new Migrator(spark, db, migrations, port = Some(70000))
+    }.getMessage should include("port")
+    new Migrator(spark, db, migrations, port = Some(5432)) // fine
+    // dir/file existence, like Moose's coerced Dir/File attrs failing fast
+    intercept[IllegalArgumentException] {
+      new Migrator(spark, db, migrations.resolve("no-such-dir"))
+    }.getMessage should include("migrations dir")
+    intercept[IllegalArgumentException] {
+      new Migrator(spark, db, migrations,
+        Some(migrations.resolve("no-such-schema.sql")))
+    }.getMessage should include("schema file")
+    // names must be non-empty
+    intercept[IllegalArgumentException] {
+      new Migrator(spark, " ", migrations)
+    }.getMessage should include("database")
+    intercept[IllegalArgumentException] {
+      new Migrator(spark, db, migrations, migrationTable = "")
+    }.getMessage should include("migration table")
+  }
+
+  test(".sql steps run through a native CLI client when sqlCli is set") {
+    val (db, _, migrations) = freshCase()
+    // pre-create db + ledger so the CLI path is the only .sql executor
+    spark.sql(s"CREATE DATABASE $db")
+    spark.sql(
+      s"CREATE TABLE $db.applied_migration (migration STRING) USING PARQUET")
+    val m1 = Files.createDirectories(migrations.resolve("01-cli"))
+    Files.writeString(m1.resolve("01-step.sql"),
+      "\\copy foo FROM 'stdin' -- client-side directive, not server SQL")
+    val out = migrations.resolve("cli-out.txt")
+    val cli = migrations.resolve("fakesql.sh")
+    Files.writeString(cli, s"#!/bin/sh\ncat \"$$1\" >> '$out'\n")
+    cli.toFile.setExecutable(true)
+
+    val m = new Migrator(spark, db, migrations,
+      sqlCli = Some(Seq(cli.toString)))
+    m.createOrUpdate()
+    // the client saw the raw file — including the psql-style directive a
+    // server-side SQL runner could never execute — and the ledger updated
+    Files.readString(out) should include("\\copy foo")
+    m.appliedMigrations() shouldBe Seq("01-cli")
+  }
+
+  test("CLI .sql step fails on nonempty stderr, like external programs") {
+    val (db, _, migrations) = freshCase()
+    spark.sql(s"CREATE DATABASE $db")
+    spark.sql(
+      s"CREATE TABLE $db.applied_migration (migration STRING) USING PARQUET")
+    val m1 = Files.createDirectories(migrations.resolve("01-cli"))
+    Files.writeString(m1.resolve("01-step.sql"), "SELECT 1")
+    val cli = migrations.resolve("failsql.sh")
+    Files.writeString(cli, "#!/bin/sh\necho 'ERROR: relation missing' >&2\n")
+    cli.toFile.setExecutable(true)
+
+    val m = new Migrator(spark, db, migrations,
+      sqlCli = Some(Seq(cli.toString)))
+    val ex = intercept[RuntimeException](m.createOrUpdate())
+    ex.getMessage should include("relation missing")
+    m.appliedMigrations() shouldBe Seq.empty // failed step is not recorded
+  }
+
   test("numeric-or-alpha ordering (Core.pm:277-284)") {
     val names = Seq("10-b", "2-a", "1-z", "abc", "03-c", "2-b")
     names.sortWith(NumericOrAlpha.lt) shouldBe
