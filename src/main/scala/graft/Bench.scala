@@ -27,11 +27,11 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
       }
       // steady-state measurement: one untimed warmup (codegen compile,
-      // JIT, page cache), then a timed run; queries over 1 s get a
-      // second timed run and report the min — a single host stall (GC
-      // pause, CPU steal) poisoned a multi-second query's number by
-      // 5-10× twice, while sub-second queries are stable and re-timing
-      // all of them would double the bench's wall time
+      // JIT, page cache), then UNCONDITIONAL min-of-2 timed runs —
+      // host stalls (GC pause, CPU steal) poisoned single-run numbers
+      // by 5-10× three rounds running; queries over 5 s get a third
+      // run so one stall can't poison both samples of the queries that
+      // dominate the headline total
       def timed(): Double = {
         clear()
         val t0 = System.nanoTime()
@@ -42,8 +42,8 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       try once() catch { case _: Throwable => () }
-      val dt1 = timed()
-      val dt = if (dt1 > 1.0) math.min(dt1, timed()) else dt1
+      val dt2 = math.min(timed(), timed())
+      val dt = if (dt2 > 5.0) math.min(dt2, timed()) else dt2
       clear()
       name -> dt
     }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions.shingles
+import graft.operators.{JaccardNearDup, SkewJoin}
+import graft.sources.Tables
+
+/** Dev benchmark: MEASURED evidence that the skew-armor operators beat
+  * their naive twins on skewed inputs (they are result-equal by spec;
+  * this shows the speedup). Two scenarios, both derived from the driver
+  * testdata:
+  *
+  *  1. Hot-key equi-join: 60% of a ×20-amplified lineitem carries ONE
+  *     join key. Broadcast is disabled (models the 100 TB regime where
+  *     the dim side exceeds broadcast size — with a broadcastable dim
+  *     there is no skew problem to solve). Naive shuffle join is timed
+  *     with AQE off and on (AQE's skew split is the built-in remedy;
+  *     the comparison shows where it lands) vs saltedEquiJoin.
+  *
+  *  2. Zipfian set-similarity: a universal token (Long.MinValue — first
+  *     in every sorted shingle array) is added to every document, the
+  *     worst case for prefix filtering: under the default token order it
+  *     sits in EVERY prefix, creating one O(n²) candidate bucket. The
+  *     dfOrdered variant ranks tokens by document frequency, pushing the
+  *     universal token out of all prefixes.
+  *
+  * Prints one `[skew] label seconds` line per timed case; results are
+  * recorded in BASELINE.md §skew.
+  */
+object SkewBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(32, "graft-skew-bench")
+
+    def sink(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[skew] $label $dt%.2f s")
+      dt
+    }
+
+    // ---------------------------------------------------- hot-key join
+    // 60% of rows on key 0, the rest spread over 20k keys; ×20 amplified
+    val amplified = Tables.load(spark, sfDir, "lineitem")
+      .select(explode(sequence(lit(1), lit(20))).as("rep"),
+        col("l_orderkey"), col("l_quantity"))
+    val big = amplified.select(
+      when(pmod(col("l_orderkey") + col("rep"), lit(20)) < 19, 0L)
+        .otherwise(pmod(xxhash64(col("l_orderkey"), col("rep")),
+          lit(20000)) + 1).as("k"),
+      col("l_quantity"))
+    // uniform-key control: same row count, no skew — the floor any join
+    // of this size pays regardless of strategy
+    val uniform = amplified.select(
+      pmod(xxhash64(col("l_orderkey"), col("rep")), lit(20000) + 1).as("k"),
+      col("l_quantity"))
+    val dim = spark.range(0, 20001)
+      .select(col("id").as("k"), xxhash64(col("id")).as("payload"))
+
+    // cache all sides so the timed region is the JOIN, not the ×20
+    // amplification scan that would otherwise dominate all variants
+    big.cache().write.format("noop").mode("overwrite").save()
+    uniform.cache().write.format("noop").mode("overwrite").save()
+    dim.cache().write.format("noop").mode("overwrite").save()
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def naive(): Unit = sink(big.join(dim, "k"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    naive() // warm the join codegen path untimed
+    time("join_uniform_control")(sink(uniform.join(dim, "k")))
+    time("join_naive_noAQE")(naive())
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    time("join_naive_AQE")(naive())
+    time("join_salted_32")(sink(SkewJoin.saltedEquiJoin(big, dim, "k", 32)))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (64 * 1024 * 1024).toString)
+
+    // ------------------------------------- universal-token similarity
+    val sh = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_sort(array_union(
+          transform(shingles(split(col("text"), " "), 3), t => xxhash64(t)),
+          array(lit(Long.MinValue)))).as("sh"))
+      .withColumn("n", size(col("sh")))
+    // clear between variants: JaccardNearDup caches its input internally
+    // and a shared cache would bias whichever variant runs second
+    spark.catalog.clearCache()
+    time("jaccard_default_order")(
+      sink(JaccardNearDup.pairs(sh, "doc_id", "sh", 0.8)))
+    spark.catalog.clearCache()
+    time("jaccard_df_order")(
+      sink(JaccardNearDup.pairs(sh, "doc_id", "sh", 0.8, dfOrdered = true)))
+
+    spark.stop()
+  }
+}
