@@ -205,5 +205,43 @@ object SimilarityOps extends QueryGroup {
     },
     Some(rerankOracle("s3_cand")))
 
-  override val queries: Seq[QueryDef] = Seq(s1, s2, s3)
+  // ---------------------------------------------------------------- S4
+  // Int8 embedding quantization: per-vector symmetric scale
+  // (max|x|/127), q = floor(x/scale + 0.5) — the 4× storage/IO
+  // reduction an ANN index wants at 100 TB (int8 vectors re-ranked by
+  // the few exact-float candidates). Pure map work: zero shuffles
+  // before the verification orderBy; runs at scan speed on any corpus.
+  // Output is long-form (vec_id, pos, q, scale) so the oracle compares
+  // every quantized element; both engines fold the identical IEEE
+  // double ops (float→double widen, /, +0.5, floor), so values match
+  // bit for bit — same oracle model as s1/d5.
+  private val s4 = QueryDef(
+    "s4_quantize_int8",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val amax = array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))
+      e.select(col("vec_id"), col("embedding"),
+        (amax / 127.0).as("scale"))
+        .select(col("vec_id"), col("scale"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
+          when(col("scale") === 0d, lit(0))
+            .otherwise(floor(col("col").cast("double") / col("scale") + 0.5)
+              .cast("int")).as("q"),
+          col("scale"))
+        .orderBy("vec_id", "pos")
+    },
+    Some("""WITH s AS (
+       |  SELECT vec_id, embedding,
+       |    list_max([abs(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]) / 127.0 AS scale
+       |  FROM embeddings
+       |)
+       |SELECT vec_id, CAST(i AS BIGINT) AS pos,
+       |  CASE WHEN scale = 0 THEN 0
+       |       ELSE CAST(floor(embedding[i]::DOUBLE / scale + 0.5) AS INT) END AS q,
+       |  scale
+       |FROM s, LATERAL (SELECT unnest(range(1, len(embedding)+1)) AS i) t
+       |ORDER BY vec_id, pos""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(s1, s2, s3, s4)
 }

@@ -30,6 +30,23 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     hits.sum / hits.size
   }
 
+  test("S4 int8 quantization: range bound and reconstruction error bound") {
+    val e = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rows = SparkEntry.queries("s4_quantize_int8")(spark, TestSpark.sfDir)
+      .collect()
+    rows.length shouldBe e.size * e.head._2.length
+    rows.foreach { r =>
+      val (id, pos, q, scale) =
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+      math.abs(q) should be <= 127
+      // symmetric round-to-nearest: |x − q·scale| ≤ scale/2
+      val x = e(id)(pos.toInt - 1).toDouble
+      math.abs(x - q * scale) should be <= scale / 2 + 1e-12
+    }
+  }
+
   test("IVF (nprobe=2) recall@10 vs brute force is high") {
     val exact = neighborSets("s1_ann_bruteforce")
     val ivf = neighborSets("s3_ann_ivf")
