@@ -20,9 +20,15 @@ object VerifyTap {
   /** Fixed aux root the oracle SQL references via read_parquet(). */
   val root = "/tmp/graft_aux"
 
-  def apply(df: DataFrame, name: String): DataFrame = {
+  /** @param coalesce single-file output for small taps; pass false for
+    *                  larger taps (candidate sets) so the write stays
+    *                  parallel — the oracle's glob reads either layout
+    */
+  def apply(df: DataFrame, name: String,
+      coalesce: Boolean = true): DataFrame = {
     val path = s"$root/$name"
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    (if (coalesce) df.coalesce(1) else df)
+      .write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
 }

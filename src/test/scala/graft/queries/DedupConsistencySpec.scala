@@ -46,6 +46,24 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     falsePos.toDouble / sim.size should be <= 0.2
   }
 
+  test("d8 bucketed embedding dedup: recall vs exact d5, bounded candidates") {
+    val exact = run("d5_dedup_embedding").select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("d8_dedup_embedding_lsh").select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every d8 pair is a true d5 pair (exact verify ⇒ perfect precision)
+    lsh.subsetOf(exact) shouldBe true
+    // recall in LSH's weak low-threshold regime: theory predicts 0.75
+    // for b=4, L=8 at this corpus' similarity range
+    lsh.size.toDouble / exact.size should be >= 0.6
+    // candidate volume stays bounded under all-pairs (theory: 0.40)
+    val n = graft.sources.Tables
+      .load(spark, TestSpark.sfDir, "embeddings").count()
+    val cands = spark.read
+      .parquet(s"${graft.sources.VerifyTap.root}/d8_cand").count()
+    cands.toDouble / (n * (n - 1) / 2) should be <= 0.5
+  }
+
   test("q11 approximate distincts stay within the promised error bound") {
     val rows = run("q11_approx_count_distinct").collect()
     rows should not be empty
