@@ -20,13 +20,15 @@ import org.apache.spark.util.LongAccumulator
   * is amortized and peak memory is bounded by one batch of payloads —
   * never a whole partition.
   *
-  * IMAGE DECODE IS REAL: `kind = "image"` payloads are decoded with the
-  * JDK's `javax.imageio` ([[ImageCodec]] — PNG/BMP/GIF/JPEG), so image
-  * features and perceptual hashes are computed from actual pixels, and
-  * two encodings of the same pixels dedup together. Audio/video remain
-  * on [[StubDecoder]] (deterministic fake — the JDK ships no
-  * audio/video codecs and this container has no external media
-  * libraries); swapping in a real codec changes only that dispatch arm.
+  * IMAGE AND AUDIO DECODE ARE REAL: `kind = "image"` payloads are
+  * decoded with the JDK's `javax.imageio` ([[ImageCodec]] —
+  * PNG/BMP/GIF/JPEG) and `kind = "audio"` with `javax.sound.sampled`
+  * ([[AudioCodec]] — PCM WAV/AU/AIFF), so features and perceptual
+  * hashes come from actual pixels/samples, and two encodings of the
+  * same content dedup together. Video remains on [[StubDecoder]]
+  * (deterministic fake — the JDK ships no video codecs and this
+  * container has no external media libraries); swapping in a real
+  * codec changes only that dispatch arm.
   */
 object BinaryPipeline {
 
@@ -48,12 +50,34 @@ object BinaryPipeline {
 
   // ---------------------------------------------------------- decoders
 
-  /** Per-kind decode dispatch: real pixels for images, deterministic
-    * stub for audio/video. Both produce [[StubDecoder.dim]] floats.
+  /** Per-kind decode dispatch: real pixels for images (`javax.imageio`),
+    * real PCM samples for audio (`javax.sound.sampled`), deterministic
+    * stub for video only. All produce [[StubDecoder.dim]] floats.
     */
   private def decodeFeature(a: MediaAsset, salt: Int): Array[Float] =
-    if (a.kind == "image") ImageCodec.features(a.data)
-    else StubDecoder.decode(a.data, salt)
+    a.kind match {
+      case "image" => ImageCodec.features(a.data)
+      case "audio" => AudioCodec.features(a.data)
+      case _ => StubDecoder.decode(a.data, salt)
+    }
+
+  /** Locality-preserving threshold hash over a feature vector in [0,1]:
+    * bit i compares `feature[i mod dim]` against a 4-tier threshold
+    * (0.15/0.35/0.55/0.75 — a thermometer code spanning the full unit
+    * range so high-energy features don't saturate one level), so close
+    * feature vectors flip few bits. Used for the non-image perceptual
+    * hashes.
+    */
+  private def thresholdHash64(f: Array[Float]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      val thr = 0.15f + 0.2f * (i / StubDecoder.dim)
+      if (f(i % StubDecoder.dim) > thr) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
 
   /** STUB — stands in for a real AUDIO/VIDEO decoder only (images go
     * through [[ImageCodec]]). Fully deterministic in (bytes, salt) so
@@ -80,8 +104,10 @@ object BinaryPipeline {
 
   /** Deterministic asset table. Image rows carry REAL PNG payloads
     * (an id-keyed 8×8 block pattern rendered with java.awt and encoded
-    * by ImageIO — distinct ids get visually distinct images, so their
-    * aHashes land far apart); audio/video rows carry opaque fake bytes.
+    * by ImageIO); audio rows carry REAL 16-bit PCM WAV payloads (an
+    * id-keyed tone: distinct pitch + loudness per id, so loudness/ZCR
+    * features — and therefore perceptual hashes — land far apart);
+    * video rows carry opaque fake bytes for the stub decoder.
     */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
     import spark.implicits._
@@ -90,13 +116,21 @@ object BinaryPipeline {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
       val w = 64 + (id % 4).toInt * 32
-      val bytes =
-        if (kind == "image") ImageCodec.encode(syntheticImage(id, w, 64), "png")
-        else Array.tabulate[Byte](64 + (id % 7).toInt * 16)(i =>
+      val toneMs = 120 + (id % 5).toInt * 60
+      val bytes = kind match {
+        case "image" => ImageCodec.encode(syntheticImage(id, w, 64), "png")
+        case "audio" => AudioCodec.synthTone(
+          hz = 200 + 37.0 * (id % 40), ms = toneMs,
+          amplitude = 0.2 + 0.06 * (id % 10))
+        case _ => Array.tabulate[Byte](64 + (id % 7).toInt * 16)(i =>
           ((id * 131 + i * 7) % 251).toByte)
-      MediaAsset(id, kind, w, 64,
-        if (kind == "image") 0L else 1000L * (1 + id % 5),
-        if (kind == "image") "png" else "stub", bytes)
+      }
+      val (durationMs, codec) = kind match {
+        case "image" => (0L, "png")
+        case "audio" => (toneMs.toLong, "pcm_s16le")
+        case _ => (1000L * (1 + id % 5), "stub")
+      }
+      MediaAsset(id, kind, w, 64, durationMs, codec, bytes)
     }
   }
 
@@ -184,9 +218,10 @@ object BinaryPipeline {
     * decode (never materializes features twice). Images get the REAL
     * average-hash ([[ImageCodec.aHash64]]: 8×8 grayscale, threshold by
     * mean — hamming tracks visual difference, so re-encodings of the
-    * same pixels collide at distance 0). Audio/video fall back to a
-    * threshold hash over the stub features with the same locality
-    * contract (few flipped feature values flip few bits).
+    * same pixels collide at distance 0). Audio gets the threshold hash
+    * over its REAL loudness/ZCR features (re-containered PCM collides
+    * at distance 0 likewise); video falls back to the same hash over
+    * the stub features, keeping the locality contract.
     */
   def phashes(assets: Dataset[MediaAsset],
       batchSize: Int = 32): Dataset[AssetHash] = {
@@ -196,17 +231,7 @@ object BinaryPipeline {
         batch.iterator.map { a =>
           val h =
             if (a.kind == "image") ImageCodec.aHash64(a.data)
-            else {
-              val f = StubDecoder.decode(a.data, salt = 0)
-              var acc = 0L
-              var i = 0
-              while (i < 64) {
-                val thr = 0.35f + 0.1f * (i / StubDecoder.dim)
-                if (f(i % StubDecoder.dim) > thr) acc |= (1L << i)
-                i += 1
-              }
-              acc
-            }
+            else thresholdHash64(decodeFeature(a, salt = 0))
           AssetHash(a.assetId, h)
         }
       }

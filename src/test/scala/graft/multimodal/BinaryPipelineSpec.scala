@@ -95,6 +95,70 @@ class BinaryPipelineSpec extends AnyFunSuite with Matchers {
     ImageCodec.aHash64(png) shouldBe ImageCodec.aHash64(bmp)
   }
 
+  test("MM1 real audio decode: features come from actual PCM samples") {
+    // pure-ish tone at amplitude a: every frame's RMS ≈ a·0.583 (sine +
+    // quarter second-harmonic, /1.25), scaled ×2 in the feature — a
+    // value a byte-hash stub could never produce on purpose
+    val wav = AudioCodec.synthTone(hz = 440, ms = 200, amplitude = 0.4)
+    val f = AudioCodec.features(wav)
+    f.length shouldBe AudioCodec.dim
+    val expectedRms = (2.0 * 0.4 * 0.583).toFloat
+    (0 until AudioCodec.frames).foreach { i =>
+      f(i) shouldBe expectedRms +- 0.03f
+    }
+    // ZCR tracks pitch: 2·hz/rate per sample, ×4 in the feature
+    val expectedZcr = (4.0 * 2 * 440 / 8000).toFloat
+    (AudioCodec.frames until AudioCodec.dim).foreach { i =>
+      f(i) shouldBe expectedZcr +- 0.05f
+    }
+
+    // WAV and AU containers of the SAME samples decode to identical
+    // features — different bytes, same audio
+    val au = AudioCodec.synthTone(hz = 440, ms = 200, format = "au",
+      amplitude = 0.4)
+    wav.toSeq should not be au.toSeq
+    AudioCodec.features(au).toSeq shouldBe f.toSeq
+  }
+
+  test("MM3 real audio pHash: re-containered PCM is a near-dup") {
+    import spark.implicits._
+    val base = BinaryPipeline.syntheticAssets(spark, 21)
+      .filter(_.kind == "audio")
+    // re-encode every tone as AU under a new id: bytes change, samples
+    // don't — byte-level dedup misses these, perceptual catches
+    // (driver-side map: rewrap is a spec helper, not a Spark closure)
+    val reencRows = base.collect().map { a =>
+      a.copy(assetId = a.assetId + 1000, codec = "pcm_s16be_au",
+        data = rewrap(AudioCodec.samples(a.data)))
+    }.toSeq
+    val union = base.union(spark.createDataset(reencRows)).cache()
+    val pairs = BinaryPipeline.phashDedup(union, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = base.count()
+    pairs.length shouldBe n
+    pairs.foreach { case (i, j, ham) => j shouldBe i + 1000; ham shouldBe 0L }
+  }
+
+  /** 16-bit mono 8 kHz AU bytes carrying exactly these samples. */
+  private def rewrap(s: Array[Double]): Array[Byte] = {
+    val pcm = new Array[Byte](s.length * 2)
+    s.indices.foreach { i =>
+      val v = math.max(-32768, math.min(32767,
+        math.round(s(i) * 32768))).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, s.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.AU, out)
+    out.toByteArray
+  }
+
   test("MM2 real resize: featuresAt decodes at the target frame size") {
     val img = BinaryPipeline.syntheticImage(3, 128, 64)
     val bytes = ImageCodec.encode(img, "png")
