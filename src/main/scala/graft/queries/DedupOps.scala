@@ -407,5 +407,42 @@ object DedupOps extends QueryGroup {
        |SELECT i, j, cosine FROM scored
        |WHERE cosine >= $cosT ORDER BY i, j""".stripMargin))
 
-  override val queries: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8)
+  // ---------------------------------------------------------------- D9
+  // Incremental ingestion dedup — the daily-batch shape of d1: today's
+  // batch (one source) is deduplicated (a) against the content-hash
+  // ledger of the ALREADY-INGESTED corpus via a left-anti join, then
+  // (b) within itself. At 100 TB the ledger join is a shuffle hash join
+  // on 32-char hashes (broadcast when the ledger fits); the batch side
+  // streams — the corpus is never rescanned beyond its ledger, which is
+  // the property that makes daily ingestion O(batch), not O(corpus).
+  private val d9 = QueryDef(
+    "d9_dedup_incremental",
+    (s, dir) => {
+      val all = docs(s, dir)
+      val batch = all.filter(col("source") === "src0")
+      val ledger = all.filter(col("source") =!= "src0")
+        .select(md5(col("text")).as("content_hash")).distinct()
+      batch
+        .withColumn("content_hash", md5(col("text")))
+        .join(ledger, Seq("content_hash"), "left_anti")
+        .groupBy("content_hash")
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")
+    },
+    Some("""WITH ledger AS (
+       |  SELECT DISTINCT md5(text) AS content_hash
+       |  FROM documents WHERE source <> 'src0'
+       |), batch AS (
+       |  SELECT md5(text) AS content_hash, doc_id
+       |  FROM documents WHERE source = 'src0'
+       |)
+       |SELECT content_hash, MIN(doc_id) AS keep_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_copies
+       |FROM batch
+       |WHERE content_hash NOT IN (SELECT content_hash FROM ledger)
+       |GROUP BY content_hash ORDER BY content_hash""".stripMargin))
+
+  override val queries: Seq[QueryDef] =
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9)
 }
