@@ -496,7 +496,7 @@ object Analytic extends QueryGroup {
   // O(k·n) instead of O(n²) per pair — the bound that keeps edit
   // distance affordable over long documents. Capped pairs report
   // lev = -1, similarity NULL (both engines via the same CASE).
-  private val levT = 150
+  private val levT = 60
   private val q36 = QueryDef(
     "q36_edit_distance",
     (s, dir) => {

@@ -231,8 +231,14 @@ object TextOps extends QueryGroup {
     "t6_decontaminate",
     (s, dir) => {
       import graft.functions.HashFunctions.shingles
+      // grams are hashed to longs at explode time (d2's lever): the
+      // broadcast set, the probe join and the distinct-count all run on
+      // 8-byte longs instead of ~25-char strings; a 64-bit collision
+      // altering a count is ~2⁻⁶⁴ per gram pair — far below the gate's
+      // tolerance (same argument as the shingle hashing in DedupOps)
       val grams = docs(s, dir).select(col("doc_id"),
-        explode(shingles(words(col("text")), contamN)).as("g"))
+        explode(shingles(words(col("text")), contamN)).as("gs"))
+        .select(col("doc_id"), xxhash64(col("gs")).as("g"))
       val bench = grams.filter(col("doc_id") % benchMod === 0)
         .select("g").distinct()
       grams.filter(col("doc_id") % benchMod =!= 0)
