@@ -4,7 +4,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.HashFunctions.shingles
 import graft.sources.Tables
 
 /** The composed training-data pipeline (P1): what a user actually runs
@@ -29,9 +28,8 @@ object PipelineOps extends QueryGroup {
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val keep = DedupOps.keeperIds(s, dir)
-      val grams = d.select(col("doc_id"),
-        explode(shingles(TextOps.words(col("text")), TextOps.contamN))
-          .as("g"))
+      // hashed gram keys (no gram strings — TextOps.hashedGrams)
+      val grams = TextOps.hashedGrams(d)
       val bench = grams.filter(col("doc_id") % TextOps.benchMod === 0)
         .select("g").distinct()
       val contaminated = grams

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -227,18 +227,34 @@ object TextOps extends QueryGroup {
   // at 100 TB runs at scan speed, then a per-doc count aggregation.
   private[queries] val contamN = 4
   private[queries] val benchMod = 97
+
+  /** (doc_id, g): hashed word-[[contamN]]-gram keys. Gram keys are longs
+    * built by hash-combining per-word hashes — no gram STRING is ever
+    * materialized: downstream broadcast sets, probe joins and
+    * distinct-counts all run on 8-byte keys. Same words ⇒ same key; a
+    * 64-bit collision altering a count is ~2⁻⁶⁴ per gram pair — far
+    * below the gate's tolerance (the DedupOps shingle-hashing argument).
+    * Duplicate grams per doc are NOT pre-deduped here; the distinct
+    * aggregates every consumer already runs handle that.
+    *
+    * `wh` gets its own projection deliberately: referencing the
+    * transform expression inline at each element_at site would re-hash
+    * the whole word array per gram (O(n²) per doc — measured 4× slower).
+    */
+  private[queries] def hashedGrams(d: DataFrame): DataFrame = {
+    val gramHashes = when(size(col("wh")) >= contamN,
+      transform(sequence(lit(1), size(col("wh")) - (contamN - 1)),
+        i => xxhash64((0 until contamN).map(k =>
+          element_at(col("wh"), i + k)): _*)))
+      .otherwise(array())
+    d.select(col("doc_id"),
+      transform(words(col("text")), w => xxhash64(w)).as("wh"))
+      .select(col("doc_id"), explode(gramHashes).as("g"))
+  }
   private val t6 = QueryDef(
     "t6_decontaminate",
     (s, dir) => {
-      import graft.functions.HashFunctions.shingles
-      // grams are hashed to longs at explode time (d2's lever): the
-      // broadcast set, the probe join and the distinct-count all run on
-      // 8-byte longs instead of ~25-char strings; a 64-bit collision
-      // altering a count is ~2⁻⁶⁴ per gram pair — far below the gate's
-      // tolerance (same argument as the shingle hashing in DedupOps)
-      val grams = docs(s, dir).select(col("doc_id"),
-        explode(shingles(words(col("text")), contamN)).as("gs"))
-        .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+      val grams = hashedGrams(docs(s, dir))
       val bench = grams.filter(col("doc_id") % benchMod === 0)
         .select("g").distinct()
       grams.filter(col("doc_id") % benchMod =!= 0)
