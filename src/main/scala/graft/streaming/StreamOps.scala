@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Structured Streaming operators (SURVEY §2.5 ST1–ST3).
+/** Structured Streaming operators (SURVEY §2.5 ST1–ST6).
   *
   * All state here is keyed and watermark-bounded, which is what makes
   * the operators safe at scale: state size is O(active keys), expired
@@ -134,4 +134,30 @@ object StreamOps {
          |r.$rightTs <= l.$leftTs + INTERVAL '$within'""".stripMargin))
       .drop(r(key))
   }
+
+  // ---------------------------------------------------------------- ST6
+  /** Streaming incremental ingestion dedup — d9's streaming twin. An
+    * incoming document stream is deduplicated (a) against the STATIC
+    * content-hash ledger of the already-ingested corpus via a left-anti
+    * join (the static side is re-planned per micro-batch, so a refreshed
+    * ledger is picked up without restarting the query; ledger-sized
+    * sides broadcast), then (b) within the stream itself via
+    * watermark-bounded key state. Ingestion state is O(hashes within the
+    * watermark horizon) — the corpus itself is only ever touched through
+    * its ledger, exactly like the batch path.
+    *
+    * @param docs   streaming frame with `textCol` and an event-time col
+    * @param ledger static frame of one column `content_hash`
+    */
+  def incrementalDedup(
+      docs: DataFrame,
+      ledger: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .join(broadcast(ledger), Seq("content_hash"), "left_anti")
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

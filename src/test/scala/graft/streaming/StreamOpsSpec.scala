@@ -176,4 +176,34 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       q.lastProgress.eventTime should not be null
     } finally q.stop()
   }
+
+  test("ST6 streaming incremental dedup: ledger anti-join + in-stream dedup") {
+    import spark.implicits._
+    val in = MemoryStream[(Long, String, Timestamp)](spark)
+    // the already-ingested corpus' content hashes (static side)
+    val ledger = Seq("already ingested doc").toDF("text")
+      .select(md5(col("text")).as("content_hash"))
+    val out = StreamOps.incrementalDedup(
+      in.toDF.toDF("doc_id", "text", "ts"),
+      ledger, textCol = "text", tsCol = "ts",
+      watermarkDelay = "10 seconds")
+
+    val q = out.writeStream.format("memory").queryName("st6")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "already ingested doc", ts(100)), // in ledger → dropped
+        (2L, "fresh doc", ts(101)), // new → kept
+        (3L, "fresh doc", ts(102)), // in-stream dup → dropped
+        (4L, "another fresh", ts(103)))
+      q.processAllAvailable()
+      // a later micro-batch repeating an already-seen hash (within the
+      // watermark horizon) is also dropped
+      in.addData((5L, "fresh doc", ts(104)))
+      q.processAllAvailable()
+      val kept = spark.table("st6").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      kept shouldBe Set(2L, 4L)
+    } finally q.stop()
+  }
 }
