@@ -241,10 +241,11 @@ object TextOps extends QueryGroup {
     * transform expression inline at each element_at site would re-hash
     * the whole word array per gram (O(n²) per doc — measured 4× slower).
     */
-  private[queries] def hashedGrams(d: DataFrame): DataFrame = {
-    val gramHashes = when(size(col("wh")) >= contamN,
-      transform(sequence(lit(1), size(col("wh")) - (contamN - 1)),
-        i => xxhash64((0 until contamN).map(k =>
+  private[queries] def hashedGrams(d: DataFrame,
+      n: Int = contamN): DataFrame = {
+    val gramHashes = when(size(col("wh")) >= n,
+      transform(sequence(lit(1), size(col("wh")) - (n - 1)),
+        i => xxhash64((0 until n).map(k =>
           element_at(col("wh"), i + k)): _*)))
       .otherwise(array())
     d.select(col("doc_id"),
@@ -408,6 +409,45 @@ object TextOps extends QueryGroup {
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------------------------------- T11
+  // Corpus-level novelty: the fraction of a document's distinct word
+  // bigrams that appear in NO other document — low novelty flags
+  // boilerplate/templated text a quality filter should down-weight, high
+  // novelty flags unique content worth keeping (and, inverted, a
+  // memorization-risk signal). Two count aggregations on hashed-long
+  // keys (per-doc distinct bigrams → corpus document frequency → per-doc
+  // unique count); the ratio is a single integer division, so the
+  // DuckDB twin matches bit for bit.
+  private val t11 = QueryDef(
+    "t11_novelty",
+    (s, dir) => {
+      val docBigrams = hashedGrams(docs(s, dir), n = 2)
+        .distinct() // one row per (doc, bigram)
+      val df = docBigrams.groupBy("g")
+        .agg(count(lit(1)).as("df"))
+      docBigrams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_unique"),
+          (col("n_unique").cast("double") /
+            col("n_bigrams").cast("double")).as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+       |bg AS (SELECT DISTINCT doc_id,
+       |  unnest([list_aggregate(words[i:i+1],'string_agg',' ')
+       |          for i in range(1, len(words))]) AS g
+       |  FROM w),
+       |df AS (SELECT g, COUNT(*) AS df FROM bg GROUP BY g)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+       |FROM bg JOIN df USING(g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11)
 }
