@@ -67,9 +67,12 @@ object AudioCodec {
         i += 1
       }
       val n = until - from
-      out(f) = math.min(1.0, 2.0 * math.sqrt(acc / n)).toFloat
+      // clips shorter than `frames` samples leave later frames empty
+      out(f) =
+        if (n == 0) 0f else math.min(1.0, 2.0 * math.sqrt(acc / n)).toFloat
       out(frames + f) =
-        math.min(1.0, 4.0 * zc / math.max(1, n - 1)).toFloat
+        if (n == 0) 0f
+        else math.min(1.0, 4.0 * zc / math.max(1, n - 1)).toFloat
       f += 1
     }
     out
