@@ -20,15 +20,15 @@ import org.apache.spark.util.LongAccumulator
   * is amortized and peak memory is bounded by one batch of payloads —
   * never a whole partition.
   *
-  * IMAGE AND AUDIO DECODE ARE REAL: `kind = "image"` payloads are
-  * decoded with the JDK's `javax.imageio` ([[ImageCodec]] —
-  * PNG/BMP/GIF/JPEG) and `kind = "audio"` with `javax.sound.sampled`
-  * ([[AudioCodec]] — PCM WAV/AU/AIFF), so features and perceptual
-  * hashes come from actual pixels/samples, and two encodings of the
-  * same content dedup together. Video remains on [[StubDecoder]]
-  * (deterministic fake — the JDK ships no video codecs and this
-  * container has no external media libraries); swapping in a real
-  * codec changes only that dispatch arm.
+  * ALL THREE MODALITIES DECODE REAL CONTENT with JDK-only codecs:
+  * images via `javax.imageio` ([[ImageCodec]] — PNG/BMP/GIF/JPEG),
+  * audio via `javax.sound.sampled` ([[AudioCodec]] — PCM WAV/AU/AIFF),
+  * and MJPEG-AVI video via [[AviCodec]] (RIFF container parsing +
+  * per-frame JPEG decode). Features and perceptual hashes come from
+  * actual pixels/samples, so two encodings of the same content dedup
+  * together. [[StubDecoder]] remains only for codecs the JDK cannot
+  * decode (H.264, MP3, …) — the dispatch keys on the asset's `codec`
+  * metadata, so swapping in an external codec changes one arm.
   */
 object BinaryPipeline {
 
@@ -51,13 +51,17 @@ object BinaryPipeline {
   // ---------------------------------------------------------- decoders
 
   /** Per-kind decode dispatch: real pixels for images (`javax.imageio`),
-    * real PCM samples for audio (`javax.sound.sampled`), deterministic
-    * stub for video only. All produce [[StubDecoder.dim]] floats.
+    * real PCM samples for audio (`javax.sound.sampled`), real first-frame
+    * pixels for MJPEG-AVI video ([[AviCodec]]); the deterministic stub
+    * remains only for codecs the JDK cannot decode (H.264 etc.). All
+    * produce [[StubDecoder.dim]] floats.
     */
   private def decodeFeature(a: MediaAsset, salt: Int): Array[Float] =
-    a.kind match {
-      case "image" => ImageCodec.features(a.data)
-      case "audio" => AudioCodec.features(a.data)
+    (a.kind, a.codec) match {
+      case ("image", _) => ImageCodec.features(a.data)
+      case ("audio", _) => AudioCodec.features(a.data)
+      case ("video", "mjpeg") =>
+        ImageCodec.featuresOf(AviCodec.decodeFrame(a.data, 0))
       case _ => StubDecoder.decode(a.data, salt)
     }
 
@@ -107,7 +111,8 @@ object BinaryPipeline {
     * by ImageIO); audio rows carry REAL 16-bit PCM WAV payloads (an
     * id-keyed tone: distinct pitch + loudness per id, so loudness/ZCR
     * features — and therefore perceptual hashes — land far apart);
-    * video rows carry opaque fake bytes for the stub decoder.
+    * video rows carry REAL MJPEG AVI payloads (4 fps of id+frame-keyed
+    * JPEG patterns in a spec-shaped RIFF container).
     */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
     import spark.implicits._
@@ -117,18 +122,23 @@ object BinaryPipeline {
       }
       val w = 64 + (id % 4).toInt * 32
       val toneMs = 120 + (id % 5).toInt * 60
+      val videoMs = 1000L * (1 + id % 5)
       val bytes = kind match {
         case "image" => ImageCodec.encode(syntheticImage(id, w, 64), "png")
         case "audio" => AudioCodec.synthTone(
           hz = 200 + 37.0 * (id % 40), ms = toneMs,
           amplitude = 0.2 + 0.06 * (id % 10))
-        case _ => Array.tabulate[Byte](64 + (id % 7).toInt * 16)(i =>
-          ((id * 131 + i * 7) % 251).toByte)
+        case _ =>
+          // real MJPEG AVI at 4 fps: one JPEG frame per 250 ms, each an
+          // id+frame-keyed pattern (distinct frames, distinct assets)
+          val frames = (0 until (videoMs / 250).toInt).map(f =>
+            AviCodec.jpeg(syntheticImage(id * 1000 + f, w, 64)))
+          AviCodec.write(frames, w, 64, fps = 4)
       }
       val (durationMs, codec) = kind match {
         case "image" => (0L, "png")
         case "audio" => (toneMs.toLong, "pcm_s16le")
-        case _ => (1000L * (1 + id % 5), "stub")
+        case _ => (videoMs, "mjpeg")
       }
       MediaAsset(id, kind, w, 64, durationMs, codec, bytes)
     }
@@ -182,9 +192,13 @@ object BinaryPipeline {
   // ------------------------------------------------------------- MM2
 
   /** Frame-sample + resize pipeline over video assets: every
-    * `frameEveryMs` one frame is "decoded" (stub: salted by frame index)
-    * at the target resolution. Output is long-format (one row per
-    * frame), which keeps downstream aggregation distributable.
+    * `frameEveryMs` one frame is decoded at the target resolution.
+    * MJPEG-AVI payloads take the REAL path — the RIFF container is
+    * parsed once per asset, the stored frame nearest each sample tick
+    * is JPEG-decoded, bilinear-resized to (resizeW, resizeH) and
+    * featurized from actual pixels; non-JDK codecs fall back to the
+    * stub. Output is long-format (one row per frame), which keeps
+    * downstream aggregation distributable.
     */
   def sampleFrames(assets: Dataset[MediaAsset], frameEveryMs: Long,
       resizeW: Int, resizeH: Int, batchSize: Int = 32): Dataset[FrameFeature] = {
@@ -193,11 +207,23 @@ object BinaryPipeline {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { a =>
           val nFrames = math.max(1L, a.durationMs / frameEveryMs).toInt
-          (0 until nFrames).iterator.map { f =>
-            // salt mixes frame index and target size — a real decoder
-            // would seek to frame f and resize to (resizeW, resizeH)
-            FrameFeature(a.assetId, f, resizeW, resizeH,
-              StubDecoder.decode(a.data, salt = f * 31 + resizeW * 7 + resizeH))
+          if (a.codec == "mjpeg") {
+            val stored = AviCodec.frames(a.data) // parse the RIFF once
+            val msPerStored = a.durationMs.toDouble / stored.size
+            (0 until nFrames).iterator.map { f =>
+              val idx = math.min(stored.size - 1,
+                (f * frameEveryMs / msPerStored).toInt)
+              val img = ImageCodec.resize(ImageCodec.read(stored(idx)),
+                resizeW, resizeH)
+              FrameFeature(a.assetId, f, resizeW, resizeH,
+                ImageCodec.featuresOf(img))
+            }
+          } else {
+            (0 until nFrames).iterator.map { f =>
+              FrameFeature(a.assetId, f, resizeW, resizeH,
+                StubDecoder.decode(a.data,
+                  salt = f * 31 + resizeW * 7 + resizeH))
+            }
           }
         }
       }
@@ -229,9 +255,12 @@ object BinaryPipeline {
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { a =>
-          val h =
-            if (a.kind == "image") ImageCodec.aHash64(a.data)
-            else thresholdHash64(decodeFeature(a, salt = 0))
+          val h = (a.kind, a.codec) match {
+            case ("image", _) => ImageCodec.aHash64(a.data)
+            case ("video", "mjpeg") => // visual hash of the first frame
+              ImageCodec.aHash64Of(AviCodec.decodeFrame(a.data, 0))
+            case _ => thresholdHash64(decodeFeature(a, salt = 0))
+          }
           AssetHash(a.assetId, h)
         }
       }

@@ -55,8 +55,11 @@ object ImageCodec {
   /** Feature vector: resize to the tile grid, one mean-luminance float
     * in [0,1] per tile, row-major.
     */
-  def features(bytes: Array[Byte]): Array[Float] = {
-    val small = resize(read(bytes), tiles, tiles)
+  def features(bytes: Array[Byte]): Array[Float] = featuresOf(read(bytes))
+
+  /** [[features]] over an already-decoded image (video frame path). */
+  def featuresOf(img: BufferedImage): Array[Float] = {
+    val small = resize(img, tiles, tiles)
     val out = new Array[Float](dim)
     var y = 0
     var i = 0
@@ -85,8 +88,11 @@ object ImageCodec {
     * aHashes tracks visual difference, so [[graft.operators.HammingNearDup]]
     * blocks/verifies it exactly like text SimHash.
     */
-  def aHash64(bytes: Array[Byte]): Long = {
-    val small = resize(read(bytes), 8, 8)
+  def aHash64(bytes: Array[Byte]): Long = aHash64Of(read(bytes))
+
+  /** [[aHash64]] over an already-decoded image (video frame path). */
+  def aHash64Of(img: BufferedImage): Long = {
+    val small = resize(img, 8, 8)
     val lum = new Array[Double](64)
     var i = 0
     var sum = 0.0

@@ -159,6 +159,33 @@ class BinaryPipelineSpec extends AnyFunSuite with Matchers {
     out.toByteArray
   }
 
+  test("MM2 real video: MJPEG AVI round-trips through the RIFF parser") {
+    // build a 3-frame MJPEG AVI and get the frames back in order
+    val imgs = (0 until 3).map(f =>
+      BinaryPipeline.syntheticImage(9000 + f, 64, 48))
+    val avi = AviCodec.write(imgs.map(AviCodec.jpeg), 64, 48, fps = 4)
+    val back = AviCodec.frames(avi)
+    back.size shouldBe 3
+    // JPEG is lossy but the black/white block pattern survives: the
+    // decoded frame's features match the source image's within noise
+    (0 until 3).foreach { f =>
+      val dec = ImageCodec.featuresOf(AviCodec.decodeFrame(avi, f))
+      val src = ImageCodec.featuresOf(imgs(f))
+      dec.zip(src).foreach { case (a, b) =>
+        a shouldBe b +- 0.05f
+      }
+    }
+    // and the perceptual hash of each decoded frame equals the source's
+    (0 until 3).foreach { f =>
+      ImageCodec.aHash64Of(AviCodec.decodeFrame(avi, f)) shouldBe
+        ImageCodec.aHash64Of(imgs(f))
+    }
+    // non-AVI payloads are rejected, not misparsed
+    intercept[IllegalArgumentException] {
+      AviCodec.frames("not a riff file at all".getBytes)
+    }
+  }
+
   test("MM2 real resize: featuresAt decodes at the target frame size") {
     val img = BinaryPipeline.syntheticImage(3, 128, 64)
     val bytes = ImageCodec.encode(img, "png")
