@@ -83,9 +83,10 @@ object BinaryPipeline {
     h
   }
 
-  /** STUB — stands in for a real AUDIO/VIDEO decoder only (images go
-    * through [[ImageCodec]]). Fully deterministic in (bytes, salt) so
-    * specs can assert exact results.
+  /** STUB — stands in only for codecs the JDK cannot decode (H.264,
+    * MP3, …); images, PCM audio and MJPEG video go through the real
+    * codecs. Fully deterministic in (bytes, salt) so specs can assert
+    * exact results.
     */
   object StubDecoder {
     val dim = 16
