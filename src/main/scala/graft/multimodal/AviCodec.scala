@@ -32,11 +32,12 @@ object AviCodec {
       var p = from
       while (p + 8 <= until) {
         val id = fourcc(bytes, p)
-        val size = u32(bytes, p + 4)
+        // clamp malformed/truncated sizes instead of running off the end
+        val size = math.max(0, math.min(u32(bytes, p + 4), until - p - 8))
         val dataStart = p + 8
         if (id == "RIFF" || id == "LIST") {
           // list body = fourcc + sub-chunks
-          walk(dataStart + 4, math.min(dataStart + size, until))
+          walk(dataStart + 4, dataStart + size)
         } else if (id == "00dc" || id == "00db") {
           out += java.util.Arrays.copyOfRange(bytes, dataStart,
             dataStart + size)
