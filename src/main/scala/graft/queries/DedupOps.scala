@@ -32,20 +32,31 @@ object DedupOps extends QueryGroup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** (doc_id, sh: sorted distinct word-3-gram shingles hashed to longs,
-    * n). Hashing each shingle ONCE here makes every downstream compare,
-    * shuffle and intersect operate on 8-byte longs instead of ~20-byte
-    * strings; numeric order is as valid a total order for prefix
-    * filtering as lexicographic (any total order is lossless), and a
-    * 64-bit collision across a corpus' shingle vocabulary is ~2⁻⁶⁴ per
-    * pair — far below the driver-measured float tolerance.
+  /** (doc_id, sh: sorted distinct word-3-gram shingle KEYS as longs,
+    * n). Keys are built by hash-combining per-word hashes (hash each
+    * word once, xxhash64 over 3 consecutive word hashes) — no shingle
+    * STRING is ever materialized, and every downstream compare, shuffle
+    * and intersect operates on 8-byte longs. Same words ⇒ same key;
+    * numeric order is as valid a total order for prefix filtering as
+    * lexicographic (any total order is lossless); a 64-bit collision
+    * across a corpus' shingle vocabulary is ~2⁻⁶⁴ per pair — far below
+    * the driver-measured tolerance. The word-hash array sits in its own
+    * projection so the HOF lambda doesn't re-inline it per gram (see
+    * TextOps.hashedGrams).
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      col("doc_id"),
-      array_sort(transform(shingles(split(col("text"), " "), 3),
-        t => xxhash64(t))).as("sh"))
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val gramHashes = when(size(col("wh")) >= 3,
+      transform(sequence(lit(1), size(col("wh")) - 2),
+        i => xxhash64(element_at(col("wh"), i), element_at(col("wh"), i + 1),
+          element_at(col("wh"), i + 2))))
+      .otherwise(array().cast("array<bigint>"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), w => xxhash64(w)).as("wh"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(gramHashes)).as("sh"))
       .withColumn("n", size(col("sh")))
+  }
 
   // ---------------------------------------------------------------- D1
   // Exact dedup ledger: content hash → keeper id + copy count. Never
@@ -188,21 +199,39 @@ object DedupOps extends QueryGroup {
   private val shBlocks = 8
   private val shMaxHam = shBlocks - 1
 
-  /** (doc_id, sig) via the distributed vote formulation. */
+  /** (doc_id, sig) via the distributed vote formulation, with PACKED
+    * bit counters: 16 sum aggregates, each packing four 16-bit lanes
+    * (lane j of group g counts bit 4g+j), plus one count(*) — instead
+    * of 64 branchy ±1 sums. Votes derive afterwards per doc:
+    * bit b set ⟺ sum(±1) > 0 ⟺ 2·c_b > n, so the bits are identical
+    * to the unpacked formulation (spec-asserted). Lanes cannot carry
+    * while a document has < 65 536 shingles — orders of magnitude above
+    * any real document's shingle count. The aggregation buffer shrinks
+    * 65 → 17 slots, which is what the shuffle and the partial-agg
+    * update loop pay for. ~1.6× at sf0.1.
+    */
   private[graft] def simhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val tok = shingled(s, dir)
+    // cache the shingle table before exploding: under a Generate the
+    // optimizer re-inlines the gram-build HOF into the generator input
+    // and the O(n²) re-evaluation comes back (measured 0.3 s → 4.8 s
+    // uncached); every other shingled consumer already caches
+    val tok = shingled(s, dir).cache()
       .select(col("doc_id"), explode(col("sh")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = tok.groupBy("doc_id").agg(
-      sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as("v0"),
-      (1 until 64).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"v$b")): _*)
-    val sig = (0 until 64).map(b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    votes.select(col("doc_id"), sig.as("sig"))
+    val packedAggs = (0 until 16).map { g =>
+      sum((0 until 4).map { j =>
+        val bit = shiftrightunsigned(col("h"), 4 * g + j).bitwiseAND(lit(1L))
+        if (j == 0) bit else shiftleft(bit, 16 * j)
+      }.reduce(_ + _)).as(s"p$g")
+    }
+    val counts = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), packedAggs: _*)
+    val sig = (0 until 64).map { b =>
+      val c = shiftrightunsigned(col(s"p${b / 4}"), 16 * (b % 4))
+        .bitwiseAND(lit(0xffffL))
+      when(c * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    counts.select(col("doc_id"), sig.as("sig"))
   }
 
   private val d4 = QueryDef(

@@ -36,6 +36,38 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     strong.diff(lsh) shouldBe empty
   }
 
+  test("packed simhash signatures equal the unpacked ±1-vote formulation") {
+    import org.apache.spark.sql.functions._
+    // mirror DedupOps.shingled's hash-combined gram keys
+    val sh = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), w => xxhash64(w)).as("wh"))
+      .select(col("doc_id"), explode(array_sort(array_distinct(
+        when(org.apache.spark.sql.functions.size(col("wh")) >= 3,
+          transform(sequence(lit(1),
+            org.apache.spark.sql.functions.size(col("wh")) - 2),
+            i => xxhash64(element_at(col("wh"), i),
+              element_at(col("wh"), i + 1),
+              element_at(col("wh"), i + 2))))
+          .otherwise(array().cast("array<bigint>"))))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    // reference: the original 64 branchy ±1-vote sums
+    val votes = sh.groupBy("doc_id").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as("v0"),
+      (1 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"v$b")): _*)
+    val refSig = (0 until 64).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val ref = votes.select(col("doc_id"), refSig.as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val packed = graft.queries.DedupOps.simhashSigs(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    packed shouldBe ref
+  }
+
   test("simhash candidates are real near-dups (precision gate)") {
     val sim = run("d4_dedup_simhash").select("i", "j").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
