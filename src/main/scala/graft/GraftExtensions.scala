@@ -29,7 +29,8 @@ object GraftExtensions {
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[FloatVecDot].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[FloatVecDot].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("vec_dot"),

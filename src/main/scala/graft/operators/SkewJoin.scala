@@ -26,7 +26,7 @@ object SkewJoin {
     // deterministic uniform salt: hash of the whole big row spreads even
     // single-key data; monotonically_increasing_id would break retries
     val salted = big.withColumn(saltCol,
-      pmod(hash(big.columns.map(col): _*), lit(buckets)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val replicated = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, saltCol)).drop(saltCol)

@@ -55,7 +55,7 @@ object TimeOps {
     // align column sets (left-only columns become null on the right)
     val r = leftCols.filterNot(r0.columns.contains).foldLeft(r0) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
 
     // at equal __ts the right row sorts first (__src 0 < 1) ⇒ visible to
     // the left row's running window: at-or-before. Payload columns extend
