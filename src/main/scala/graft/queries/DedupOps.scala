@@ -472,6 +472,55 @@ object DedupOps extends QueryGroup {
        |WHERE content_hash NOT IN (SELECT content_hash FROM ledger)
        |GROUP BY content_hash ORDER BY content_hash""".stripMargin))
 
+  // --------------------------------------------------------------- D10
+  // Semantic cluster assignment: connected components over the EXACT
+  // embedding-cosine pair graph (d5's edges), every vector labeled with
+  // the min vec_id of its component — d6's semantic twin, the "group
+  // then keep one" step of embedding-based dedup. Same scale shape:
+  // edge-restricted min-label propagation, O(log diameter) rounds.
+  // Oracle: recursive CTE over d5's bit-exact cosine CTEs.
+  private val d10 = QueryDef(
+    "d10_dedup_semantic_clusters",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.norm(col("embedding")).as("nrm"))
+      val pairs = e.as("a").join(broadcast(e.as("b")),
+        col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          (VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))).as("cosine"))
+        .filter(col("cosine") >= cosT)
+        .select("src", "dst")
+      val nodes = e.select(col("vec_id").as("id"))
+      graft.operators.ConnectedComponents.run(nodes, pairs)
+        .select(col("id").as("vec_id"), col("component").as("cluster"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(0.0,
+       |      [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE)
+       |       for i in range(1, len(embedding)+1)]), (x,y) -> x+y)) AS nrm
+       |  FROM embeddings
+       |), good AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE list_reduce(list_prepend(0.0,
+       |      [(a.embedding[i]::DOUBLE)*(b.embedding[i]::DOUBLE)
+       |       for i in range(1, len(a.embedding)+1)]), (x,y) -> x+y)
+       |      / (a.nrm * b.nrm) >= $cosT
+       |),
+       |edges AS (SELECT i AS a, j AS b FROM good
+       |          UNION ALL SELECT j, i FROM good),
+       |reach AS (
+       |  SELECT vec_id AS node, vec_id AS lab FROM embeddings
+       |  UNION
+       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+       |)
+       |SELECT node AS vec_id, MIN(lab) AS cluster
+       |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)
 }
