@@ -393,38 +393,50 @@ object DedupOps extends QueryGroup {
   // n² isn't an option.
   private val d8Bits = 4
   private val d8Tables = 8
-  private val d8 = QueryDef(
-    "d8_dedup_embedding_lsh",
-    (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val b = e.select(Seq(col("vec_id"), col("embedding")) ++
-        (0 until d8Tables).map(t =>
-          VectorFunctions.hyperplaneSignature(col("embedding"), d8Bits,
-            0xd8 + t).as(s"h$t")): _*)
-        .select(col("vec_id"),
-          posexplode(array((0 until d8Tables).map(t => col(s"h$t")): _*)))
-        .toDF("vec_id", "table", "bucket")
-      val cand = graft.sources.VerifyTap(
-        b.as("a").join(b.as("b"),
-          col("a.table") === col("b.table") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-          .distinct(),
-        "d8_cand", coalesce = false)
-      val withVecs = cand
-        .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
-        .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
-      withVecs
-        .select(col("i"), col("j"),
-          VectorFunctions.cosine(col("ea"), col("eb")).as("cosine"))
-        .filter(col("cosine") >= cosT)
-        .orderBy("i", "j")
-    },
-    Some(s"""WITH cand AS (
+
+  /** Verified embedding near-dup pairs via hyperplane-LSH bucketing —
+    * the scale-path pair generator shared by d8 (reported directly) and
+    * d10 (edge set for semantic clustering). Candidates are an equi-join
+    * on (table, bucket); exact cosine verifies; the candidate set is
+    * materialized under `tap` so each consumer gets its own
+    * hash-verifiable two-stage oracle.
+    */
+  private def lshCosinePairs(s: SparkSession, dir: String,
+      tap: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val b = e.select(Seq(col("vec_id"), col("embedding")) ++
+      (0 until d8Tables).map(t =>
+        VectorFunctions.hyperplaneSignature(col("embedding"), d8Bits,
+          0xd8 + t).as(s"h$t")): _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until d8Tables).map(t => col(s"h$t")): _*)))
+      .toDF("vec_id", "table", "bucket")
+    val cand = graft.sources.VerifyTap(
+      b.as("a").join(b.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+        .distinct(),
+      tap, coalesce = false)
+    val withVecs = cand
+      .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
+    withVecs
+      .select(col("i"), col("j"),
+        VectorFunctions.cosine(col("ea"), col("eb")).as("cosine"))
+      .filter(col("cosine") >= cosT)
+  }
+
+  /** Oracle CTE block re-running exact cosine over a materialized
+    * candidate tap: `cand` (the tapped pairs) and `scored` (the s1-style
+    * bit-exact left-to-right double fold). Shared by d8/d10.
+    */
+  private def lshScoredCtes(tap: String): String =
+    s"""cand AS (
        |  SELECT i, j
-       |  FROM read_parquet('${graft.sources.VerifyTap.root}/d8_cand/*.parquet')
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/$tap/*.parquet')
        |), scored AS (
        |  SELECT i, j,
        |    list_reduce(list_prepend(0.0, [(a.embedding[k]::DOUBLE)*(b.embedding[k]::DOUBLE) for k in range(1, len(a.embedding)+1)]), (x,y) -> x+y)
@@ -432,7 +444,12 @@ object DedupOps extends QueryGroup {
        |      * sqrt(list_reduce(list_prepend(0.0, [(b.embedding[k]::DOUBLE)*(b.embedding[k]::DOUBLE) for k in range(1, len(b.embedding)+1)]), (x,y) -> x+y)) ) AS cosine
        |  FROM cand
        |  JOIN embeddings a ON a.vec_id = i JOIN embeddings b ON b.vec_id = j
-       |)
+       |)""".stripMargin
+
+  private val d8 = QueryDef(
+    "d8_dedup_embedding_lsh",
+    (s, dir) => lshCosinePairs(s, dir, "d8_cand").orderBy("i", "j"),
+    Some(s"""WITH ${lshScoredCtes("d8_cand")}
        |SELECT i, j, cosine FROM scored
        |WHERE cosine >= $cosT ORDER BY i, j""".stripMargin))
 
@@ -473,44 +490,31 @@ object DedupOps extends QueryGroup {
        |GROUP BY content_hash ORDER BY content_hash""".stripMargin))
 
   // --------------------------------------------------------------- D10
-  // Semantic cluster assignment: connected components over the EXACT
-  // embedding-cosine pair graph (d5's edges), every vector labeled with
-  // the min vec_id of its component — d6's semantic twin, the "group
-  // then keep one" step of embedding-based dedup. Same scale shape:
+  // Semantic cluster assignment AT SCALE: connected components over the
+  // LSH-bucketed embedding-cosine pair graph (d8's verified edges),
+  // every vector labeled with the min vec_id of its component — d6's
+  // semantic twin, the "group then keep one" step of embedding-based
+  // dedup. Nothing here is all-pairs: edges come from the (table,
+  // bucket) equi-join + exact-cosine verify, and the CC loop is
   // edge-restricted min-label propagation, O(log diameter) rounds.
-  // Oracle: recursive CTE over d5's bit-exact cosine CTEs.
+  // Oracle: recursive CTE over the tapped candidates — DuckDB re-runs
+  // the exact-cosine verify AND the transitive closure, so both the
+  // edge set and the clustering are hash-verified. The exact all-pairs
+  // twin ([[exactSemanticClusters]]) stays as the recall yardstick in
+  // DedupConsistencySpec.
   private val d10 = QueryDef(
     "d10_dedup_semantic_clusters",
     (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          VectorFunctions.norm(col("embedding")).as("nrm"))
-      val pairs = e.as("a").join(broadcast(e.as("b")),
-        col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-          (VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
-            (col("a.nrm") * col("b.nrm"))).as("cosine"))
-        .filter(col("cosine") >= cosT)
-        .select("src", "dst")
-      val nodes = e.select(col("vec_id").as("id"))
-      graft.operators.ConnectedComponents.run(nodes, pairs)
+      val edges = lshCosinePairs(s, dir, "d10_cand")
+        .select(col("i").as("src"), col("j").as("dst"))
+      val nodes = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"))
+      graft.operators.ConnectedComponents.run(nodes, edges)
         .select(col("id").as("vec_id"), col("component").as("cluster"))
         .orderBy("vec_id")
     },
-    Some(s"""WITH RECURSIVE n AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(list_reduce(list_prepend(0.0,
-       |      [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE)
-       |       for i in range(1, len(embedding)+1)]), (x,y) -> x+y)) AS nrm
-       |  FROM embeddings
-       |), good AS (
-       |  SELECT a.vec_id AS i, b.vec_id AS j
-       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |  WHERE list_reduce(list_prepend(0.0,
-       |      [(a.embedding[i]::DOUBLE)*(b.embedding[i]::DOUBLE)
-       |       for i in range(1, len(a.embedding)+1)]), (x,y) -> x+y)
-       |      / (a.nrm * b.nrm) >= $cosT
-       |),
+    Some(s"""WITH RECURSIVE ${lshScoredCtes("d10_cand")},
+       |good AS (SELECT i, j FROM scored WHERE cosine >= $cosT),
        |edges AS (SELECT i AS a, j AS b FROM good
        |          UNION ALL SELECT j, i FROM good),
        |reach AS (
@@ -520,6 +524,28 @@ object DedupOps extends QueryGroup {
        |)
        |SELECT node AS vec_id, MIN(lab) AS cluster
        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin))
+
+  /** The exact all-pairs twin of d10 (d5's edge set + the same CC) —
+    * not shipped as a query (the broadcast nested loop is the plan that
+    * dies at 100×); kept as the recall yardstick DedupConsistencySpec
+    * measures d10's LSH clustering against.
+    */
+  private[graft] def exactSemanticClusters(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+    val pairs = e.as("a").join(broadcast(e.as("b")),
+      col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        (VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= cosT)
+      .select("src", "dst")
+    val nodes = e.select(col("vec_id").as("id"))
+    graft.operators.ConnectedComponents.run(nodes, pairs)
+      .select(col("id").as("vec_id"), col("component").as("cluster"))
+  }
 
   override val queries: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)

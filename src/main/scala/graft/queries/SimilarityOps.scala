@@ -18,11 +18,11 @@ import graft.sources.Tables
   * codegen'd HOF fold in double precision with a fixed left-to-right
   * order, which is why S1 can be DuckDB-oracle-exact bit for bit.
   *
-  * Top-k: s1 ranks with a window (its oracle mirrors ROW_NUMBER
-  * bit-for-bit); s2/s3 use the custom bounded-heap aggregate
+  * Top-k: all three rank via the custom bounded-heap aggregate
   * ([[graft.functions.TopKByScore]]) whose map-side partial aggregation
   * ships ≤ K rows per partition per query — the skew-safe shape for
-  * approximate search at 100 TB.
+  * search at 100 TB. The oracles mirror the identical rank rule with
+  * ROW_NUMBER, so results stay bit-exact.
   */
 object SimilarityOps extends QueryGroup {
 
@@ -32,24 +32,12 @@ object SimilarityOps extends QueryGroup {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
 
-  /** Window top-k: exact rank semantics `(cosine desc, vec_id asc)` —
-    * used by s1, whose DuckDB oracle mirrors ROW_NUMBER exactly.
-    */
-  private def topK(scored: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("cosine"))
-      .orderBy("qid", "rank")
-  }
-
-  /** Aggregate top-k via [[TopKAggregate]] (same ranking rule): the
-    * shuffle carries ≤ K rows per partition per query instead of every
-    * scored candidate — the shape s2/s3 need at 100 TB, where a hot
-    * query's candidate list would otherwise pile onto one reducer.
+  /** Aggregate top-k via [[TopKAggregate]] — rank semantics
+    * `(cosine desc, vec_id asc)`, identical to the ROW_NUMBER window
+    * idiom the oracles mirror, but the shuffle carries ≤ K rows per
+    * partition per query instead of every scored candidate. Used by all
+    * of s1/s2/s3: at 100 TB a per-qid window would funnel a query's
+    * whole candidate list through one reducer; the heap partial-aggs.
     */
   private def topKAgg(scored: DataFrame): DataFrame =
     scored.groupBy("qid")
@@ -62,8 +50,10 @@ object SimilarityOps extends QueryGroup {
 
   // ---------------------------------------------------------------- S1
   // Exact brute-force: broadcast the 8 query vectors, score every data
-  // vector (one scan pass), window top-k. The DuckDB oracle reproduces
-  // the identical double fold, so ranks + cosines match exactly.
+  // vector (one scan pass), bounded-heap top-k. The DuckDB oracle
+  // reproduces the identical double fold and the same (cosine desc,
+  // vec_id asc) rank rule via ROW_NUMBER, so ranks + cosines match
+  // exactly while the Spark shuffle stays ≤ K rows per partition.
   private val s1 = QueryDef(
     "s1_ann_bruteforce",
     (s, dir) => {
@@ -73,7 +63,7 @@ object SimilarityOps extends QueryGroup {
       val scored = e.join(broadcast(q), col("qid") =!= col("vec_id"))
         .withColumn("cosine", cosine(col("qe"), col("embedding")))
         .select("qid", "vec_id", "cosine")
-      topK(scored)
+      topKAgg(scored)
     },
     Some(s"""WITH q AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQ

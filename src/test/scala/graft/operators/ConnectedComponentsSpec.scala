@@ -84,6 +84,29 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("reliable checkpoint mode yields identical labels and writes rounds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val nodes = (0L until 500L).toDF("id")
+      val edges = (0L until 499L).map(i => (i, i + 1)).toDF("src", "dst")
+      val out = ConnectedComponents.run(nodes, edges,
+        checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      out.values.toSet shouldBe Set(0L)
+      out.size shouldBe 500
+      // rounds really went through the reliable store, not executor RAM
+      def rddFiles(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(rddFiles).sum
+        else if (f.getName.startsWith("part-")) 1 else 0
+      rddFiles(new java.io.File(dir)) should be > 0
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("a 20k-node chain converges within the O(log diameter) budget") {
     // diameter 20000: plain min-propagation needs ~20000 rounds;
     // pointer jumping must land well under 2·log2(20000) ≈ 29

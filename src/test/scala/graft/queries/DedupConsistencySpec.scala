@@ -96,6 +96,29 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     cands.toDouble / (n * (n - 1) / 2) should be <= 0.5
   }
 
+  test("d10 LSH semantic clusters refine the exact clustering, with recall") {
+    def coClustered(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] = {
+      val byCluster = rows.map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._2).values
+      byCluster.flatMap { members =>
+        val ids = members.map(_._1).toSeq.sorted
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+    }
+    val lsh = coClustered(
+      run("d10_dedup_semantic_clusters").select("vec_id", "cluster").collect())
+    val exact = coClustered(
+      graft.queries.DedupOps.exactSemanticClusters(spark, TestSpark.sfDir)
+        .select("vec_id", "cluster").collect())
+    // LSH edges ⊆ exact edges, so LSH clusters REFINE the exact ones:
+    // every co-clustered LSH pair must be exactly co-clustered too
+    lsh.subsetOf(exact) shouldBe true
+    // cluster-level recall: co-clustered relationships preserved (same
+    // b=4, L=8 regime as the d8 pair-recall gate)
+    exact should not be empty
+    lsh.size.toDouble / exact.size should be >= 0.6
+  }
+
   test("q11 approximate distincts stay within the promised error bound") {
     val rows = run("q11_approx_count_distinct").collect()
     rows should not be empty
