@@ -455,25 +455,52 @@ object DedupOps extends QueryGroup {
 
   // ---------------------------------------------------------------- D9
   // Incremental ingestion dedup — the daily-batch shape of d1: today's
-  // batch (one source) is deduplicated (a) against the content-hash
-  // ledger of the ALREADY-INGESTED corpus via a left-anti join, then
-  // (b) within itself. At 100 TB the ledger join is a shuffle hash join
-  // on 32-char hashes (broadcast when the ledger fits); the batch side
-  // streams — the corpus is never rescanned beyond its ledger, which is
-  // the property that makes daily ingestion O(batch), not O(corpus).
+  // batch (one source) is deduplicated (a) against the PERSISTED
+  // content-hash ledger of the already-ingested corpus via a left-anti
+  // join, then (b) within itself. The ledger is a real table maintained
+  // by [[graft.migrate.BulkCopy.upsertTable]] (idempotent MERGE on
+  // content_hash) by each ingest run — here the refresh job simulates
+  // yesterday's ingests, then the dedup plan reads ONLY the ledger
+  // table and the batch rows (source = 'src0' is pushed to the
+  // documents scan; PlanSpec asserts both properties). At 100 TB the
+  // ledger join is a shuffle hash join on 32-char hashes (broadcast
+  // when the ledger fits); the batch side streams — the corpus is never
+  // rescanned beyond its ledger, which is what makes daily ingestion
+  // O(batch), not O(corpus). Oracle: DuckDB re-derives the ledger from
+  // scratch, so a hash match proves the persisted-table path equals the
+  // from-scratch derivation.
+  private[graft] val d9LedgerTable = "graft_d9_ledger"
+
+  /** The dedup step itself — the plan a daily ingest run executes:
+    * ledger-table anti-join + within-batch collapse. Touches the ledger
+    * table and the batch rows only.
+    */
+  private[graft] def incrementalDedup(s: SparkSession, batch: DataFrame,
+      ledgerTable: String): DataFrame =
+    batch
+      .withColumn("content_hash", md5(col("text")))
+      .join(s.table(ledgerTable).select("content_hash"),
+        Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
   private val d9 = QueryDef(
     "d9_dedup_incremental",
     (s, dir) => {
       val all = docs(s, dir)
-      val batch = all.filter(col("source") === "src0")
-      val ledger = all.filter(col("source") =!= "src0")
+      // yesterday's ingest runs: maintain the persisted ledger. The
+      // bootstrap writes the table; re-runs MERGE into it (idempotent).
+      val prior = all.filter(col("source") =!= "src0")
         .select(md5(col("text")).as("content_hash")).distinct()
-      batch
-        .withColumn("content_hash", md5(col("text")))
-        .join(ledger, Seq("content_hash"), "left_anti")
-        .groupBy("content_hash")
-        .agg(min(col("doc_id")).as("keep_id"),
-          count(lit(1)).as("n_copies"))
+      if (!s.catalog.tableExists(d9LedgerTable))
+        prior.write.mode("overwrite").saveAsTable(d9LedgerTable)
+      else
+        graft.migrate.BulkCopy.upsertTable(s, d9LedgerTable, prior,
+          Seq("content_hash"))
+      // today's batch: the returned plan scans ledger + batch only
+      incrementalDedup(s, all.filter(col("source") === "src0"),
+        d9LedgerTable)
         .orderBy("content_hash")
     },
     Some("""WITH ledger AS (

@@ -64,6 +64,15 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p4.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
   }
 
+  test("d9: dedup plan reads the persisted ledger; batch filter is pushed") {
+    val p = plan("d9_dedup_incremental")
+    // the anti-join probes the ledger TABLE, not a re-derivation
+    p should include("graft_d9_ledger")
+    // today's batch is the only documents scan, with the source pushed
+    p should include("EqualTo(source,src0)")
+    p.linesIterator.count(_.contains("Scan parquet")) shouldBe 2
+  }
+
   test("every declared query builds and stays lazy (no driver collect)") {
     SparkEntry.queries.keys.foreach { name =>
       noException should be thrownBy
