@@ -538,22 +538,45 @@ object Analytic extends QueryGroup {
   // --------------------------------------------------------------- Q37
   // Sketch-based percentiles (Greenwald-Khanna via approx_percentile):
   // the 100 TB path for q23's exact quantiles — single partial-agg pass,
-  // mergeable fixed-size sketch per group, no global sort. Rows-only
-  // (sketch internals differ per engine); the rank-error bound vs the
-  // exact quantiles is asserted in ApproxSpec.
+  // mergeable fixed-size sketch per group, no global sort. Sketch
+  // internals differ per engine, so the oracle is BOUND-CHECKED: GK at
+  // accuracy 5000 returns an element whose RANK is within n/5000 of the
+  // target, and the plan verifies exactly that — it joins the sketch
+  // output back to the rows, counts rank(v) = |{x ≤ v}| per group, and
+  // emits pXX_ok = |rank − p·n| ≤ 2n/5000 + 4 (2× the promised error
+  // plus discreteness slack). The oracle reproduces n and asserts both
+  // flags are 1, so the driver hash-verifies the rank-error bound held
+  // on real data.
   private val q37 = QueryDef(
     "q37_approx_percentiles",
-    (s, dir) =>
-      t(s, dir, "orders")
-        .groupBy(col("o_orderpriority"))
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"))
+      val sk = o.groupBy(col("o_orderpriority"))
         .agg(
           percentile_approx(col("o_totalprice"), lit(0.5), lit(5000))
             .as("p50"),
           percentile_approx(col("o_totalprice"), lit(0.9), lit(5000))
-            .as("p90"),
-          count(lit(1)).as("n"))
-        .orderBy(col("o_orderpriority")),
-    None)
+            .as("p90"))
+      def rankOk(rank: Column, p: Double): Column =
+        (abs(rank.cast(DoubleType) - col("n") * p) <=
+          col("n") * 2.0 / 5000.0 + 4.0).cast("bigint")
+      o.join(broadcast(sk), "o_orderpriority")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L))
+            .as("r50"),
+          sum(when(col("o_totalprice") <= col("p90"), 1L).otherwise(0L))
+            .as("r90"))
+        .select(col("o_orderpriority"), col("n"),
+          rankOk(col("r50"), 0.5).as("p50_ok"),
+          rankOk(col("r90"), 0.9).as("p90_ok"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin))
 
   override val queries: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,

