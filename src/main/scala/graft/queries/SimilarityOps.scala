@@ -144,14 +144,24 @@ object SimilarityOps extends QueryGroup {
     Some(rerankOracle("s2_cand")))
 
   // ---------------------------------------------------------------- S3
-  // IVF: 16 coarse cells. Centroids seeded from the first 16 vectors,
-  // refined with one distributed Lloyd iteration (posexplode → per-dim
-  // mean → regroup); every vector is assigned to its nearest cell;
-  // queries probe their nprobe=2 nearest cells. Centroids stay a
+  // IVF: 16 coarse cells. The coarse quantizer is TRAINED, not guessed:
+  // seeds are a deterministic pseudo-random draw (the 16 vectors
+  // minimizing a salted hash of vec_id — uniform over the corpus,
+  // reproducible run to run), refined with 3 distributed Lloyd
+  // iterations over a 25% hash-sample of the corpus (train-on-sample is
+  // the 100 TB shape: quantizer training never scans the full corpus,
+  // which is touched once for the final assignment). Each iteration's
+  // 16-row centroid table is checkpointed so iteration i doesn't replan
+  // iterations < i. Every vector is then assigned to its nearest cell;
+  // queries probe their nprobe=4 nearest cells. Centroids stay a
   // broadcast-size model at any data scale. Oracle: same candidate-tap
-  // re-rank scheme as s2 (DuckDB verifies cosine + top-k above the tap).
+  // re-rank scheme as s2 (DuckDB verifies cosine + top-k above the
+  // tap); recall@10 vs s1 is measured and floored in AnnRecallSpec:
+  // 0.513 at sf0.1 while scanning 1.6% of candidate pairs (0.462 at
+  // the out-of-regime sf0.001, where 16 cells hold ~3 vectors each).
   private val ivfCells = 16
-  private val nprobe = 2
+  private val nprobe = 4
+  private val lloydIters = 3
   private val s3 = QueryDef(
     "s3_ann_ivf",
     (s, dir) => {
@@ -166,25 +176,32 @@ object SimilarityOps extends QueryGroup {
           .drop("r", "cv", "sim")
       }
 
-      val cents0 = e.filter(col("vec_id") < ivfCells)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val assign0 = nearest(e, cents0, 1)
       // Lloyd step: per-cell per-dimension mean, rebuilt into arrays
-      val cents1 = assign0
+      def lloyd(assign: DataFrame): DataFrame = assign
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy("cid", "pos").agg(avg(col("col")).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),
           transform(col("pm"), x => x("m").cast("float")).as("cv"))
-      val assign1 = nearest(e, cents1, 1)
+
+      val hashed = e.withColumn("hk", xxhash64(lit(0x1f), col("vec_id")))
+      val seeds = hashed.orderBy(col("hk")).limit(ivfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val pool = hashed.filter(pmod(col("hk"), lit(4)) === 0)
+        .select("vec_id", "embedding")
+      var cents = seeds.localCheckpoint()
+      (0 until lloydIters).foreach { _ =>
+        cents = lloyd(nearest(pool, cents, 1)).localCheckpoint()
+      }
+      val assign = nearest(e, cents, 1)
 
       val q = e.filter(col("vec_id") < NQ)
-      val probes = nearest(q, cents1, nprobe)
+      val probes = nearest(q, cents, nprobe)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("cid"))
       val cand = graft.sources.VerifyTap(
-        assign1.join(broadcast(probes), Seq("cid"))
+        assign.join(broadcast(probes), Seq("cid"))
           .filter(col("qid") =!= col("vec_id"))
           .select(col("qid"), col("vec_id"), col("qe"), col("embedding")),
         "s3_cand")
