@@ -266,16 +266,23 @@ object Relational extends QueryGroup {
   // that the HLL++ estimate honored its error bound on real data.
   private val q11 = QueryDef(
     "q11_approx_count_distinct",
-    (s, dir) =>
-      t(s, dir, "orders")
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      // exact side as two stacked groupBys (partial-agg friendly both
+      // stages) — mixing countDistinct into the sketch agg would force
+      // an Expand that doubles the scan's rows
+      val exact = o.select(col("o_orderstatus"), col("o_custkey")).distinct()
         .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("exact_custs"))
+      val approx = o.groupBy(col("o_orderstatus"))
         .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx"),
-          countDistinct(col("o_custkey")).as("exact_custs"),
           count(lit(1)).as("n"))
+      exact.join(approx, "o_orderstatus")
         .select(col("o_orderstatus"), col("exact_custs"), col("n"),
           (abs(col("approx") - col("exact_custs")).cast(DoubleType) /
             col("exact_custs") <= 0.05).cast("bigint").as("approx_ok"))
-        .orderBy(col("o_orderstatus")),
+        .orderBy(col("o_orderstatus"))
+    },
     Some("""SELECT o_orderstatus,
       |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
       |  CAST(COUNT(*) AS BIGINT) AS n,
