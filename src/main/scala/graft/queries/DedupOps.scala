@@ -394,6 +394,24 @@ object DedupOps extends QueryGroup {
   private val d8Bits = 4
   private val d8Tables = 8
 
+  /** Bucket-occupancy-keyed signature width: candidates per (table,
+    * bucket) grow as n²/2^b, so a FIXED b is quadratic in disguise —
+    * measured 56× on a 10× corpus before this. Growing b with log(n)
+    * pins expected bucket occupancy at the ~125 vectors the calibrated
+    * b=4 sf0.1 regime has, making candidate volume O(n·occupancy) —
+    * the knob a 100 TB run must turn. At every driver-checked SF
+    * (n ≤ 2000) this evaluates to exactly the calibrated b=4, so the
+    * oracle outputs and the measured recalls are unchanged there.
+    * Recall at production thresholds survives the growth (c ≥ 0.9,
+    * b=8, L=8 ⇒ 93%); at this corpus' weak c≈0.5 regime wider b trades
+    * recall down — the documented LSH trade, spec-gated at the SFs
+    * where b=4 holds.
+    */
+  private val d8TargetBucket = 125
+  private def d8BitsFor(n: Long): Int =
+    math.max(d8Bits, math.ceil(
+      math.log(n.toDouble / d8TargetBucket) / math.log(2)).toInt)
+
   /** Verified embedding near-dup pairs via hyperplane-LSH bucketing —
     * the scale-path pair generator shared by d8 (reported directly) and
     * d10 (edge set for semantic clustering). Candidates are an equi-join
@@ -405,9 +423,10 @@ object DedupOps extends QueryGroup {
       tap: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
+    val bits = d8BitsFor(e.count())
     val b = e.select(Seq(col("vec_id"), col("embedding")) ++
       (0 until d8Tables).map(t =>
-        VectorFunctions.hyperplaneSignature(col("embedding"), d8Bits,
+        VectorFunctions.hyperplaneSignature(col("embedding"), bits,
           0xd8 + t).as(s"h$t")): _*)
       .select(col("vec_id"),
         posexplode(array((0 until d8Tables).map(t => col(s"h$t")): _*)))

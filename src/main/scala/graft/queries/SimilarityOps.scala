@@ -157,8 +157,9 @@ object SimilarityOps extends QueryGroup {
   // broadcast-size model at any data scale. Oracle: same candidate-tap
   // re-rank scheme as s2 (DuckDB verifies cosine + top-k above the
   // tap); recall@10 vs s1 is measured and floored in AnnRecallSpec:
-  // 0.513 at sf0.1 while scanning 1.6% of candidate pairs (0.462 at
-  // the out-of-regime sf0.001, where 16 cells hold ~3 vectors each).
+  // 0.513 at sf0.1 while scoring ~25% of the corpus per query (the
+  // nprobe/cells = 4/16 budget; 0.462 at the out-of-regime sf0.001,
+  // where 16 cells hold ~3 vectors each).
   private val ivfCells = 16
   private val nprobe = 4
   private val lloydIters = 3

@@ -59,9 +59,10 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
   }
 
   test("IVF recall@10 at sf0.1: trained quantizer meets the measured floor") {
-    // Measured 0.513 while scanning only 1.6% of all candidate pairs
-    // (tap-counted) — the selectivity/recall trade the trained
-    // quantizer buys at scale. Floor set just under the measurement.
+    // Measured 0.513 while scoring ~25% of the corpus per query (the
+    // nprobe/cells = 4/16 candidate budget, tap-counted) — the
+    // selectivity/recall trade of the trained quantizer. Floor set
+    // just under the measurement.
     val dir = "/root/testdata/sf0.1"
     def sets(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, dir)
