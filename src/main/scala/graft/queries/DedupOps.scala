@@ -476,30 +476,61 @@ object DedupOps extends QueryGroup {
   // Incremental ingestion dedup — the daily-batch shape of d1: today's
   // batch (one source) is deduplicated (a) against the PERSISTED
   // content-hash ledger of the already-ingested corpus via a left-anti
-  // join, then (b) within itself. The ledger is a real table maintained
-  // by [[graft.migrate.BulkCopy.upsertTable]] (idempotent MERGE on
-  // content_hash) by each ingest run — here the refresh job simulates
-  // yesterday's ingests, then the dedup plan reads ONLY the ledger
-  // table and the batch rows (source = 'src0' is pushed to the
-  // documents scan; PlanSpec asserts both properties). At 100 TB the
-  // ledger join is a shuffle hash join on 32-char hashes (broadcast
-  // when the ledger fits); the batch side streams — the corpus is never
-  // rescanned beyond its ledger, which is what makes daily ingestion
-  // O(batch), not O(corpus). Oracle: DuckDB re-derives the ledger from
-  // scratch, so a hash match proves the persisted-table path equals the
-  // from-scratch derivation.
-  private[graft] val d9LedgerTable = "graft_d9_ledger"
+  // join, then (b) within itself. The ledger is plain parquet at an
+  // EXPLICIT path keyed by the sf dir: persistence must not ride the
+  // session catalog — a fresh session forgets managed tables while
+  // their warehouse dirs survive on disk, so a catalog exists-check +
+  // saveAsTable bootstrap dies with LOCATION_ALREADY_EXISTS on every
+  // cold start (the r5 driver failure), and a GLOBAL ledger name would
+  // merge one SF's hashes into another's when the driver verifies
+  // several SFs back to back. Disk existence is the only state; each
+  // run either bootstraps or idempotently merges (union+distinct on
+  // content_hash — same MERGE semantics as
+  // [[graft.migrate.BulkCopy.upsertTable]], on a path instead of a
+  // table). The dedup plan then reads ONLY the ledger parquet and the
+  // batch rows (source = 'src0' is pushed to the documents scan;
+  // PlanSpec asserts both properties). At 100 TB the ledger join is a
+  // shuffle hash join on 32-char hashes (broadcast when the ledger
+  // fits); the batch side streams — the corpus is never rescanned
+  // beyond its ledger, which is what makes daily ingestion O(batch),
+  // not O(corpus). Oracle: DuckDB re-derives the ledger from scratch,
+  // so a hash match proves the persisted-ledger path equals the
+  // from-scratch derivation. Cold start + cross-SF isolation are
+  // spec-gated in DedupConsistencySpec.
+  private[graft] def d9LedgerPath(dir: String): String = {
+    // basename + path hash: human-readable, and distinct dirs sharing a
+    // basename still get distinct ledgers
+    val f = new java.io.File(dir)
+    val key = f.getName + "_" +
+      java.lang.Integer.toHexString(f.getAbsolutePath.hashCode)
+    s"/tmp/graft_state/graft_d9_ledger_$key"
+  }
+
+  /** Bootstrap-or-merge the ledger at `path` from this run's derived
+    * prior-corpus hashes. Idempotent: merging an already-present hash
+    * set is a no-op, so the ledger always equals the from-scratch
+    * derivation — which is what the oracle checks.
+    */
+  private[graft] def refreshLedger(s: SparkSession, path: String,
+      prior: DataFrame): Unit =
+    if (!new java.io.File(path).exists())
+      prior.write.mode("overwrite").parquet(path)
+    else {
+      // materialize the merge before overwriting its own input path
+      val merged = s.read.parquet(path).unionByName(prior)
+        .distinct().localCheckpoint()
+      merged.write.mode("overwrite").parquet(path)
+    }
 
   /** The dedup step itself — the plan a daily ingest run executes:
-    * ledger-table anti-join + within-batch collapse. Touches the ledger
-    * table and the batch rows only.
+    * ledger anti-join + within-batch collapse. Touches the ledger
+    * parquet and the batch rows only.
     */
-  private[graft] def incrementalDedup(s: SparkSession, batch: DataFrame,
-      ledgerTable: String): DataFrame =
+  private[graft] def incrementalDedup(batch: DataFrame,
+      ledger: DataFrame): DataFrame =
     batch
       .withColumn("content_hash", md5(col("text")))
-      .join(s.table(ledgerTable).select("content_hash"),
-        Seq("content_hash"), "left_anti")
+      .join(ledger.select("content_hash"), Seq("content_hash"), "left_anti")
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
@@ -508,18 +539,14 @@ object DedupOps extends QueryGroup {
     "d9_dedup_incremental",
     (s, dir) => {
       val all = docs(s, dir)
-      // yesterday's ingest runs: maintain the persisted ledger. The
-      // bootstrap writes the table; re-runs MERGE into it (idempotent).
+      // yesterday's ingest runs: maintain the persisted ledger
       val prior = all.filter(col("source") =!= "src0")
         .select(md5(col("text")).as("content_hash")).distinct()
-      if (!s.catalog.tableExists(d9LedgerTable))
-        prior.write.mode("overwrite").saveAsTable(d9LedgerTable)
-      else
-        graft.migrate.BulkCopy.upsertTable(s, d9LedgerTable, prior,
-          Seq("content_hash"))
+      val path = d9LedgerPath(dir)
+      refreshLedger(s, path, prior)
       // today's batch: the returned plan scans ledger + batch only
-      incrementalDedup(s, all.filter(col("source") === "src0"),
-        d9LedgerTable)
+      incrementalDedup(all.filter(col("source") === "src0"),
+        s.read.parquet(path))
         .orderBy("content_hash")
     },
     Some("""WITH ledger AS (

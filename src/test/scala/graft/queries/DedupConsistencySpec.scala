@@ -164,6 +164,42 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("d9 cold start: a pre-existing ledger on disk bootstraps cleanly") {
+    // The r5 driver failure: ledger persisted under one session, next
+    // (fresh) session's catalog has forgotten it while the directory
+    // survives on disk → saveAsTable died with LOCATION_ALREADY_EXISTS.
+    // The path-keyed ledger makes DISK the only state, so re-running
+    // the query over an already-populated ledger dir (what every fresh
+    // session sees) is exactly the merge path exercised here.
+    def collectD9(dir: String) =
+      SparkEntry.queries("d9_dedup_incremental")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+    val path = DedupOps.d9LedgerPath(TestSpark.sfDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    rm(new java.io.File(path))
+    val bootstrap = collectD9(TestSpark.sfDir) // creates the ledger
+    new java.io.File(path).exists() shouldBe true
+    val warm = collectD9(TestSpark.sfDir)      // merges into it
+    warm shouldBe bootstrap
+    bootstrap.size should be > 0
+  }
+
+  test("d9 ledgers are keyed per SF dir: no cross-SF contamination") {
+    // A global ledger would MERGE sf0.001 hashes into the sf0.01 ledger
+    // when the driver verifies both SFs in one round, while the oracle
+    // re-derives per-SF — guaranteed mismatch. Distinct paths + stable
+    // results across an interleaved other-SF run prove isolation.
+    DedupOps.d9LedgerPath(TestSpark.sfDir) should not be
+      DedupOps.d9LedgerPath("/root/testdata/sf0.01")
+    def collectD9(dir: String) =
+      SparkEntry.queries("d9_dedup_incremental")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+    val before = collectD9(TestSpark.sfDir)
+    collectD9("/root/testdata/sf0.01") // other-SF ingest in between
+    collectD9(TestSpark.sfDir) shouldBe before
+  }
+
   test("d7 keeps exactly one document per cluster (keeper set)") {
     val kept = run("d7_dedup_apply").collect().map(_.getLong(0)).toSet
     val cluster = run("d6_dedup_clusters").select("doc_id", "cluster")

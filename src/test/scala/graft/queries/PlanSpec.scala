@@ -66,7 +66,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
 
   test("d9: dedup plan reads the persisted ledger; batch filter is pushed") {
     val p = plan("d9_dedup_incremental")
-    // the anti-join probes the ledger TABLE, not a re-derivation
+    // the anti-join probes the ledger PARQUET, not a re-derivation
     p should include("graft_d9_ledger")
     // today's batch is the only documents scan, with the source pushed
     p should include("EqualTo(source,src0)")
