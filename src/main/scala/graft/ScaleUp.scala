@@ -32,6 +32,25 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   private val Offset = 1000000000L
 
+  /** The embeddings replica transform (key shift + cyclic rotation —
+    * orthogonal, so within-replica pair/cluster structure is preserved
+    * EXACTLY while cross-replica cosines are as unrelated as random
+    * vectors), exposed for specs and benches that need a larger vector
+    * corpus without synthesizing every table.
+    */
+  def scaleEmbeddings(base: DataFrame, factor: Int): DataFrame = {
+    val cols = base.columns
+    base.crossJoin(
+        base.sparkSession.range(factor).toDF("replica").hint("broadcast"))
+      .withColumn("vec_id", col("vec_id") + col("replica") * Offset)
+      .withColumn("embedding", when(col("replica") === 0, col("embedding"))
+        .otherwise(concat(
+          slice(col("embedding"), (col("replica") + 1).cast("int"),
+            size(col("embedding")) - col("replica").cast("int")),
+          slice(col("embedding"), lit(1), col("replica").cast("int")))))
+      .select(cols.map(col).toIndexedSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, factorStr) = args.take(3)
     val factor = factorStr.toInt
@@ -80,12 +99,7 @@ object ScaleUp {
       .withColumn("n_chars", when(r === 0, col("n_chars"))
         .otherwise(length(col("text")).cast("long"))))
 
-    replicate("embeddings", Seq("vec_id"), (df, r) => df
-      .withColumn("embedding", when(r === 0, col("embedding"))
-        .otherwise(concat(
-          slice(col("embedding"), (r + 1).cast("int"),
-            size(col("embedding")) - r.cast("int")),
-          slice(col("embedding"), lit(1), r.cast("int"))))))
+    write(scaleEmbeddings(src("embeddings"), factor), "embeddings")
 
     Tables.check(spark, inDir, outDir, factor)
     spark.stop()

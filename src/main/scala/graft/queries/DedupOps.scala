@@ -409,8 +409,7 @@ object DedupOps extends QueryGroup {
     */
   private val d8TargetBucket = 125
   private def d8BitsFor(n: Long): Int =
-    math.max(d8Bits, math.ceil(
-      math.log(n.toDouble / d8TargetBucket) / math.log(2)).toInt)
+    LshTuning.bitsFor(n, d8TargetBucket, d8Bits)
 
   /** Verified embedding near-dup pairs via hyperplane-LSH bucketing —
     * the scale-path pair generator shared by d8 (reported directly) and

@@ -1,0 +1,37 @@
+package graft.queries
+
+/** Data-size-keyed knobs for the bucketed approximate operators (LSH
+  * dedup/search, IVF search). The shared principle: a FIXED index
+  * parameter is quadratic-or-linear-in-disguise — candidates per LSH
+  * (table, bucket) grow as n²/2^b, and a fixed IVF cell count makes
+  * every query scan a constant fraction of the corpus — so each knob is
+  * derived from the corpus size at plan time (one count() job against
+  * the parquet footer stats) and pinned to a target occupancy instead.
+  */
+object LshTuning {
+
+  /** Signature width pinning expected bucket occupancy ≈ `targetBucket`:
+    * b = max(floorBits, ⌈log₂(n / targetBucket)⌉), so candidate volume
+    * is O(n · occupancy) at any n — measured 56× → linear on a 10×
+    * corpus when d8 adopted this in r5. The floor keeps the width (and
+    * with it every driver-checked oracle output) at the calibrated
+    * small-SF value.
+    */
+  def bitsFor(n: Long, targetBucket: Int, floorBits: Int): Int =
+    math.max(floorBits, math.ceil(
+      math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+
+  /** IVF cell count ≈ √n (the classic IVF balance point: cell size and
+    * cell count both O(√n)), floored to the calibrated small-SF value.
+    */
+  def ivfCellsFor(n: Long, floorCells: Int): Int =
+    math.max(floorCells, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Probe budget ≈ √cells (= n^(1/4) at the √n cell count): the
+    * scanned corpus fraction nprobe/cells ≈ n^(-1/4) SHRINKS with n —
+    * sub-linear per-query candidate volume, where a fixed
+    * nprobe/cells ratio would scan a constant fraction forever.
+    */
+  def nprobeFor(cells: Int, floorProbe: Int): Int =
+    math.max(floorProbe, math.ceil(math.sqrt(cells.toDouble)).toInt)
+}

@@ -83,10 +83,22 @@ object SimilarityOps extends QueryGroup {
        |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin))
 
   // ---------------------------------------------------------------- S2
-  // Random-hyperplane LSH: L=4 tables × 4-bit signatures. A data vector
-  // is a candidate iff it lands in the query's bucket in ANY table —
-  // an equi-join on (table, bucket), candidates ≈ L·n/2^bits per query.
-  // Exact cosine re-ranks the candidates.
+  // Random-hyperplane LSH: L=4 tables × occupancy-keyed signature
+  // width. A data vector is a candidate iff it lands in the query's
+  // bucket in ANY table — an equi-join on (table, bucket), candidates
+  // ≈ L·n/2^bits per query. Exact cosine re-ranks the candidates.
+  //
+  // The width is NOT fixed: a fixed b scans a constant L/2^b fraction
+  // of the corpus per query at ANY scale (the same "quadratic in
+  // disguise" d8 fixed in r5). [[LshTuning.bitsFor]] grows b with
+  // log(n) to pin expected bucket occupancy ≈ 125, making candidates
+  // per query O(L·occupancy) — constant work per query as the corpus
+  // grows, recall traded per the hyperplane collision curve (at a
+  // production c ≥ 0.9 threshold, b=8/L=8 still holds 93% recall). At
+  // every driver-checked SF (n ≤ 2000) the floor keeps b at the
+  // calibrated 4, so oracle outputs and measured recalls are
+  // unchanged there; AnnRecallSpec asserts the occupancy bound from
+  // the tapped candidate set.
   //
   // Two-stage oracle: the bucketing (Spark hyperplane hashes — no DuckDB
   // twin) decides WHICH pairs are candidates; those are materialized via
@@ -94,7 +106,8 @@ object SimilarityOps extends QueryGroup {
   // tap — the s1-style left-to-right cosine fold and the ROW_NUMBER
   // top-k — so the re-rank + TopKByScore heap logic is hash-verified.
   private val lshTables = 4
-  private val lshBits = 4
+  private val lshBitsFloor = 4
+  private[graft] val lshTargetBucket = 125
 
   /** The s1-oracle cosine/top-k SQL over a materialized candidate tap. */
   private def rerankOracle(tap: String): String =
@@ -119,6 +132,8 @@ object SimilarityOps extends QueryGroup {
     "s2_ann_lsh",
     (s, dir) => {
       val e = emb(s, dir)
+      val lshBits = LshTuning.bitsFor(e.count(), lshTargetBucket,
+        lshBitsFloor)
       def buckets(df: DataFrame, idCol: String): DataFrame =
         df.select(Seq(col("vec_id").as(idCol), col("embedding")) ++
           (0 until lshTables).map(t =>
@@ -144,29 +159,36 @@ object SimilarityOps extends QueryGroup {
     Some(rerankOracle("s2_cand")))
 
   // ---------------------------------------------------------------- S3
-  // IVF: 16 coarse cells. The coarse quantizer is TRAINED, not guessed:
-  // seeds are a deterministic pseudo-random draw (the 16 vectors
-  // minimizing a salted hash of vec_id — uniform over the corpus,
-  // reproducible run to run), refined with 3 distributed Lloyd
-  // iterations over a 25% hash-sample of the corpus (train-on-sample is
-  // the 100 TB shape: quantizer training never scans the full corpus,
-  // which is touched once for the final assignment). Each iteration's
-  // 16-row centroid table is checkpointed so iteration i doesn't replan
-  // iterations < i. Every vector is then assigned to its nearest cell;
-  // queries probe their nprobe=4 nearest cells. Centroids stay a
-  // broadcast-size model at any data scale. Oracle: same candidate-tap
-  // re-rank scheme as s2 (DuckDB verifies cosine + top-k above the
-  // tap); recall@10 vs s1 is measured and floored in AnnRecallSpec:
-  // 0.513 at sf0.1 while scoring ~25% of the corpus per query (the
-  // nprobe/cells = 4/16 budget; 0.462 at the out-of-regime sf0.001,
-  // where 16 cells hold ~3 vectors each).
-  private val ivfCells = 16
-  private val nprobe = 4
+  // IVF with a SIZE-KEYED index: cells ≈ √n (floored at the calibrated
+  // 16), probes ≈ √cells — so the scanned corpus fraction nprobe/cells
+  // ≈ n^(-1/4) SHRINKS as the corpus grows (500 → 23/5 = 22%,
+  // 2 000 → 45/7 = 16%, 20 000 → 142/12 = 8%), where the old fixed
+  // 16/4 scanned 25% at ANY n — a linear-scan in disguise. Per-query
+  // work is O(n^(3/4)·dim + cells·dim); the centroid table stays a
+  // broadcast-size model at any scale ([[LshTuning.ivfCellsFor]] /
+  // [[LshTuning.nprobeFor]]).
+  //
+  // The coarse quantizer is TRAINED, not guessed: seeds are a
+  // deterministic pseudo-random draw (the `cells` vectors minimizing a
+  // salted hash of vec_id — uniform over the corpus, reproducible run
+  // to run), refined with 3 distributed Lloyd iterations over a 25%
+  // hash-sample of the corpus (train-on-sample is the 100 TB shape:
+  // quantizer training never scans the full corpus, which is touched
+  // once for the final assignment). Each iteration's centroid table is
+  // checkpointed so iteration i doesn't replan iterations < i. Oracle:
+  // same candidate-tap re-rank scheme as s2 (DuckDB verifies cosine +
+  // top-k above the tap); recall@10 vs s1 is measured and floored in
+  // AnnRecallSpec at sf0.001, sf0.1 and a ScaleUp-synthesized 10×,
+  // alongside the shrinking-fraction assertion.
+  private val ivfCellsFloor = 16
+  private val nprobeFloor = 4
   private val lloydIters = 3
   private val s3 = QueryDef(
     "s3_ann_ivf",
     (s, dir) => {
       val e = emb(s, dir)
+      val ivfCells = LshTuning.ivfCellsFor(e.count(), ivfCellsFloor)
+      val nprobe = LshTuning.nprobeFor(ivfCells, nprobeFloor)
 
       def nearest(df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
         val scored = df.crossJoin(broadcast(cents))

@@ -47,10 +47,10 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("IVF (nprobe=4) recall@10 vs brute force beats its scan fraction") {
-    // 50 vectors over 16 cells is far out of the quantizer's regime
-    // (cells of ~3); the floor here only guards against a broken
-    // bucketing. Measured 0.462 (2026-08, trained quantizer).
+  test("IVF recall@10 vs brute force beats its scan fraction") {
+    // 500 vectors → 23 cells of ~22 is below the quantizer's regime;
+    // the floor here only guards against a broken bucketing.
+    // Measured 0.450 (2026-08, size-keyed cells/probes).
     val exact = neighborSets("s1_ann_bruteforce")
     val ivf = neighborSets("s3_ann_ivf")
     val r = recall(ivf, exact)
@@ -59,10 +59,10 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
   }
 
   test("IVF recall@10 at sf0.1: trained quantizer meets the measured floor") {
-    // Measured 0.513 while scoring ~25% of the corpus per query (the
-    // nprobe/cells = 4/16 candidate budget, tap-counted) — the
-    // selectivity/recall trade of the trained quantizer. Floor set
-    // just under the measurement.
+    // Measured 0.500 while scoring 15.5% of the corpus per query (the
+    // size-keyed 45-cell / 7-probe budget, tap-counted) — better
+    // selectivity than the old fixed 16/4's 25% at equal recall.
+    // Floor set just under the measurement.
     val dir = "/root/testdata/sf0.1"
     def sets(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, dir)
@@ -77,8 +77,59 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
   test("LSH recall@10 vs brute force beats random") {
     val exact = neighborSets("s1_ann_bruteforce")
     val lsh = neighborSets("s2_ann_lsh")
-    // random top-10 of ~50 vectors would land ≈0.2; the bucketed search
-    // must do meaningfully better
+    // random top-10 of ~500 vectors would land ≈0.02; the bucketed
+    // search must do meaningfully better
     recall(lsh, exact) should be >= 0.3
+  }
+
+  test("10× corpus: candidate budgets shrink sub-linearly, recall holds") {
+    // The scale gate for the size-keyed index knobs: on a ScaleUp-
+    // synthesized 10× embeddings corpus (n = 20 000; rotation preserves
+    // within-replica structure exactly, see ScaleUp), the per-query
+    // scanned fraction must SHRINK versus sf0.1 — a fixed-parameter
+    // index scans a constant fraction forever — while recall stays far
+    // above the random-selection baseline (= the scanned fraction).
+    // Measured 2026-08: s3 frac 0.155 → 0.085, recall 0.288 (3.4× the
+    // 0.085 random baseline); s2 frac 0.235 → 0.018 (b: 4 → 8 bits),
+    // recall 0.100 (5.6× its baseline — the corpus' cosines top out at
+    // ~0.6, LSH's weak regime; at a production c ≥ 0.9 threshold the
+    // collision curve holds ~93% recall, see SimilarityOps).
+    val dir = "/tmp/graft_ann_sf1"
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+      graft.ScaleUp.scaleEmbeddings(
+        graft.sources.Tables.load(spark, "/root/testdata/sf0.1",
+          "embeddings"), 10)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val n = 20000L
+
+    def sets(name: String, d: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, d)
+        .select("qid", "neighbor_id").collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def tapRows(tap: String): Long =
+      spark.read.parquet(s"${graft.sources.VerifyTap.root}/$tap").count()
+
+    // sf0.1 first (tap files are overwritten per run)
+    sets("s3_ann_ivf", "/root/testdata/sf0.1")
+    val fracSmall = tapRows("s3_cand").toDouble / 8 / 2000
+
+    val exact = sets("s1_ann_bruteforce", dir)
+    val ivf = sets("s3_ann_ivf", dir)
+    val fracBig = tapRows("s3_cand").toDouble / 8 / n
+    val rIvf = recall(ivf, exact)
+    info(f"10×: s3 frac $fracSmall%.3f → $fracBig%.3f, recall $rIvf%.3f")
+    fracBig should be < fracSmall * 0.8 // sub-linear, not constant
+    fracBig should be < 0.12
+    rIvf should be >= 0.25
+
+    val lsh = sets("s2_ann_lsh", dir)
+    val candPerQ = tapRows("s2_cand").toDouble / 8
+    val rLsh = recall(lsh, exact)
+    info(f"10×: s2 cand/q $candPerQ%.0f, recall $rLsh%.3f")
+    // occupancy-keyed width: O(L·occupancy) candidates per query — the
+    // fixed 4-bit width would score L·n/16 = 5000 here
+    candPerQ should be <= 2.0 * 4 * SimilarityOps.lshTargetBucket
+    rLsh should be >= 0.05
   }
 }
