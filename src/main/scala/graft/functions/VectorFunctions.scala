@@ -47,6 +47,17 @@ object VectorFunctions {
     */
   def hyperplaneSignature(v: Column, bits: Int, seed: Int = 0x5eed): Column = {
     require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+    GraftBridge.column(HyperplaneSignature(
+      GraftBridge.expression(v), bits, seed))
+  }
+
+  /** Reference HOF formulation of [[hyperplaneSignature]] — one
+    * interpreted zip_with+aggregate fold per bit; kept for the spec
+    * that asserts the native single-pass expression is bit-identical.
+    */
+  private[graft] def hyperplaneSignatureHof(v: Column, bits: Int,
+      seed: Int = 0x5eed): Column = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
     val d = toDouble(v)
     val terms = (0 until bits).map { h =>
       // component weight for plane h at position i: xxhash64(seed,h,i)

@@ -173,10 +173,13 @@ object TextOps extends QueryGroup {
   private val t4 = QueryDef(
     "t4_fingerprint",
     (s, dir) => {
-      val codes = transform(split(col("text"), ""),
-        c => ascii(c).cast(LongType))
-      val fp = aggregate(codes, lit(7L),
-        (acc, c) => (acc * 31 + c) % fpMod)
+      // native codegen rolling hash (one integer loop per doc) — the
+      // HOF twin (split-per-char + interpreted fold) is kept in
+      // FunctionsSpec as the bit-identity reference
+      val fp = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.RollingHash(
+          org.apache.spark.sql.GraftBridge.expression(col("text")),
+          7L, 31L, fpMod))
       docs(s, dir)
         .select(col("doc_id"), fp.as("fingerprint"))
         .orderBy("doc_id")

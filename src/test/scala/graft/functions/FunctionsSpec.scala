@@ -73,6 +73,38 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     diffs.count() shouldBe 0L
   }
 
+  test("native hyperplane signature is bit-identical to the HOF fold") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // both the calibrated 4-bit and the scale-regime 8-bit widths, over
+    // several table seeds (the d8/s2 usage pattern)
+    val checks = for (bits <- Seq(4, 8); t <- 0 until 3) yield
+      (hyperplaneSignature(col("embedding"), bits, 0xd8 + t) =!=
+        hyperplaneSignatureHof(col("embedding"), bits, 0xd8 + t))
+    e.filter(checks.reduce(_ || _)).count() shouldBe 0L
+  }
+
+  test("native rolling hash is bit-identical to the split/ascii HOF fold") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftBridge
+    val mod = 1000000007L
+    def nativeFp(c: org.apache.spark.sql.Column) =
+      GraftBridge.column(RollingHash(GraftBridge.expression(c), 7L, 31L, mod))
+    def hofFp(c: org.apache.spark.sql.Column) =
+      aggregate(transform(split(c, ""),
+          ch => ascii(ch).cast(org.apache.spark.sql.types.LongType)),
+        lit(7L), (acc, x) => (acc * 31 + x) % mod)
+    // the real corpus plus edge strings (empty, 1-char, non-ASCII)
+    import spark.implicits._
+    val edge = Seq("", "a", "Zzz", "héllo wörld", "tab\tand\nnewline")
+      .toDF("text")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("text")).unionByName(edge)
+    docs.filter(nativeFp(col("text")) =!= hofFp(col("text")))
+      .count() shouldBe 0L
+  }
+
   test("vector dot / norm / cosine match hand computation") {
     val a = array(lit(1.0f), lit(2.0f), lit(3.0f))
     val b = array(lit(4.0f), lit(-5.0f), lit(6.0f))
