@@ -73,7 +73,12 @@ object Bench {
     graft.sources.Tables.load(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").count().write
       .format("noop").mode("overwrite").save()
-    val (times, errors) = run(spark, SparkEntry.queries.toSeq.sortBy(_._1), sfDir)
+    // SPARK_GRAFT_ONLY: dev-only comma-list filter (sf1 scale runs);
+    // the driver leaves it unset and benches everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val (times, errors) = run(spark,
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }, sfDir)
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
