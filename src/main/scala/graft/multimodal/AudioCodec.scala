@@ -48,8 +48,15 @@ object AudioCodec {
     * (pitch proxy, slots 8–15, scaled ×4 to occupy [0,1] over the
     * speech/music ZCR range). Both clamped to [0,1].
     */
-  def features(bytes: Array[Byte]): Array[Float] = {
-    val s = samples(bytes)
+  def features(bytes: Array[Byte]): Array[Float] =
+    featuresOf(samples(bytes))
+
+  /** Feature extraction over already-decoded samples — shared by the
+    * JDK container path above and non-JDK decoders ([[AdpcmCodec]]),
+    * so every audio codec arm lands in the same feature space and
+    * cross-codec perceptual dedup works.
+    */
+  def featuresOf(s: Array[Double]): Array[Float] = {
     require(s.nonEmpty, "audio payload decoded to zero samples")
     val out = new Array[Float](dim)
     var f = 0

@@ -139,6 +139,108 @@ class BinaryPipelineSpec extends AnyFunSuite with Matchers {
     pairs.foreach { case (i, j, ham) => j shouldBe i + 1000; ham shouldBe 0L }
   }
 
+  test("MM1 non-JDK codec: IMA ADPCM WAV decodes real content") {
+    // javax.sound cannot read format tag 0x11 — prove it, then prove
+    // the pure-JVM arm can
+    val pcmWav = AudioCodec.synthTone(hz = 440, ms = 200, amplitude = 0.4)
+    val adpcm = encodeAdpcm(AudioCodec.samples(pcmWav))
+    an[Exception] should be thrownBy AudioCodec.samples(adpcm)
+
+    // decoded waveform tracks the original (ADPCM is lossy; the step
+    // quantizer error on a smooth tone stays small)
+    val orig = AudioCodec.samples(pcmWav)
+    val dec = AdpcmCodec.samples(adpcm)
+    dec.length shouldBe orig.length // fact chunk drops block padding
+    val err = orig.indices.map(i => math.abs(dec(i) - orig(i)))
+    err.sum / err.size should be < 0.01
+
+    // same feature space as PCM → cross-codec perceptual dedup works
+    val fPcm = AudioCodec.features(pcmWav)
+    val fAdpcm = AudioCodec.featuresOf(dec)
+    fPcm.indices.foreach { i => fAdpcm(i) shouldBe fPcm(i) +- 0.05f }
+
+    // and the pipeline dispatch routes codec = "ima_adpcm" through it
+    import spark.implicits._
+    val asset = BinaryPipeline.MediaAsset(1L, "audio", 0, 0, 200L,
+      "ima_adpcm", adpcm)
+    val viaPipeline = features(spark.createDataset(Seq(asset)), 8)
+      .collect().head.feature
+    fPcm.indices.foreach { i => viaPipeline(i) shouldBe fPcm(i) +- 0.05f }
+  }
+
+  /** Spec-side IMA ADPCM mono encoder (the standard step/index state
+    * machine inverse of [[AdpcmCodec]]): builds real compressed
+    * fixtures so the decoder is tested against content it did not
+    * produce. 505 samples per 256-byte block.
+    */
+  private def encodeAdpcm(s: Array[Double], blockAlign: Int = 256): Array[Byte] = {
+    val stepTable = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val indexTable = Array(-1, -1, -1, -1, 2, 4, 6, 8,
+      -1, -1, -1, -1, 2, 4, 6, 8)
+    val pcm = s.map(v => math.max(-32768,
+      math.min(32767, math.round(v * 32768))).toInt)
+    val samplesPerBlock = (blockAlign - 4) * 2 + 1
+    val nBlocks = (pcm.length + samplesPerBlock - 1) / samplesPerBlock
+    val data = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    var index = 0
+    (0 until nBlocks).foreach { _ =>
+      var pred = pcm(math.min(pos, pcm.length - 1))
+      // block header: predictor (int16 LE), index, reserved
+      data.write(pred & 0xff); data.write((pred >> 8) & 0xff)
+      data.write(index); data.write(0)
+      pos += 1
+      var lowNibble = -1
+      (0 until (blockAlign - 4) * 2).foreach { k =>
+        val sample = pcm(math.min(pos + k, pcm.length - 1))
+        val st = stepTable(index)
+        var diff = sample - pred
+        var nibble = if (diff < 0) { diff = -diff; 8 } else 0
+        var d = st
+        if (diff >= d) { nibble |= 4; diff -= d }
+        d >>= 1
+        if (diff >= d) { nibble |= 2; diff -= d }
+        d >>= 1
+        if (diff >= d) { nibble |= 1 }
+        // reconstruct exactly as the decoder will
+        var rec = st >> 3
+        if ((nibble & 1) != 0) rec += st >> 2
+        if ((nibble & 2) != 0) rec += st >> 1
+        if ((nibble & 4) != 0) rec += st
+        if ((nibble & 8) != 0) rec = -rec
+        pred = math.max(-32768, math.min(32767, pred + rec))
+        index = math.max(0, math.min(88, index + indexTable(nibble)))
+        if (lowNibble < 0) lowNibble = nibble
+        else { data.write(lowNibble | (nibble << 4)); lowNibble = -1 }
+      }
+      pos += (blockAlign - 4) * 2
+    }
+    val body = data.toByteArray
+    // RIFF/WAVE wrapper: fmt (tag 0x11, mono, 8 kHz) + data
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII"))
+    w32(4 + 8 + 20 + 8 + 4 + 8 + body.length)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(20)
+    w16(0x11); w16(1); w32(8000)
+    w32(8000 * blockAlign / samplesPerBlock) // nominal byte rate
+    w16(blockAlign); w16(4) // bits per sample
+    w16(2); w16(samplesPerBlock) // cbSize + samples per block
+    out.write("fact".getBytes("US-ASCII")); w32(4); w32(pcm.length)
+    out.write("data".getBytes("US-ASCII")); w32(body.length)
+    out.write(body)
+    out.toByteArray
+  }
+
   /** 16-bit mono 8 kHz AU bytes carrying exactly these samples. */
   private def rewrap(s: Array[Double]): Array[Byte] = {
     val pcm = new Array[Byte](s.length * 2)
