@@ -21,6 +21,20 @@ object LshTuning {
     math.max(floorBits, math.ceil(
       math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
 
+  /** Table count preserving recall at a reference similarity as the
+    * signature widens (the textbook LSH pairing of the two knobs):
+    * per-table collision probability at similarity c falls by
+    * pStar^Δb when b grows by Δb (pStar = 1 − acos(c)/π), so L grows
+    * by (1/pStar)^Δb to hold the OR-over-tables recall ~constant at c.
+    * Candidates stay O(L · occupancy) per query — L grows
+    * polynomially slower than n (exponent log₂(1/pStar) < 1 of the
+    * occupancy-driven b growth), so the budget remains sub-linear.
+    */
+  def tablesFor(bits: Int, floorBits: Int, floorTables: Int,
+      pStar: Double): Int =
+    math.ceil(floorTables *
+      math.pow(1.0 / pStar, (bits - floorBits).max(0))).toInt
+
   /** IVF cell count ≈ √n (the classic IVF balance point: cell size and
     * cell count both O(√n)), floored to the calibrated small-SF value.
     */

@@ -83,10 +83,11 @@ object SimilarityOps extends QueryGroup {
        |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin))
 
   // ---------------------------------------------------------------- S2
-  // Random-hyperplane LSH: L=4 tables × occupancy-keyed signature
-  // width. A data vector is a candidate iff it lands in the query's
-  // bucket in ANY table — an equi-join on (table, bucket), candidates
-  // ≈ L·n/2^bits per query. Exact cosine re-ranks the candidates.
+  // Random-hyperplane LSH: occupancy-keyed signature width × recall-
+  // preserving table count (both size-derived, see below). A data
+  // vector is a candidate iff it lands in the query's bucket in ANY
+  // table — an equi-join on (table, bucket), candidates ≈ L·n/2^bits
+  // per query. Exact cosine re-ranks the candidates.
   //
   // The width is NOT fixed: a fixed b scans a constant L/2^b fraction
   // of the corpus per query at ANY scale (the same "quadratic in
@@ -105,9 +106,20 @@ object SimilarityOps extends QueryGroup {
   // [[graft.sources.VerifyTap]] and DuckDB re-runs everything above the
   // tap — the s1-style left-to-right cosine fold and the ROW_NUMBER
   // top-k — so the re-rank + TopKByScore heap logic is hash-verified.
-  private val lshTables = 4
+  private val lshTablesFloor = 4
   private val lshBitsFloor = 4
   private[graft] val lshTargetBucket = 125
+  // recall-preserving reference similarity: production ANN cares about
+  // c ≥ 0.9 neighbors; pStar = 1 − acos(0.9)/π is the per-bit collision
+  // probability there. As the occupancy-keyed width grows, table count
+  // grows by (1/pStar)^Δb so recall at c ≥ 0.9 stays ~constant while
+  // candidates stay O(L·occupancy) — both knobs turned together, the
+  // way LSH is actually scaled.
+  private val lshPStar = 1.0 - math.acos(0.9) / math.Pi
+  private[graft] def s2Bits(n: Long): Int =
+    LshTuning.bitsFor(n, lshTargetBucket, lshBitsFloor)
+  private[graft] def s2Tables(n: Long): Int =
+    LshTuning.tablesFor(s2Bits(n), lshBitsFloor, lshTablesFloor, lshPStar)
 
   /** The s1-oracle cosine/top-k SQL over a materialized candidate tap. */
   private def rerankOracle(tap: String): String =
@@ -132,8 +144,9 @@ object SimilarityOps extends QueryGroup {
     "s2_ann_lsh",
     (s, dir) => {
       val e = emb(s, dir)
-      val lshBits = LshTuning.bitsFor(e.count(), lshTargetBucket,
-        lshBitsFloor)
+      val n = e.count()
+      val lshBits = s2Bits(n)
+      val lshTables = s2Tables(n)
       def buckets(df: DataFrame, idCol: String): DataFrame =
         df.select(Seq(col("vec_id").as(idCol), col("embedding")) ++
           (0 until lshTables).map(t =>

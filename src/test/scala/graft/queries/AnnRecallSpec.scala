@@ -90,10 +90,11 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     // index scans a constant fraction forever — while recall stays far
     // above the random-selection baseline (= the scanned fraction).
     // Measured 2026-08: s3 frac 0.155 → 0.085, recall 0.288 (3.4× the
-    // 0.085 random baseline); s2 frac 0.235 → 0.018 (b: 4 → 8 bits),
-    // recall 0.100 (5.6× its baseline — the corpus' cosines top out at
-    // ~0.6, LSH's weak regime; at a production c ≥ 0.9 threshold the
-    // collision curve holds ~93% recall, see SimilarityOps).
+    // 0.085 random baseline); s2 frac 0.235 → 0.039 (b: 4 → 8 bits,
+    // L: 4 → 8 via the recall-preserving table rule), recall 0.225
+    // (5.8× its baseline — the corpus' cosines top out at ~0.6, LSH's
+    // weak regime; at the production c ≥ 0.9 reference the collision
+    // curve holds recall ~flat by construction, see SimilarityOps).
     val dir = "/tmp/graft_ann_sf1"
     if (!new java.io.File(s"$dir/embeddings.parquet").exists())
       graft.ScaleUp.scaleEmbeddings(
@@ -126,10 +127,13 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     val lsh = sets("s2_ann_lsh", dir)
     val candPerQ = tapRows("s2_cand").toDouble / 8
     val rLsh = recall(lsh, exact)
-    info(f"10×: s2 cand/q $candPerQ%.0f, recall $rLsh%.3f")
-    // occupancy-keyed width: O(L·occupancy) candidates per query — the
-    // fixed 4-bit width would score L·n/16 = 5000 here
-    candPerQ should be <= 2.0 * 4 * SimilarityOps.lshTargetBucket
-    rLsh should be >= 0.05
+    val tables = SimilarityOps.s2Tables(n)
+    info(f"10×: s2 cand/q $candPerQ%.0f ($tables tables), recall $rLsh%.3f")
+    // occupancy-keyed width + recall-preserving table growth: candidates
+    // stay O(L·occupancy) per query — the fixed 4-bit width would score
+    // L·n/16 = 5000/table-set here
+    tables should be > 4 // the width grew, so the table count must too
+    candPerQ should be <= 2.0 * tables * SimilarityOps.lshTargetBucket
+    rLsh should be >= 0.1
   }
 }
