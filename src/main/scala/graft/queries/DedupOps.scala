@@ -408,8 +408,25 @@ object DedupOps extends QueryGroup {
     * where b=4 holds.
     */
   private val d8TargetBucket = 125
-  private def d8BitsFor(n: Long): Int =
+  private[graft] def d8BitsFor(n: Long): Int =
     LshTuning.bitsFor(n, d8TargetBucket, d8Bits)
+
+  /** Table count paired to the width by the recall-preserving rule at
+    * the PRODUCTION near-dup similarity (c ≥ 0.9 — real embedding
+    * dedup thresholds; this corpus' 0.4–0.6 test regime is LSH's
+    * documented weak spot): per-table collision at c = 0.9 falls by
+    * 0.857^Δb as b grows, so L grows by its inverse and recall at
+    * c ≥ 0.9 stays ~0.94 at ANY corpus size — where the fixed L = 8
+    * would decay to 0.20 by b = 23 (billion-vector regime). Candidate
+    * volume pays L(n)·occupancy per item: super-linear by the L factor,
+    * the known price of constant-recall LSH dedup (why production
+    * MinHash dedup runs ~100 band tables at web scale). At every
+    * driver-checked SF the floors keep (b, L) = (4, 8) — outputs
+    * unchanged; the 10× regime is spec-gated in DedupConsistencySpec.
+    */
+  private val d8PStar = 1.0 - math.acos(0.9) / math.Pi
+  private[graft] def d8TablesFor(bits: Int): Int =
+    LshTuning.tablesFor(bits, d8Bits, d8Tables, d8PStar)
 
   /** Verified embedding near-dup pairs via hyperplane-LSH bucketing —
     * the scale-path pair generator shared by d8 (reported directly) and
@@ -423,12 +440,13 @@ object DedupOps extends QueryGroup {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val bits = d8BitsFor(e.count())
+    val tables = d8TablesFor(bits)
     val b = e.select(Seq(col("vec_id"), col("embedding")) ++
-      (0 until d8Tables).map(t =>
+      (0 until tables).map(t =>
         VectorFunctions.hyperplaneSignature(col("embedding"), bits,
           0xd8 + t).as(s"h$t")): _*)
       .select(col("vec_id"),
-        posexplode(array((0 until d8Tables).map(t => col(s"h$t")): _*)))
+        posexplode(array((0 until tables).map(t => col(s"h$t")): _*)))
       .toDF("vec_id", "table", "bucket")
     val cand = graft.sources.VerifyTap(
       b.as("a").join(b.as("b"),

@@ -95,12 +95,7 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     // (5.8× its baseline — the corpus' cosines top out at ~0.6, LSH's
     // weak regime; at the production c ≥ 0.9 reference the collision
     // curve holds recall ~flat by construction, see SimilarityOps).
-    val dir = "/tmp/graft_ann_sf1"
-    if (!new java.io.File(s"$dir/embeddings.parquet").exists())
-      graft.ScaleUp.scaleEmbeddings(
-        graft.sources.Tables.load(spark, "/root/testdata/sf0.1",
-          "embeddings"), 10)
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dir = TestSpark.sf1EmbeddingsDir
     val n = 20000L
 
     def sets(name: String, d: String): Map[Long, Set[Long]] =

@@ -164,6 +164,37 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("d8 at 10×: recall vs rotation-derived exact pairs, L grows with b") {
+    // Known-true ground truth without an n² job: ScaleUp's cyclic
+    // rotation is an orthogonal transform, so every sf0.1 exact pair
+    // reappears in each replica under the +r·10⁹ key shift — a
+    // SUBSET of the true 10× pair set (incidental cross-replica pairs
+    // above the low 0.4 threshold also exist in 16 dims; d8's exact
+    // cosine verify makes every reported pair true by construction,
+    // so precision needs no oracle here). Recall is measured against
+    // the within-replica subset. At n = 20 000 the occupancy-keyed
+    // width is b = 8 and the recall-preserving rule raises L: 8 → 15;
+    // the collision curve predicts recall 1−(1−p⁸)¹⁵ ≈ 0.32 at
+    // c = 0.4 / 0.61 at c = 0.6 (vs 0.18/0.38 had L stayed 8), and
+    // ~0.94 at the c ≥ 0.9 production threshold at ANY size — the
+    // property the rule pins. Measured 2026-08: 0.349 (the corpus'
+    // pairs concentrate at the weak 0.4–0.5 end).
+    DedupOps.d8TablesFor(DedupOps.d8BitsFor(20000L)) should be > 8
+    val exactSmall = SparkEntry.queries("d5_dedup_embedding")(
+        spark, "/root/testdata/sf0.1")
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactBig = (for {
+      r <- 0 until 10; (i, j) <- exactSmall
+    } yield (i + r * 1000000000L, j + r * 1000000000L)).toSet
+    val lsh = SparkEntry.queries("d8_dedup_embedding_lsh")(
+        spark, TestSpark.sf1EmbeddingsDir)
+      .select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(exactBig).size.toDouble / exactBig.size
+    info(f"d8 recall at 10× (b=8, L=15) = $recall%.3f")
+    recall should be >= 0.3
+  }
+
   test("d9 cold start: a pre-existing ledger on disk bootstraps cleanly") {
     // The r5 driver failure: ledger persisted under one session, next
     // (fresh) session's catalog has forgotten it while the directory
