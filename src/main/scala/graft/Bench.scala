@@ -87,7 +87,9 @@ object Bench {
     val es = errors.map { case (k, m) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    // total repeated at the END: the driver archives a tail-truncated
+    // copy of this line, which can cut the leading "value" field
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","total_sec":$total}""")
     spark.stop()
   }
 }
