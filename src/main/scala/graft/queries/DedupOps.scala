@@ -40,23 +40,17 @@ object DedupOps extends QueryGroup {
     * numeric order is as valid a total order for prefix filtering as
     * lexicographic (any total order is lossless); a 64-bit collision
     * across a corpus' shingle vocabulary is ~2⁻⁶⁴ per pair — far below
-    * the driver-measured tolerance. The word-hash array sits in its own
-    * projection so the HOF lambda doesn't re-inline it per gram (see
-    * TextOps.hashedGrams).
+    * the driver-measured tolerance.
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
-    val gramHashes = when(size(col("wh")) >= 3,
-      transform(sequence(lit(1), size(col("wh")) - 2),
-        i => xxhash64(element_at(col("wh"), i), element_at(col("wh"), i + 1),
-          element_at(col("wh"), i + 2))))
-      .otherwise(array().cast("array<bigint>"))
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    // native single-pass gram builder (one primitive loop per doc);
+    // the HOF twin lives in FunctionsSpec as the bit-exact reference
     docs(s, dir)
-      .select(col("doc_id"),
-        transform(split(col("text"), " "), w => xxhash64(w)).as("wh"))
-      .select(col("doc_id"),
-        array_sort(array_distinct(gramHashes)).as("sh"))
+      .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WordGramHashes(
+          org.apache.spark.sql.GraftBridge.expression(col("text")),
+          3, distinctSorted = true)).as("sh"))
       .withColumn("n", size(col("sh")))
-  }
 
   // ---------------------------------------------------------------- D1
   // Exact dedup ledger: content hash → keeper id + copy count. Never

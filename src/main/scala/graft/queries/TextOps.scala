@@ -239,22 +239,16 @@ object TextOps extends QueryGroup {
     * below the gate's tolerance (the DedupOps shingle-hashing argument).
     * Duplicate grams per doc are NOT pre-deduped here; the distinct
     * aggregates every consumer already runs handle that.
-    *
-    * `wh` gets its own projection deliberately: referencing the
-    * transform expression inline at each element_at site would re-hash
-    * the whole word array per gram (O(n²) per doc — measured 4× slower).
     */
   private[queries] def hashedGrams(d: DataFrame,
-      n: Int = contamN): DataFrame = {
-    val gramHashes = when(size(col("wh")) >= n,
-      transform(sequence(lit(1), size(col("wh")) - (n - 1)),
-        i => xxhash64((0 until n).map(k =>
-          element_at(col("wh"), i + k)): _*)))
-      .otherwise(array())
-    d.select(col("doc_id"),
-      transform(words(col("text")), w => xxhash64(w)).as("wh"))
-      .select(col("doc_id"), explode(gramHashes).as("g"))
-  }
+      n: Int = contamN): DataFrame =
+    // native single-pass gram builder (see WordGramHashes; HOF twin
+    // spec-asserted bit-identical in FunctionsSpec)
+    d.select(col("doc_id"), explode(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WordGramHashes(
+          org.apache.spark.sql.GraftBridge.expression(col("text")),
+          n, distinctSorted = false))).as("g"))
   private val t6 = QueryDef(
     "t6_decontaminate",
     (s, dir) => {

@@ -105,6 +105,33 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0L
   }
 
+  test("native word-gram hashes are bit-identical to the HOF chain") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftBridge
+    def native(c: org.apache.spark.sql.Column, n: Int, ds: Boolean) =
+      GraftBridge.column(WordGramHashes(GraftBridge.expression(c), n, ds))
+    def hof(c: org.apache.spark.sql.Column, n: Int, ds: Boolean) = {
+      val wh = transform(split(c, " "), w => xxhash64(w))
+      val grams = when(org.apache.spark.sql.functions.size(wh) >= n,
+        transform(sequence(lit(1),
+            org.apache.spark.sql.functions.size(wh) - (n - 1)),
+          i => xxhash64((0 until n).map(k =>
+            element_at(wh, i + k)): _*)))
+        .otherwise(array().cast("array<bigint>"))
+      if (ds) array_sort(array_distinct(grams)) else grams
+    }
+    import spark.implicits._
+    val edge = Seq("", "one", "a b", "a b c", "x  y z ", "dup dup dup dup")
+      .toDF("text")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("text")).unionByName(edge)
+    for (n <- Seq(2, 3, 4); ds <- Seq(true, false))
+      withClue(s"n=$n distinctSorted=$ds: ") {
+        docs.filter(native(col("text"), n, ds) =!= hof(col("text"), n, ds))
+          .count() shouldBe 0L
+      }
+  }
+
   test("vector dot / norm / cosine match hand computation") {
     val a = array(lit(1.0f), lit(2.0f), lit(3.0f))
     val b = array(lit(4.0f), lit(-5.0f), lit(6.0f))
