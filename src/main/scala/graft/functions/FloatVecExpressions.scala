@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the ANN/dedup hot path: dot product of
   * two `array<float>` columns as a primitive `while` loop inside
@@ -145,4 +145,71 @@ case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
   override protected def withNewChildInternal(
       newChild: Expression): HyperplaneSignature =
     copy(child = newChild)
+}
+
+/** Intersection COUNT of two SORTED-DISTINCT long arrays as one
+  * allocation-free merge loop inside whole-stage codegen — the verify
+  * kernel of the Jaccard self-join, where
+  * `size(array_intersect(a, b))` built a hash set per candidate-pair
+  * evaluation (and candidates with several shared prefix tokens are
+  * verified redundantly, multiplying that allocation).
+  *
+  * Equal to `size(array_intersect(a, b))` whenever both inputs are
+  * sorted distinct (the shingle-set invariant from WordGramHashes /
+  * DedupOps.shingled; spec-asserted on real data) — callers own that
+  * precondition.
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val vx = x.getLong(i)
+      val vy = y.getLong(j)
+      if (vx == vy) { c += 1; i += 1; j += 1 }
+      else if (vx < vy) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val vx = ctx.freshName("vx")
+      val vy = ctx.freshName("vy")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $vx = $a.getLong($i);
+         |  long $vy = $b.getLong($j);
+         |  if ($vx == $vy) { $c++; $i++; $j++; }
+         |  else if ($vx < $vy) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
 }

@@ -68,7 +68,12 @@ object JaccardNearDup {
         col("n").as("na")), "i")
       .join(sh.select(col("doc_id").as("j"), col("sh").as("shb"),
         col("n").as("nb")), "j")
-      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
+      // native merge-count (inputs are sorted distinct per the contract
+      // above); == size(array_intersect(…)), spec-asserted
+      .withColumn("shared", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.SortedLongIntersectCount(
+          org.apache.spark.sql.GraftBridge.expression(col("sha")),
+          org.apache.spark.sql.GraftBridge.expression(col("shb")))))
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")).cast("double"))

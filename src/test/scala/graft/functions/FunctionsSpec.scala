@@ -132,6 +132,22 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       }
   }
 
+  test("native sorted intersect count equals size(array_intersect) on real data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftBridge
+    def grams(c: org.apache.spark.sql.Column) =
+      GraftBridge.column(WordGramHashes(GraftBridge.expression(c), 3, true))
+    val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), grams(col("text")).as("sh"))
+    val pairs = d.as("a").crossJoin(d.limit(30).as("b"))
+      .select(col("a.sh").as("x"), col("b.sh").as("y"))
+    val native = GraftBridge.column(SortedLongIntersectCount(
+      GraftBridge.expression(col("x")), GraftBridge.expression(col("y"))))
+    pairs.filter(native =!=
+        org.apache.spark.sql.functions.size(array_intersect(col("x"), col("y"))))
+      .count() shouldBe 0L
+  }
+
   test("vector dot / norm / cosine match hand computation") {
     val a = array(lit(1.0f), lit(2.0f), lit(3.0f))
     val b = array(lit(4.0f), lit(-5.0f), lit(6.0f))
