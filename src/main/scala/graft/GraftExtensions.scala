@@ -51,14 +51,53 @@ object GraftExtensions {
       info("topk_by_score",
         "topk_by_score(score, id, k) - partial-agg top-k as array<struct<score,id>>"),
       (children: Seq[Expression]) => {
-        val k = children(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
-            if v != null => v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"topk_by_score: k must be an integer literal, got $other")
-        }
+        val k = intLit(children(2), "topk_by_score: k")
         graft.functions.TopKByScore(children(0), children(1), k)
-      }))
+      }),
+    (FunctionIdentifier("hyperplane_signature"),
+      info("hyperplane_signature",
+        "hyperplane_signature(vec, bits, seed) - random-hyperplane LSH " +
+          "signature of a float vector, all bits in one pass"),
+      (children: Seq[Expression]) =>
+        graft.functions.HyperplaneSignature(children(0),
+          intLit(children(1), "hyperplane_signature: bits"),
+          intLit(children(2), "hyperplane_signature: seed"))),
+    (FunctionIdentifier("rolling_hash"),
+      info("rolling_hash",
+        "rolling_hash(text, init, mult, mod) - polynomial rolling hash " +
+          "over the string's code points"),
+      (children: Seq[Expression]) =>
+        graft.functions.RollingHash(children(0),
+          longLit(children(1), "rolling_hash: init"),
+          longLit(children(2), "rolling_hash: mult"),
+          longLit(children(3), "rolling_hash: mod"))),
+    (FunctionIdentifier("word_gram_hashes"),
+      info("word_gram_hashes",
+        "word_gram_hashes(text, n, distinct_sorted) - hashed word-n-gram " +
+          "keys (xxhash64 chain) as array<bigint>"),
+      (children: Seq[Expression]) =>
+        graft.functions.WordGramHashes(children(0),
+          intLit(children(1), "word_gram_hashes: n"),
+          boolLit(children(2), "word_gram_hashes: distinct_sorted"))),
+    (FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - intersection count of two " +
+          "sorted-distinct bigint arrays (merge loop)"),
+      (children: Seq[Expression]) =>
+        graft.functions.SortedLongIntersectCount(children(0), children(1))))
+
+  private def lit(e: Expression, what: String): Any = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+      if v != null => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
+  private def intLit(e: Expression, what: String): Int =
+    lit(e, what).toString.toInt
+  private def longLit(e: Expression, what: String): Long =
+    lit(e, what).toString.toLong
+  private def boolLit(e: Expression, what: String): Boolean =
+    lit(e, what).toString.toBoolean
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =

@@ -45,6 +45,23 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       Seq((3.0, 1L), (3.0, 2L))
   }
 
+  test("round-6 natives are callable from SQL and match their twins") {
+    GraftExtensions.register(spark)
+    // one row exercising all four against their built-in/HOF twins
+    val r = spark.sql(
+      """SELECT
+        |  word_gram_hashes('a b c d', 3, true)  AS g,
+        |  rolling_hash('abc', 7, 31, 1000000007) AS rh,
+        |  hyperplane_signature(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4, 1492) AS hs,
+        |  sorted_intersect_count(array(1L, 3L, 9L), array(3L, 4L, 9L)) AS ic
+        |""".stripMargin).collect()(0)
+    r.getSeq[Long](0).length shouldBe 2 // 4 words -> 2 trigrams
+    // (7*31+97 -> *31+98 -> *31+99) % 1000000007
+    r.getLong(1) shouldBe ((((7L * 31 + 97) * 31 + 98) * 31 + 99) % 1000000007L)
+    r.getLong(2) should (be >= 0L and be <= 15L)
+    r.getInt(3) shouldBe 2
+  }
+
   test("extensions class wires the same registry entries at session build") {
     // a child session built with the extensions object applied
     val ext = new org.apache.spark.sql.SparkSessionExtensions
