@@ -157,7 +157,10 @@ object DedupOps extends QueryGroup {
           col("n").as("na")), "i")
         .join(sh.select(col("doc_id").as("j"), col("sh").as("shb"),
           col("n").as("nb")), "j")
-        .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("shared", org.apache.spark.sql.GraftBridge.column(
+          graft.functions.SortedLongIntersectCount(
+            org.apache.spark.sql.GraftBridge.expression(col("sha")),
+            org.apache.spark.sql.GraftBridge.expression(col("shb")))))
         .withColumn("jaccard",
           col("shared").cast("double") /
             (col("na") + col("nb") - col("shared")).cast("double"))
