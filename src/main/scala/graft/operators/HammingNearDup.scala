@@ -35,7 +35,20 @@ import graft.functions.HashFunctions.hamming64
   */
 object HammingNearDup {
 
-  /** @param sigs   frame with one row per item
+  /** Candidate generation runs over UNIQUE signature values, not rows:
+    * a dedup corpus is dup-heavy by definition, and a mass-duplicate
+    * group of m rows sharing one signature would otherwise put m
+    * copies of every block key through the join — quadratic in the
+    * group size INSIDE the join, before any verification. Collapsing
+    * to distinct signatures first bounds every intermediate by the
+    * unique-signature count; row pairs are recovered afterwards by
+    * joining members back per matched signature pair (plus the
+    * trivial hamming-0 pairs within each identical-signature group).
+    * The OUTPUT is still all row pairs — inherently quadratic in a
+    * dup group's size — but it streams out of a join, never through a
+    * collected/exploded intermediate.
+    *
+    * @param sigs   frame with one row per item
     * @param idCol  unique numeric/string id column name
     * @param sigCol 64-bit signature column name (long)
     * @param maxHam maximum hamming distance (inclusive)
@@ -48,30 +61,44 @@ object HammingNearDup {
     val width = (64 + nBlocks - 1) / nBlocks
     // ≤ 1 by construction; 0 only when maxHam == 0 (exact-match join)
     val ballRadius = maxHam / nBlocks
+    val members = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    val uniq = members.select(col("sig")).distinct()
     val blockVals = array((0 until nBlocks).map { b =>
       // last block may be narrower; mask with the remaining width
       val w = math.min(width, 64 - b * width)
-      shiftrightunsigned(col(sigCol), b * width)
+      shiftrightunsigned(col("sig"), b * width)
         .bitwiseAND(lit(if (w >= 64) -1L else (1L << w) - 1))
     }: _*)
-    val plain = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
-      posexplode(blockVals)).toDF("id", "sig", "block", "v")
+    val plain = uniq.select(col("sig"), posexplode(blockVals))
+      .toDF("sig", "block", "v")
     // radius-1 ball: the value itself plus each single-bit flip. Flips
     // beyond a narrower last block's width produce keys outside its
     // masked domain — they can never match and are only dead rows.
     val probe =
       if (ballRadius == 0) plain
-      else plain.select(col("id"), col("sig"), col("block"),
+      else plain.select(col("sig"), col("block"),
         explode(array(col("v") +: (0 until width).map(bit =>
           col("v").bitwiseXOR(lit(1L << bit))): _*)).as("v"))
-    probe.as("a").join(plain.as("b"),
+    // distinct signature pairs within the hamming budget (sa < sb is a
+    // valid canonical order on VALUES — ids come back below)
+    val sigPairs = probe.as("a").join(plain.as("b"),
       col("a.block") === col("b.block") && col("a.v") === col("b.v") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
+        col("a.sig") < col("b.sig"))
+      .select(col("a.sig").as("sa"), col("b.sig").as("sb"))
       .withColumn("hamming", hamming64(col("sa"), col("sb")))
       .filter(col("hamming") <= maxHam)
-      .select("i", "j", "hamming")
-      .dropDuplicates("i", "j")
+      .dropDuplicates("sa", "sb")
+    // expand to row pairs: cross-group (every member of sa × every
+    // member of sb, ordered per pair) + within-group hamming-0 pairs
+    val cross = sigPairs
+      .join(members.select(col("sig").as("sa"), col("id").as("ia")), "sa")
+      .join(members.select(col("sig").as("sb"), col("id").as("ib")), "sb")
+      .select(least(col("ia"), col("ib")).as("i"),
+        greatest(col("ia"), col("ib")).as("j"), col("hamming"))
+    val within = members.as("x").join(members.as("y"),
+      col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("i"), col("y.id").as("j"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
   }
 }

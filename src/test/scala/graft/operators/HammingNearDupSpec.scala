@@ -44,4 +44,25 @@ class HammingNearDupSpec extends AnyFunSuite with Matchers {
     val sigs = Seq(1L -> 42L, 2L -> 42L, 3L -> -1L)
     pairsOf(sigs, 0) shouldBe Set((1L, 2L, 0L))
   }
+
+  test("mass-duplicate groups: lossless vs brute force, dup-heavy corpus") {
+    // the shape a dedup corpus actually has: most rows sit in large
+    // identical-signature groups (candidate generation must run over
+    // UNIQUE signatures or the block join goes quadratic in group size)
+    val rnd = new scala.util.Random(7)
+    val sigs = (1L to 300L).map { i =>
+      val base = i % 5 match {
+        case 0 => 0x00F0L                      // 60-member identical group
+        case 1 => 0x00F1L                      // ham 1 from the group above
+        case 2 => 0x0FF0L                      // ham 4
+        case _ => rnd.nextLong()               // background noise
+      }
+      i -> base
+    }
+    val brute = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    pairsOf(sigs, 3) shouldBe brute
+  }
 }
