@@ -173,13 +173,13 @@ object SimilarityOps extends QueryGroup {
 
   // ---------------------------------------------------------------- S3
   // IVF with a SIZE-KEYED index: cells ≈ √n (floored at the calibrated
-  // 16), probes ≈ √cells — so the scanned corpus fraction nprobe/cells
-  // ≈ n^(-1/4) SHRINKS as the corpus grows (500 → 23/5 = 22%,
-  // 2 000 → 45/7 = 16%, 20 000 → 142/12 = 8%), where the old fixed
-  // 16/4 scanned 25% at ANY n — a linear-scan in disguise. Per-query
-  // work is O(n^(3/4)·dim + cells·dim); the centroid table stays a
-  // broadcast-size model at any scale ([[LshTuning.ivfCellsFor]] /
-  // [[LshTuning.nprobeFor]]).
+  // 16), probes ≈ 1.5·√cells — so the scanned corpus fraction
+  // nprobe/cells ≈ 1.5·n^(-1/4) SHRINKS as the corpus grows
+  // (2 000 → 45/11 = 24%, 20 000 → 142/18 = 13%, and onward as
+  // n^(-1/4)), where the old fixed 16/4 scanned 25% at ANY n — a
+  // linear-scan in disguise. Per-query work is O(n^(3/4)·dim +
+  // cells·dim); the centroid table stays a broadcast-size model at any
+  // scale ([[LshTuning.ivfCellsFor]] / [[LshTuning.nprobeFor]]).
   //
   // The coarse quantizer is TRAINED, not guessed: seeds are a
   // deterministic pseudo-random draw (the `cells` vectors minimizing a
