@@ -31,9 +31,18 @@ object JaccardNearDup {
 
   def pairs(toks: DataFrame, idCol: String, toksCol: String,
       t: Double, dfOrdered: Boolean = false): DataFrame = {
-    val sh = toks.select(col(idCol).as("doc_id"), col(toksCol).as("sh"))
+    val members = toks.select(col(idCol).as("doc_id"), col(toksCol).as("sh"))
       .withColumn("n", size(col("sh")))
       .cache()
+    // prefix keys + verification run over UNIQUE shingle sets: a dedup
+    // corpus is dup-heavy by definition, and a mass-duplicate group of
+    // m rows sharing one set would otherwise push m copies of every
+    // prefix token through the candidate join and verify m²/2 times.
+    // Row pairs are recovered after verification (cross-group streams
+    // out of a join; within-group pairs are jaccard 1.0 by identity).
+    val sh = members.groupBy("sh", "n")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "sh", "n").cache()
     val prefLen = (col("n") - ceil(col("n") * t) + 1).cast("int")
 
     val prefix =
@@ -63,7 +72,7 @@ object JaccardNearDup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
     // duplicate candidates (several shared prefix tokens) are verified
     // redundantly and deduped AFTER the ≥t filter, where rows are few
-    cand
+    val setPairs = cand
       .join(sh.select(col("doc_id").as("i"), col("sh").as("sha"),
         col("n").as("na")), "i")
       .join(sh.select(col("doc_id").as("j"), col("sh").as("shb"),
@@ -81,5 +90,23 @@ object JaccardNearDup {
       .select(col("i"), col("j"),
         col("shared").cast(LongType).as("shared"), col("jaccard"))
       .dropDuplicates("i", "j")
+    // expand verified SET pairs back to row pairs
+    val gid = members.join(
+        sh.select(col("sh"), col("doc_id").as("gid")), Seq("sh"))
+      .select(col("doc_id"), col("gid"), col("n"))
+    val cross = setPairs
+      .join(gid.select(col("gid").as("i"), col("doc_id").as("ia")), "i")
+      .join(gid.select(col("gid").as("j"), col("doc_id").as("ib")), "j")
+      .select(least(col("ia"), col("ib")).as("i"),
+        greatest(col("ia"), col("ib")).as("j"),
+        col("shared"), col("jaccard"))
+    // identical non-empty sets are jaccard 1.0 by identity (empty sets
+    // stay excluded, exactly as they never form prefix candidates)
+    val within = gid.as("x").join(gid.as("y"),
+      col("x.gid") === col("y.gid") &&
+        col("x.doc_id") < col("y.doc_id") && col("x.n") > 0)
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.n").cast(LongType).as("shared"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 }

@@ -70,6 +70,32 @@ class JaccardNearDupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("mass-duplicate sets: lossless vs brute force, dup-heavy corpus") {
+    // the dedup-corpus shape: large groups of IDENTICAL shingle sets
+    // (prefix keys + verification must run per distinct set, not per
+    // row), plus near-dup and empty-set edge cases
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 120L).map { i =>
+      i % 6 match {
+        case 0 => i -> Seq(1L, 2L, 3L, 4L, 5L)       // 20-member group
+        case 1 => i -> Seq(1L, 2L, 3L, 4L, 6L)       // J=2/3 vs group
+        case 2 => i -> Seq.empty[Long]               // empty: never pairs
+        case _ => i -> Seq.fill(6)(rnd.nextLong()).distinct
+      }
+    }
+    val brute = (for {
+      (i, si) <- rows; (j, sj) <- rows if i < j
+      inter = si.toSet.intersect(sj.toSet).size
+      union = si.toSet.union(sj.toSet).size
+      if union > 0 && inter.toDouble / union >= 0.8
+    } yield (i, j, inter.toLong, inter.toDouble / union)).toSet
+    val out = JaccardNearDup.pairs(toks(rows: _*), "id", "toks", 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    out shouldBe brute
+  }
+
   test("candidate join is an equi-join, never cartesian (both orderings)") {
     val df = toks(1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 2L, 4L))
     Seq(false, true).foreach { ord =>
