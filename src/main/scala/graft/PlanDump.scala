@@ -6,7 +6,7 @@ object PlanDump {
     Seq("q1_agg", "q2_filter_project", "q4_star_join", "q28_asof_join",
         "d2_dedup_ngram_jaccard", "s1_ann_bruteforce",
         "t6_decontaminate", "t8_mixture_sample",
-        "p1_training_corpus", "d4_dedup_simhash",
+        "p1_training_corpus", "d3_dedup_minhash_lsh", "d4_dedup_simhash",
         "d8_dedup_embedding_lsh", "d9_dedup_incremental").foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution
