@@ -133,9 +133,17 @@ object DedupOps extends QueryGroup {
   private val d3 = QueryDef(
     "d3_dedup_minhash_lsh",
     (s, dir) => {
-      val sh = shingled(s, dir).cache()
+      val members = shingled(s, dir).cache()
+      // signature build, banding and verification run over UNIQUE
+      // shingle sets (identical sets ⇒ identical signatures ⇒ they
+      // collide in EVERY band, so within-group pairs are LSH-surfaced
+      // by construction) — the same dup-heavy armor as d2/d4: a
+      // mass-duplicate group would otherwise go quadratic inside the
+      // band join. Row pairs are recovered after verification.
+      val sets = members.groupBy("sh", "n")
+        .agg(min(col("doc_id")).as("doc_id")).cache()
       // shingles are already hashed longs; permutation i = xxhash64(i, h)
-      val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      val tok = sets.select(col("doc_id"), explode(col("sh")).as("h"))
       val sig = tok.groupBy("doc_id")
         .agg(min(xxhash64(lit(0), col("h"))).as("m0"),
           (1 until mhK).map(i =>
@@ -152,10 +160,10 @@ object DedupOps extends QueryGroup {
         .distinct()
       // exact verification: join candidates back to the shingle sets and
       // keep true-Jaccard ≥ t only — no estimates ship
-      cand
-        .join(sh.select(col("doc_id").as("i"), col("sh").as("sha"),
+      val setPairs = cand
+        .join(sets.select(col("doc_id").as("i"), col("sh").as("sha"),
           col("n").as("na")), "i")
-        .join(sh.select(col("doc_id").as("j"), col("sh").as("shb"),
+        .join(sets.select(col("doc_id").as("j"), col("sh").as("shb"),
           col("n").as("nb")), "j")
         .withColumn("shared", org.apache.spark.sql.GraftBridge.column(
           graft.functions.SortedLongIntersectCount(
@@ -167,6 +175,23 @@ object DedupOps extends QueryGroup {
         .filter(col("jaccard") >= jaccardT)
         .select(col("i"), col("j"), col("shared").cast(LongType).as("shared"),
           col("jaccard"))
+      val gid = members.join(
+          sets.select(col("sh"), col("doc_id").as("gid")), Seq("sh"))
+        .select(col("doc_id"), col("gid"), col("n"))
+      val cross = setPairs
+        .join(gid.select(col("gid").as("i"), col("doc_id").as("ia")), "i")
+        .join(gid.select(col("gid").as("j"), col("doc_id").as("ib")), "j")
+        .select(least(col("ia"), col("ib")).as("i"),
+          greatest(col("ia"), col("ib")).as("j"),
+          col("shared"), col("jaccard"))
+      // identical non-empty sets: every band collides, jaccard 1.0 by
+      // identity; empty sets produce no tokens and never pair (as before)
+      val within = gid.as("x").join(gid.as("y"),
+        col("x.gid") === col("y.gid") &&
+          col("x.doc_id") < col("y.doc_id") && col("x.n") > 0)
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+          col("x.n").cast(LongType).as("shared"), lit(1.0).as("jaccard"))
+      cross.unionByName(within)
         .orderBy("i", "j")
     },
     Some(s"""WITH $pairCtes

@@ -195,6 +195,39 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     recall should be >= 0.3
   }
 
+  test("d3 on a dup-heavy corpus: mass-identical docs pair exactly") {
+    // the dedup-corpus shape the driver SFs never exercise: large
+    // groups of byte-identical documents. d3's banding runs over
+    // unique shingle sets, so within-group pairs come from the
+    // identity expansion — they must ALL appear at jaccard 1.0, and
+    // strong near-dups must still be surfaced.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val rows = (1L to 40L).map { i =>
+      val text = i match {
+        case x if x <= 10 => base                  // 10 identical docs
+        // last word differs ⇒ exactly one 3-gram shingle changes:
+        // J = 17/19 ≈ 0.895, inside the banding's certain-recall zone
+        case 11 => base.replace("upsilon", "upsilon2")
+        case _ => s"doc $i " + (1 to 20).map(k => s"w${i}_$k").mkString(" ")
+      }
+      (i, text)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_d3dup").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d3_dedup_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val within = out.filter { case (i, j, _) => i <= 10 && j <= 10 }
+    within.length shouldBe 45 // C(10,2)
+    all(within.map(_._3)) shouldBe 1.0
+    // the planted near-dup pairs with every identical-group member
+    // (J well above the 16x4 banding's ~certain-recall zone)
+    out.count { case (i, j, _) => j == 11 && i <= 10 } shouldBe 10
+  }
+
   test("d9 cold start: a pre-existing ledger on disk bootstraps cleanly") {
     // The r5 driver failure: ledger persisted under one session, next
     // (fresh) session's catalog has forgotten it while the directory
