@@ -61,6 +61,12 @@ object ConnectedComponents {
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"),
         least(col("src"), col("mn")).as("component")))
+    // the materialized blocks behind the CURRENT round — freed once the
+    // next round materializes. Without this every round's label table
+    // stays persisted until the query ends: harmless at test SF, but a
+    // 20-round CC over a 100 TB-derived edge set holds 20 copies of the
+    // label table in executor storage. Bounded to O(1) rounds here.
+    var liveRound = org.apache.spark.sql.GraftBridge.materializedRdd(labels)
 
     var converged = false
     var iter = 0
@@ -91,6 +97,10 @@ object ConnectedComponents {
       // trip Catalyst's duplicate-attribute constraint rewriting
       val jumped = spark.createDataFrame(jumpedRaw.rdd, jumpedRaw.schema)
       converged = jumped.filter(col("chg")).isEmpty
+      // this round is materialized (save is eager) and the convergence
+      // check has run — the previous round's blocks are now dead
+      liveRound.foreach(_.unpersist(blocking = false))
+      liveRound = org.apache.spark.sql.GraftBridge.materializedRdd(jumpedRaw)
       labels = jumped.select("id", "component")
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))

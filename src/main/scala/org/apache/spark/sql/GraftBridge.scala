@@ -14,4 +14,15 @@ object GraftBridge {
 
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** The materialized RDD behind a checkpointed Dataset (`LogicalRDD`
+    * leaf) — lets iterative operators explicitly release a superseded
+    * round's storage instead of letting every round's blocks pile up
+    * until the query ends.
+    */
+  def materializedRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }

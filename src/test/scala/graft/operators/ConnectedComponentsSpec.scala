@@ -59,6 +59,23 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
       .collect()(0).getLong(1) shouldBe 123L
   }
 
+  test("superseded rounds release their storage (bounded block count)") {
+    // a ~10-round chain: without per-round release, every round's label
+    // table would stay persisted until the query ends — at 100 TB that
+    // is rounds × |labels| of executor storage held for nothing
+    import spark.implicits._
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val nodes = (0L until 400L).toDF("id")
+    val edges = (0L until 399L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = ConnectedComponents.run(nodes, edges)
+    out.collect().length shouldBe 400
+    // left alive: the symmetric edge list + the final round's labels
+    // (still feeding `out`) — NOT one table per round
+    spark.sparkContext.getPersistentRDDs.size should be <= 3
+  }
+
   test("random graphs match a union-find reference") {
     val rnd = new scala.util.Random(11)
     (1 to 3).foreach { trial =>
