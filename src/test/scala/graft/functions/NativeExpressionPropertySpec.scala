@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Property-style bit-identity checks for the native codegen
+  * expressions against their HOF/built-in twins, over ScalaCheck-
+  * generated inputs (adversarial shapes the real corpus never hits:
+  * empty strings, runs of separators, unicode, degenerate vectors).
+  * Each property evaluates ALL samples in one Spark job: the samples
+  * become a DataFrame and the twin columns must agree on every row.
+  */
+class NativeExpressionPropertySpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  private def samples[T](g: Gen[T], n: Int = 200): Seq[T] = {
+    val out = Iterator.continually(g.sample).flatten.take(n).toSeq
+    out.size shouldBe n
+    out
+  }
+
+  private def agree(df: DataFrame, native: Column, twin: Column): Unit =
+    df.filter(native =!= twin).count() shouldBe 0L
+
+  // words with unicode, empties and odd lengths; texts with separator
+  // runs and leading/trailing spaces
+  private val word: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("héllo", "wörld", "日本語", "", "a", "§±µ"),
+    Gen.listOfN(3, Gen.choose('!', '~')).map(_.mkString))
+  private val text: Gen[String] = Gen.oneOf(
+    Gen.const(""),
+    Gen.const(" "),
+    Gen.const("   "),
+    Gen.listOf(word).map(_.mkString(" ")),
+    Gen.listOf(word).map(" " + _.mkString("  ") + " "))
+
+  test("WordGramHashes equals the HOF chain on adversarial strings") {
+    import spark.implicits._
+    val df = samples(text).toDF("text").cache()
+    def hof(n: Int, ds: Boolean): Column = {
+      val wh = transform(split(col("text"), " "), w => xxhash64(w))
+      val grams = when(org.apache.spark.sql.functions.size(wh) >= n,
+        transform(sequence(lit(1), org.apache.spark.sql.functions.size(wh) - (n - 1)),
+          i => xxhash64((0 until n).map(k => element_at(wh, i + k)): _*)))
+        .otherwise(array().cast("array<bigint>"))
+      if (ds) array_sort(array_distinct(grams)) else grams
+    }
+    for (n <- Seq(2, 3, 4, 5); ds <- Seq(true, false))
+      withClue(s"n=$n ds=$ds: ") {
+        agree(df, GraftBridge.column(
+          WordGramHashes(GraftBridge.expression(col("text")), n, ds)),
+          hof(n, ds))
+      }
+  }
+
+  test("RollingHash equals the split/ascii fold on adversarial strings") {
+    import spark.implicits._
+    val df = samples(text).toDF("text")
+    val hof = aggregate(
+      transform(split(col("text"), ""),
+        c => ascii(c).cast(org.apache.spark.sql.types.LongType)),
+      lit(7L), (acc, x) => (acc * 31 + x) % 1000000007L)
+    agree(df, GraftBridge.column(RollingHash(
+      GraftBridge.expression(col("text")), 7L, 31L, 1000000007L)), hof)
+  }
+
+  test("HyperplaneSignature equals the HOF fold on random vectors") {
+    import spark.implicits._
+    val vec: Gen[Seq[Float]] = for {
+      d <- Gen.choose(1, 24)
+      v <- Gen.listOfN(d, Gen.chooseNum(-8f, 8f))
+    } yield v
+    val degenerate = Seq(Seq(0f), Seq(0f, 0f, 0f), Seq(Float.MinPositiveValue))
+    val df = (samples(vec, 100) ++ degenerate).toDF("v")
+    for (bits <- Seq(1, 4, 8, 13); seed <- Seq(0x5eed, 0xd8))
+      withClue(s"bits=$bits seed=$seed: ") {
+        agree(df, GraftBridge.column(HyperplaneSignature(
+          GraftBridge.expression(col("v")), bits, seed)),
+          graft.functions.VectorFunctions
+            .hyperplaneSignatureHof(col("v"), bits, seed))
+      }
+  }
+
+  test("SortedLongIntersectCount equals size(array_intersect) on random sets") {
+    import spark.implicits._
+    val sortedSet: Gen[Seq[Long]] = Gen.listOf(Gen.chooseNum(-50L, 50L))
+      .map(_.distinct.sorted)
+    val pairGen: Gen[(Seq[Long], Seq[Long])] = for {
+      a <- sortedSet; b <- sortedSet
+      // bias toward overlap so the merge path is exercised, not just misses
+      mixed = (b ++ a.take(a.size / 2)).distinct.sorted
+    } yield (a, mixed)
+    val df = (samples(pairGen) ++ Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 2L), Seq.empty[Long]))).toDF("a", "b")
+    agree(df, GraftBridge.column(SortedLongIntersectCount(
+      GraftBridge.expression(col("a")), GraftBridge.expression(col("b")))),
+      org.apache.spark.sql.functions.size(array_intersect(col("a"), col("b"))))
+  }
+}
