@@ -79,9 +79,18 @@ object Bench {
     val (times, errors) = run(spark,
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }, sfDir)
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    // JSON string escape mirroring Verify's: backslash, quote, and ALL
+    // control chars (<0x20) — an exception message carrying \f or ESC
+    // would otherwise emit invalid JSON and break the driver's parse
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, m) => "\"" + k + "\":" + jstr(m) }

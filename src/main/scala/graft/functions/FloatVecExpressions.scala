@@ -5,6 +5,89 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
+/** Shared element-null plumbing for the native array expressions: a NULL
+  * array ELEMENT nulls the whole result, mirroring the HOF twins each
+  * expression replaces (a null poisons `zip_with`/`aggregate` folds) —
+  * parquet array columns default to `containsNull = true`, so element
+  * nulls are reachable through every call site, including the
+  * SQL-registered forms. The per-element check is emitted ONLY when a
+  * child's array type declares `containsNull`; non-null-element schemas
+  * keep the branch-free hot loop.
+  */
+private[functions] trait NullableElements { self: Expression =>
+  protected def elemNullable(e: Expression): Boolean =
+    !e.resolved || (e.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+  protected def anyElementNullable: Boolean =
+    children.exists(elemNullable)
+  override def nullable: Boolean =
+    children.exists(_.nullable) || anyElementNullable
+}
+
+/** Schema-level assertion that an array column's ELEMENTS are non-null:
+  * re-declares `containsNull = false` (parquet always declares true) and
+  * enforces it with ONE scan per row that throws a clear error on
+  * violation — Spark's `AssertNotNull` pattern, one level down.
+  *
+  * This is the performance seam for the null-safe kernels above: their
+  * per-ELEMENT null checks are correct but cost ~1.6× on the d5/s1 pair
+  * join, where every row is re-read once per PAIR (n·n element checks).
+  * Asserting once per ROW at the scan (n checks) lets every downstream
+  * kernel see `containsNull = false` and emit its branch-free loop —
+  * nullability is a schema contract, and codegen trusts the schema.
+  */
+case class KnownNonNullElements(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType)
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(et, _) => ArrayType(et, containsNull = false)
+    case dt => dt
+  }
+
+  override def prettyName: String = "known_non_null_elements"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) KnownNonNullElements.failStatic()
+      i += 1
+    }
+    x
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val cls = classOf[KnownNonNullElements].getName
+      s"""
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) $cls.failStatic();
+         |}
+         |${ev.value} = $a;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KnownNonNullElements =
+    copy(child = newChild)
+}
+
+object KnownNonNullElements {
+  // codegen entry point (instance methods aren't reachable from the
+  // generated class without a reference object)
+  def failStatic(): Unit = throw new IllegalStateException(
+    "known_non_null_elements: null array element violates the " +
+      "non-null-element contract")
+}
+
 /** Native Catalyst expression for the ANN/dedup hot path: dot product of
   * two `array<float>` columns as a primitive `while` loop inside
   * whole-stage codegen — no per-element boxing, no lambda dispatch, one
@@ -13,10 +96,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   *
   * The accumulation is float→double promotion, strict left-to-right —
   * EXACTLY the fold order of the HOF version it replaces, so results are
-  * bit-identical and the DuckDB oracle parity of s1 is preserved.
+  * bit-identical and the DuckDB oracle parity of s1 is preserved. A null
+  * ELEMENT nulls the result (the HOF twin's poison-fold semantics);
+  * unequal lengths fold over the common prefix (the HOF twin instead
+  * nulls via zip_with's padding — callers pass equal-dimension vectors).
   */
 case class FloatVecDot(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ExpectsInputTypes with NullableElements {
 
   // return type inferred: Seq[AbstractDataType] is private[sql]
   override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
@@ -32,6 +118,7 @@ case class FloatVecDot(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -43,11 +130,24 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val hasNull = ctx.freshName("hasNull")
+      // null detection is a SEPARATE scan so the multiply-accumulate
+      // loop keeps a single exit (a break in the FP loop measurably
+      // defeats unrolling: ~1.6× on the d5 pair join)
+      val nullScan = if (!anyElementNullable) "" else
+        s"""boolean $hasNull = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $hasNull = $hasNull || $a.isNullAt($i) || $b.isNullAt($i);
+           |}
+           |${ev.isNull} = $hasNull;""".stripMargin
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -75,7 +175,12 @@ case class FloatVecDot(left: Expression, right: Expression)
   * set iff the projection is ≥ 0.
   */
 case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes with NullableElements {
+
+  // enforced HERE (not only in VectorFunctions.hyperplaneSignature) so
+  // the SQL-registered form can't silently wrap `1L << h` at bits ≥ 64
+  require(bits >= 1 && bits <= 63,
+    s"hyperplane_signature: bits must be in [1, 63], got $bits")
 
   override def inputTypes = Seq(ArrayType(FloatType))
 
@@ -96,6 +201,7 @@ case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
     val acc = new Array[Double](bits)
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i)) return null
       val v = x.getFloat(i).toDouble
       var h = 0
       while (h < bits) {
@@ -124,19 +230,31 @@ case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
       val v = ctx.freshName("v")
       val acc = ctx.freshName("acc")
       val sig = ctx.freshName("sig")
+      val hasNull = ctx.freshName("hasNull")
+      // separate null scan — keep the hash-accumulate loop single-exit
+      // (same unrolling rationale as FloatVecDot)
+      val nullScan = if (!anyElementNullable) "" else
+        s"""boolean $hasNull = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $hasNull = $hasNull || $a.isNullAt($i);
+           |}
+           |${ev.isNull} = $hasNull;""".stripMargin
       s"""
          |int $n = $a.numElements();
-         |double[] $acc = new double[$bits];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = (double) $a.getFloat($i);
-         |  for (int $h = 0; $h < $bits; $h++) {
-         |    $acc[$h] += $v * ((double) $xxh.hashInt($i, $seeds[$h])
-         |      / (double) java.lang.Long.MAX_VALUE);
-         |  }
-         |}
          |long $sig = 0L;
-         |for (int $h = 0; $h < $bits; $h++) {
-         |  if ($acc[$h] >= 0) $sig |= 1L << $h;
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  double[] $acc = new double[$bits];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $v = (double) $a.getFloat($i);
+         |    for (int $h = 0; $h < $bits; $h++) {
+         |      $acc[$h] += $v * ((double) $xxh.hashInt($i, $seeds[$h])
+         |        / (double) java.lang.Long.MAX_VALUE);
+         |    }
+         |  }
+         |  for (int $h = 0; $h < $bits; $h++) {
+         |    if ($acc[$h] >= 0) $sig |= 1L << $h;
+         |  }
          |}
          |${ev.value} = $sig;
        """.stripMargin
@@ -155,12 +273,16 @@ case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
   * verified redundantly, multiplying that allocation).
   *
   * Equal to `size(array_intersect(a, b))` whenever both inputs are
-  * sorted distinct (the shingle-set invariant from WordGramHashes /
-  * DedupOps.shingled; spec-asserted on real data) — callers own that
-  * precondition.
+  * sorted distinct with NON-NULL elements (the shingle-set invariant
+  * from WordGramHashes / DedupOps.shingled; spec-asserted on real data)
+  * — callers own that precondition. A null ELEMENT (unreachable under
+  * the invariant, but reachable via the SQL-registered form) nulls the
+  * result rather than miscounting: `array_intersect` treats null as a
+  * matchable value, but a null inside a "sorted distinct long array"
+  * has no defined sort position, so no count is right.
   */
 case class SortedLongIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ExpectsInputTypes with NullableElements {
 
   override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
 
@@ -177,6 +299,7 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     var j = 0
     var c = 0
     while (i < nx && j < ny) {
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
       val vx = x.getLong(i)
       val vy = y.getLong(j)
       if (vx == vy) { c += 1; i += 1; j += 1 }
@@ -195,11 +318,14 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val vx = ctx.freshName("vx")
       val vy = ctx.freshName("vy")
+      val nullCheck = if (!anyElementNullable) "" else
+        s"if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }"
       s"""
          |int $nx = $a.numElements();
          |int $ny = $b.numElements();
          |int $i = 0, $j = 0, $c = 0;
          |while ($i < $nx && $j < $ny) {
+         |  $nullCheck
          |  long $vx = $a.getLong($i);
          |  long $vy = $b.getLong($j);
          |  if ($vx == $vy) { $c++; $i++; $j++; }

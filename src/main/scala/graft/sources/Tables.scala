@@ -30,6 +30,17 @@ object Tables {
         // mantissa, so floating division is off by ±1ms on some rows
         .withColumn("ts_ms", expr("ts div 1000000"))
         .withColumn("ts", timestamp_millis(col("ts_ms")))
+    } else if (name == "embeddings") {
+      // parquet declares array elements nullable even when no element is
+      // null; re-declare containsNull = false (asserted, once per row)
+      // so the native vector kernels emit their branch-free loops — the
+      // per-PAIR element null checks they'd otherwise need cost ~1.6×
+      // on the n² similarity joins
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("embedding", org.apache.spark.sql.GraftBridge.column(
+          graft.functions.KnownNonNullElements(
+            org.apache.spark.sql.GraftBridge.expression(col("embedding")))))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so `spark.sql` works directly. */

@@ -30,10 +30,15 @@ class NativeExpressionPropertySpec extends AnyFunSuite with Matchers {
     df.filter(native =!= twin).count() shouldBe 0L
 
   // words with unicode, empties and odd lengths; texts with separator
-  // runs and leading/trailing spaces
+  // runs and leading/trailing spaces. Includes supplementary-plane
+  // characters (surrogate pairs) and LONE surrogates, so the "matches
+  // on any text" claims cover the non-BMP path, not just manual
+  // reasoning about Spark's Ascii/split behavior there.
   private val word: Gen[String] = Gen.oneOf(
     Gen.alphaNumStr.map(_.take(8)),
     Gen.oneOf("héllo", "wörld", "日本語", "", "a", "§±µ"),
+    Gen.oneOf("😀", "a😀b", "𝒳𝒴",
+      "\uD800", "\uDC00", "x\uDFFF"),
     Gen.listOfN(3, Gen.choose('!', '~')).map(_.mkString))
   private val text: Gen[String] = Gen.oneOf(
     Gen.const(""),
@@ -104,5 +109,49 @@ class NativeExpressionPropertySpec extends AnyFunSuite with Matchers {
     agree(df, GraftBridge.column(SortedLongIntersectCount(
       GraftBridge.expression(col("a")), GraftBridge.expression(col("b")))),
       org.apache.spark.sql.functions.size(array_intersect(col("a"), col("b"))))
+  }
+
+  test("array expressions null-propagate on null ELEMENTS (HOF poison-fold)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val fSchema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val fdf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq(1f, null, 3f), Seq(1f, 2f, 3f)),
+        Row(Seq(1f, 2f), Seq(null, 2f))),
+      fSchema)
+    val dot = GraftBridge.column(FloatVecDot(
+      GraftBridge.expression(col("a")), GraftBridge.expression(col("b"))))
+    fdf.filter(dot.isNotNull).count() shouldBe 0L
+    // sig reads only `a`: row 1's a carries the null, row 2's a is clean
+    val sig = GraftBridge.column(HyperplaneSignature(
+      GraftBridge.expression(col("a")), 4, 0x5eed))
+    fdf.filter(sig.isNull).count() shouldBe 1L
+    // non-null rows through the SAME nullable-element schema still agree
+    // with the HOF twin (the null-checking codegen path, not the fast loop)
+    val okdf = spark.createDataFrame(
+      java.util.Arrays.asList(Row(Seq(1f, -2f, 3f), Seq(0.5f, 2f, -1f))),
+      fSchema)
+    okdf.filter(dot =!= graft.functions.VectorFunctions
+      .dot(col("a"), col("b"))).count() shouldBe 0L
+    val lSchema = StructType(Seq(
+      StructField("a", ArrayType(LongType, containsNull = true)),
+      StructField("b", ArrayType(LongType, containsNull = true))))
+    val ldf = spark.createDataFrame(
+      java.util.Arrays.asList(Row(Seq(1L, null), Seq(1L, 2L))),
+      lSchema)
+    val isect = GraftBridge.column(SortedLongIntersectCount(
+      GraftBridge.expression(col("a")), GraftBridge.expression(col("b"))))
+    ldf.filter(isect.isNotNull).count() shouldBe 0L
+  }
+
+  test("HyperplaneSignature rejects bits outside [1, 63] at construction") {
+    val e = GraftBridge.expression(col("v"))
+    an[IllegalArgumentException] should be thrownBy
+      HyperplaneSignature(e, 0, 1)
+    an[IllegalArgumentException] should be thrownBy
+      HyperplaneSignature(e, 64, 1)
   }
 }
