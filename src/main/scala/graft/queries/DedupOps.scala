@@ -523,10 +523,10 @@ object DedupOps extends QueryGroup {
   // cold start (the r5 driver failure), and a GLOBAL ledger name would
   // merge one SF's hashes into another's when the driver verifies
   // several SFs back to back. Disk existence is the only state; each
-  // run either bootstraps or idempotently merges (union+distinct on
-  // content_hash — same MERGE semantics as
-  // [[graft.migrate.BulkCopy.upsertTable]], on a path instead of a
-  // table). The dedup plan then reads ONLY the ledger parquet and the
+  // run either bootstraps or idempotently APPENDS the novel hashes
+  // (anti-join against the ledger, append the remainder — O(batch)
+  // maintenance; see [[refreshLedger]]). The dedup plan then reads
+  // ONLY the ledger parquet and the
   // batch rows (source = 'src0' is pushed to the documents scan;
   // PlanSpec asserts both properties). At 100 TB the ledger join is a
   // shuffle hash join on 32-char hashes (broadcast when the ledger
@@ -537,29 +537,47 @@ object DedupOps extends QueryGroup {
   // from-scratch derivation. Cold start + cross-SF isolation are
   // spec-gated in DedupConsistencySpec.
   private[graft] def d9LedgerPath(dir: String): String = {
-    // basename + path hash: human-readable, and distinct dirs sharing a
-    // basename still get distinct ledgers
+    // basename + strong digest of the absolute path: human-readable,
+    // and distinct dirs sharing a basename get distinct ledgers with
+    // no collision roulette (a 32-bit String.hashCode collision under
+    // the shared state root would silently merge two corpora's
+    // ledgers — the exact cross-SF contamination
+    // DedupConsistencySpec guards against)
     val f = new java.io.File(dir)
-    val key = f.getName + "_" +
-      java.lang.Integer.toHexString(f.getAbsolutePath.hashCode)
-    s"/tmp/graft_state/graft_d9_ledger_$key"
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(f.getAbsolutePath.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+    s"/tmp/graft_state/graft_d9_ledger_${f.getName}_$digest"
   }
 
-  /** Bootstrap-or-merge the ledger at `path` from this run's derived
-    * prior-corpus hashes. Idempotent: merging an already-present hash
-    * set is a no-op, so the ledger always equals the from-scratch
-    * derivation — which is what the oracle checks.
+  /** Bootstrap-or-append the ledger at `path` from this run's derived
+    * prior-corpus hashes. Maintenance is O(batch), not O(corpus): after
+    * the bootstrap write, each run anti-joins the incoming hashes
+    * against the ledger and APPENDS only the novel remainder — the
+    * standing corpus ledger is never rewritten (rewriting it made every
+    * daily ingest pay an O(corpus) write at 100 TB, and was the real
+    * cost behind d9's r6 bench jump). Idempotent: re-ingesting known
+    * hashes appends nothing, so the ledger always equals the
+    * from-scratch derivation — which is what the oracle checks. IO goes
+    * through the Hadoop FileSystem API, so the ledger can live on
+    * shared storage (HDFS/S3A) on a real cluster, not just local disk.
     */
   private[graft] def refreshLedger(s: SparkSession, path: String,
-      prior: DataFrame): Unit =
-    if (!new java.io.File(path).exists())
+      prior: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
       prior.write.mode("overwrite").parquet(path)
     else {
-      // materialize the merge before overwriting its own input path
-      val merged = s.read.parquet(path).unionByName(prior)
-        .distinct().localCheckpoint()
-      merged.write.mode("overwrite").parquet(path)
+      // novel hashes only; materialized (batch-sized) before the append
+      // so the write never scans its own destination
+      val novel = prior
+        .join(s.read.parquet(path), Seq("content_hash"), "left_anti")
+        .localCheckpoint()
+      if (!novel.isEmpty)
+        novel.write.mode("append").parquet(path)
     }
+  }
 
   /** The dedup step itself — the plan a daily ingest run executes:
     * ledger anti-join + within-batch collapse. Touches the ledger

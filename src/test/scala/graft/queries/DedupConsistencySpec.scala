@@ -249,6 +249,25 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     bootstrap.size should be > 0
   }
 
+  test("d9 ledger maintenance is append-only: steady state rewrites nothing") {
+    // The r6 plan re-read + distinct'd + OVERWROTE the whole ledger on
+    // every ingest — an O(corpus) write per daily batch at 100 TB. The
+    // append-only path must leave the standing files untouched when the
+    // incoming hashes are already ledgered (the steady state of every
+    // re-ingest), proving maintenance cost is O(novel), not O(corpus).
+    def runD9() = SparkEntry.queries("d9_dedup_incremental")(
+      spark, TestSpark.sfDir).collect()
+    runD9() // bootstrap (or steady-state, if an earlier test ledgered)
+    val dir = new java.io.File(DedupOps.d9LedgerPath(TestSpark.sfDir))
+    def snapshot() = dir.listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+    val before = snapshot()
+    before.size should be > 0
+    runD9() // steady state: every incoming hash is already present
+    snapshot() shouldBe before
+  }
+
   test("d9 ledgers are keyed per SF dir: no cross-SF contamination") {
     // A global ledger would MERGE sf0.001 hashes into the sf0.01 ledger
     // when the driver verifies both SFs in one round, while the oracle
