@@ -38,6 +38,35 @@ object GlobalOrder {
       sorted.schema.add(outCol, LongType, nullable = false))
   }
 
+  /** Append a per-GROUP 1-based rank by `sortCols` within each distinct
+    * value of `groupCols` (as `rankCol`), plus the group's row count
+    * (as `countCol`) — the scale-safe replacement for
+    * `row_number()/count(*) OVER (PARTITION BY group)` when groups are
+    * FEW and HUGE (mixture-sampling sources: ~10 groups over the whole
+    * corpus). That window funnels each group's entire row set through
+    * ONE reducer; here a huge group instead spans many range
+    * partitions: compute the GLOBAL rank over (groupCols, sortCols) via
+    * [[withGlobalRank]], then convert to per-group rank with each
+    * group's first global rank — rank_in_group = global − first + 1 —
+    * where (first, count) is a G-row partial aggregate broadcast back.
+    * Exactly the window's semantics, never a per-group reducer wall.
+    *
+    * Groups must be broadcast-few (the mixture-sampling regime); the
+    * sort must be total within a group (unique tiebreak), as with
+    * [[withGlobalRank]].
+    */
+  def withGroupedRank(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], rankCol: String = "rank",
+      countCol: String = "n_in_group"): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, min}
+    val g = withGlobalRank(df, groupCols.map(col) ++ sortCols, rankCol)
+    val bounds = g.groupBy(groupCols.map(col): _*)
+      .agg(min(col(rankCol)).as("__first"), count(lit(1)).as(countCol))
+    g.join(broadcast(bounds), groupCols)
+      .withColumn(rankCol, col(rankCol) - col("__first") + lit(1L))
+      .drop("__first")
+  }
+
   /** Append the INCLUSIVE running sum of `valueCol` (a long column) in
     * `sortCols` order as `outCol` — the distributed prefix sum. Same
     * two-job shape as [[withGlobalRank]]: per-partition sums are

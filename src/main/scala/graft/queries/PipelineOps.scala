@@ -1,8 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 import graft.sources.Tables
 
@@ -18,8 +16,9 @@ import graft.sources.Tables
   * stage filters combine and push toward the scans, the holdout/quality
   * predicates prune before any join, and the only corpus-wide shuffles
   * are the ones each stage needs anyway (dedup's prefix join, the final
-  * per-source window). The DuckDB oracle chains the SAME stage CTEs, so
-  * the end-to-end composition — not just each stage — is hash-verified.
+  * per-source range rank — GlobalOrder.withGroupedRank, no per-source
+  * window wall). The DuckDB oracle chains the SAME stage CTEs, so the
+  * end-to-end composition — not just each stage — is hash-verified.
   */
 object PipelineOps extends QueryGroup {
 
@@ -43,12 +42,13 @@ object PipelineOps extends QueryGroup {
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select("source", "doc_id")
       val srcNum = substring(col("source"), 4, 10).cast("int")
-      val w = Window.partitionBy(col("source"))
-      eligible
-        .withColumn("frac", when(srcNum % 2 === 0, 0.2).otherwise(0.6))
-        .withColumn("rn",
-          row_number().over(w.orderBy(col("doc_id"))).cast(LongType))
-        .withColumn("n_src", count(lit(1)).over(w))
+      // same scale-safe per-source rank as t8: GlobalOrder.withGroupedRank,
+      // not a per-source window wall (see TextOps t8)
+      val ranked = graft.operators.GlobalOrder.withGroupedRank(
+        eligible.withColumn("frac",
+          when(srcNum % 2 === 0, 0.2).otherwise(0.6)),
+        Seq("source"), Seq(col("doc_id")), "rn", "n_src")
+      ranked
         .filter(col("rn") <= ceil(col("frac") * col("n_src")))
         .select("source", "doc_id", "rn")
         .orderBy("source", "rn")

@@ -311,22 +311,21 @@ object TextOps extends QueryGroup {
 
   // ---------------------------------------------------------------- T8
   // Exact domain-mixture sampling: per-source quota = ceil(frac × n_src),
-  // filled deterministically by ascending doc_id. Both the quota count
-  // and the rank ride ONE window partitioned by source — a single
-  // shuffle, no per-source collect; sources are independent partitions
-  // so this scales with the widest source, not the corpus.
+  // filled deterministically by ascending doc_id. With ~10 sources a
+  // `row_number() OVER (PARTITION BY source)` window would funnel each
+  // source's ENTIRE corpus share through one reducer at 100 TB — so the
+  // per-source rank and count come from GlobalOrder.withGroupedRank
+  // instead (range partition over (source, doc_id) + broadcast per-source
+  // offsets): identical quota semantics, and a huge source spans many
+  // partitions instead of drowning one.
   private val t8 = QueryDef(
     "t8_mixture_sample",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val srcNum = substring(col("source"), 4, 10).cast("int")
       val frac = when(srcNum % 2 === 0, 0.2).otherwise(0.6)
-      val w = Window.partitionBy(col("source"))
-      val ranked = docs(s, dir)
-        .select(col("source"), col("doc_id"), frac.as("frac"))
-        .withColumn("rn",
-          row_number().over(w.orderBy(col("doc_id"))).cast(LongType))
-        .withColumn("n_src", count(lit(1)).over(w))
+      val ranked = graft.operators.GlobalOrder.withGroupedRank(
+        docs(s, dir).select(col("source"), col("doc_id"), frac.as("frac")),
+        Seq("source"), Seq(col("doc_id")), "rn", "n_src")
       ranked
         .filter(col("rn") <= ceil(col("frac") * col("n_src")))
         .select("source", "doc_id", "rn")

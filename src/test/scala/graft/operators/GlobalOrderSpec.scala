@@ -40,6 +40,20 @@ class GlobalOrderSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset(key)
   }
 
+  test("withGroupedRank equals the per-group window rank and count") {
+    val df = spark.range(0, 2000).select(
+      concat(lit("src"), (col("id") % 7).cast("string")).as("g"), col("id"))
+    val viaOp = GlobalOrder
+      .withGroupedRank(df, Seq("g"), Seq(col("id")), "r", "n")
+      .select("g", "id", "r", "n")
+    val w = Window.partitionBy(col("g"))
+    val viaWindow = df.select(col("g"), col("id"),
+      row_number().over(w.orderBy(col("id"))).cast("long").as("r"),
+      count(lit(1)).over(w).as("n"))
+    viaOp.collect().map(_.toSeq).toSet shouldBe
+      viaWindow.collect().map(_.toSeq).toSet
+  }
+
   test("withGlobalCumSum equals the single-partition window running sum") {
     val df = spark.range(0, 5000).select(
       (col("id") * 2654435761L % 5000).as("key"), col("id"),

@@ -73,6 +73,21 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p.linesIterator.count(_.contains("Scan parquet")) shouldBe 2
   }
 
+  test("t8/p1: no per-source window wall; offsets join broadcasts") {
+    // exact mixture sampling must NOT rank via row_number() OVER
+    // (PARTITION BY source): ~10 sources ⇒ each source's whole corpus
+    // share through one reducer. The GroupedRank plan shows no Window
+    // at all, and the G-row per-source (first, count) table joins back
+    // as a broadcast.
+    Seq("t8_mixture_sample", "p1_training_corpus").foreach { name =>
+      withClue(name) {
+        val p = plan(name)
+        p should not include "Window"
+        p should include("BroadcastHashJoin")
+      }
+    }
+  }
+
   test("every declared query builds and stays lazy (no driver collect)") {
     SparkEntry.queries.keys.foreach { name =>
       noException should be thrownBy
