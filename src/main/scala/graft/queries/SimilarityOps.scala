@@ -200,10 +200,30 @@ object SimilarityOps extends QueryGroup {
     "s3_ann_ivf",
     (s, dir) => {
       val e = emb(s, dir)
-      val ivfCells = LshTuning.ivfCellsFor(e.count(), ivfCellsFloor)
+      val n = e.count()
+      val ivfCells = LshTuning.ivfCellsFor(n, ivfCellsFloor)
       val nprobe = LshTuning.nprobeFor(ivfCells, nprobeFloor)
 
-      def nearest(df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+      // Single-centroid ASSIGNMENT is a partial-agg argmax, not a
+      // window: max_by over (sim, -cid) reproduces the (sim desc, cid
+      // asc) rank rule exactly, and map-side combine ships ≤ 1 row per
+      // vector per partition — where `row_number() OVER (PARTITION BY
+      // vec_id)` shuffled ALL n×cells scored rows into per-vector
+      // reducers, in the final assignment AND in every Lloyd iteration.
+      def assignNearest(df: DataFrame, cents: DataFrame): DataFrame = {
+        val scored = df.crossJoin(broadcast(cents))
+          .withColumn("sim", cosine(col("embedding"), col("cv")))
+        scored.groupBy("vec_id")
+          .agg(first(col("embedding")).as("embedding"),
+            max_by(col("cid"),
+              struct(col("sim"), (-col("cid")).as("nc"))).as("cid"))
+      }
+
+      // Multi-centroid PROBE SELECTION runs only over the NQ query
+      // rows (8 here; always request-sized, never corpus-sized), so a
+      // per-vector window is the simple right tool.
+      def probeNearest(df: DataFrame, cents: DataFrame,
+          keep: Int): DataFrame = {
         val scored = df.crossJoin(broadcast(cents))
           .withColumn("sim", cosine(col("embedding"), col("cv")))
         val w = Window.partitionBy(col("vec_id"))
@@ -221,19 +241,36 @@ object SimilarityOps extends QueryGroup {
         .select(col("cid"),
           transform(col("pm"), x => x("m").cast("float")).as("cv"))
 
+      // Deterministic seed draw: the `cells` vectors minimizing a
+      // salted hash of vec_id. The bottom-cells-by-hk set is computed
+      // from a HASH-THRESHOLD pre-filter (hk is ~uniform over the long
+      // range, so a threshold at 8×cells/n of the range keeps ~8×cells
+      // candidate rows — Chernoff makes under-sampling negligible, and
+      // a count guard falls back to the unfiltered draw if it ever
+      // happens) so the terminal orderBy(hk).limit(cells) gathers a
+      // seed-sized set, never √n corpus rows, through TakeOrdered.
+      // Both paths select the IDENTICAL seed set.
       val hashed = e.withColumn("hk", xxhash64(lit(0x1f), col("vec_id")))
-      val seeds = hashed.orderBy(col("hk")).limit(ivfCells)
+      val frac = 8.0 * ivfCells / n.toDouble
+      val seedPool =
+        if (frac >= 0.4) hashed // tiny corpus: no filter needed
+        else {
+          val thr = Long.MinValue + (frac * math.pow(2.0, 64)).toLong
+          val filtered = hashed.filter(col("hk") < thr)
+          if (filtered.count() >= ivfCells) filtered else hashed
+        }
+      val seeds = seedPool.orderBy(col("hk")).limit(ivfCells)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val pool = hashed.filter(pmod(col("hk"), lit(4)) === 0)
         .select("vec_id", "embedding")
       var cents = seeds.localCheckpoint()
       (0 until lloydIters).foreach { _ =>
-        cents = lloyd(nearest(pool, cents, 1)).localCheckpoint()
+        cents = lloyd(assignNearest(pool, cents)).localCheckpoint()
       }
-      val assign = nearest(e, cents, 1)
+      val assign = assignNearest(e, cents)
 
       val q = e.filter(col("vec_id") < NQ)
-      val probes = nearest(q, cents, nprobe)
+      val probes = probeNearest(q, cents, nprobe)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("cid"))
       val cand = graft.sources.VerifyTap(
