@@ -76,13 +76,18 @@ object DedupOps extends QueryGroup {
 
   /** Verified near-dup pairs (i < j, Jaccard ≥ [[jaccardT]]) — shared by
     * d2 (reported directly) and d6/d7 (edge set for clustering).
-    * Delegates to [[graft.operators.JaccardNearDup]] with the zero-shuffle
-    * token-order prefix (its `dfOrdered = true` variant is the skew armor
-    * for Zipfian corpora at scale — identical results, spec-verified).
+    * Delegates to [[graft.operators.JaccardNearDup]] with the prefix
+    * ordering AUTO-SELECTED from corpus size: driver SFs keep the
+    * zero-extra-shuffle token order; a corpus-scale run gets the
+    * df-ordered prefix — the measured-6.9× skew armor for Zipfian
+    * shingle distributions. Identical results either way
+    * (spec-proven), so the switch affects the plan only.
     */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    graft.operators.JaccardNearDup.pairs(
-      shingled(s, dir), "doc_id", "sh", jaccardT)
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = docs(s, dir).count() // parquet metadata count, no scan
+    graft.operators.JaccardNearDup.pairsAuto(
+      shingled(s, dir), "doc_id", "sh", jaccardT, nDocs)
+  }
 
   /** Shared oracle CTEs: shingle sets, token explode, sizes, pair
     * overlap counts (the naive all-pairs twin of the prefix-filtered

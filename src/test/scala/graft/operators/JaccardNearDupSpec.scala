@@ -96,6 +96,49 @@ class JaccardNearDupSpec extends AnyFunSuite with Matchers {
     out shouldBe brute
   }
 
+  test("Zipfian worst case (universal token): lossless, both orderings") {
+    // SkewBench's scenario at spec scale: every document carries token
+    // Long.MinValue — first in every sorted array, so under the plain
+    // order it sits in EVERY prefix (one giant candidate bucket), while
+    // the df ordering pushes it out of all prefixes. Both must still
+    // return exactly the brute-force truth.
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 150L).map { i =>
+      val base = i % 5 match {
+        case 0 => Seq(101L, 102L, 103L, 104L, 105L) // planted dup group
+        case 1 => Seq(101L, 102L, 103L, 104L, 106L) // near miss (J=2/3)
+        case _ => Seq.fill(8)(rnd.nextLong()).distinct
+      }
+      i -> (Seq(Long.MinValue) ++ base)
+    }
+    val brute = (for {
+      (i, si) <- rows; (j, sj) <- rows if i < j
+      inter = si.toSet.intersect(sj.toSet).size
+      union = si.toSet.union(sj.toSet).size
+      if inter.toDouble / union >= 0.8
+    } yield (i, j, inter.toLong)).toSet
+    brute should not be empty
+    val df = toks(rows: _*)
+    Seq(false, true).foreach { ord =>
+      val got = JaccardNearDup.pairs(df, "id", "toks", 0.8, ord)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      withClue(s"dfOrdered=$ord: ") { got shouldBe brute }
+    }
+  }
+
+  test("pairsAuto keys the ordering to corpus size") {
+    // below the threshold: the zero-extra-shuffle token order (no df
+    // re-rank window in the plan); at/above: the df-ordered prefix
+    val df = toks(1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 2L, 4L))
+    val small = JaccardNearDup.pairsAuto(df, "id", "toks", 0.8, nDocs = 2)
+      .queryExecution.executedPlan.toString
+    small should not include "Window"
+    val large = JaccardNearDup.pairsAuto(df, "id", "toks", 0.8,
+      nDocs = JaccardNearDup.dfOrderMinDocs)
+      .queryExecution.executedPlan.toString
+    large should include("Window")
+  }
+
   test("candidate join is an equi-join, never cartesian (both orderings)") {
     val df = toks(1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 2L, 4L))
     Seq(false, true).foreach { ord =>
