@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.DedupOps
+import graft.sources.Tables
+
+/** Dev benchmark: evidence that d9's ingest cost is O(batch), not
+  * O(corpus). The SAME fixed batch (sf0.1's `src0` slice) is deduped
+  * against a prior-corpus ledger derived from sf0.1 (1×) and from the
+  * ScaleUp-synthesized sf1 (10× corpus): O(batch) ingest keeps the
+  * cost ~flat while the standing corpus behind the ledger grows 10×.
+  * (The anti-join still SCANS the ledger — hashes, not documents, so
+  * 32 bytes/doc at any scale, broadcast when it fits — but with the
+  * append-only maintenance nothing corpus-sized is ever rewritten.)
+  *
+  * Run after `graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf1 10`:
+  *   sbt "runMain graft.LedgerScaleBench"
+  * Prints `[ledger] label seconds`; recorded in BASELINE.md §sf1.
+  */
+object LedgerScaleBench {
+  def main(args: Array[String]): Unit = {
+    val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val big = args.headOption.getOrElse("/tmp/graft_sf1")
+    val spark = GraftSession.local(32, "graft-ledger-scale")
+
+    def ledgerOf(dir: String): String = {
+      val prior = Tables.load(spark, dir, "documents")
+        .filter(col("source") =!= "src0")
+        .select(md5(col("text")).as("content_hash")).distinct()
+      val path = DedupOps.d9LedgerPath(dir)
+      DedupOps.refreshLedger(spark, path, prior)
+      path
+    }
+    val batch = Tables.load(spark, small, "documents")
+      .filter(col("source") === "src0")
+
+    def timeDedup(path: String, label: String): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      DedupOps.incrementalDedup(batch, spark.read.parquet(path))
+        .write.format("noop").mode("overwrite").save()
+      println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    // bootstrap both ledgers untimed; the timed region is the INGEST
+    // dedup plan a daily run executes (ledger anti-join + batch agg)
+    val p1x = ledgerOf(small)
+    val p10x = ledgerOf(big)
+    timeDedup(p1x, "warmup")
+    timeDedup(p1x, "batch_vs_1x_corpus_ledger")
+    timeDedup(p10x, "batch_vs_10x_corpus_ledger")
+    spark.stop()
+  }
+}
