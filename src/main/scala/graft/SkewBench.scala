@@ -27,11 +27,15 @@ import graft.sources.Tables
   *     universal token out of all prefixes.
   *
   * Prints one `[skew] label seconds` line per timed case; results are
-  * recorded in BASELINE.md §skew.
+  * recorded in BASELINE.md §skew. An optional arg restricts the run to
+  * one scenario (`join` | `jaccard`) — the Jaccard worst case is also
+  * measured at sf1, where running the ×20 join amplification too would
+  * swamp the signal.
   */
 object SkewBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scenario = args.headOption.getOrElse("all")
     val spark = GraftSession.local(32, "graft-skew-bench")
 
     def sink(df: DataFrame): Unit =
@@ -46,6 +50,7 @@ object SkewBench {
 
     // ---------------------------------------------------- hot-key join
     // 60% of rows on key 0, the rest spread over 20k keys; ×20 amplified
+    if (scenario == "all" || scenario == "join") {
     val amplified = Tables.load(spark, sfDir, "lineitem")
       .select(explode(sequence(lit(1), lit(20))).as("rep"),
         col("l_orderkey"), col("l_quantity"))
@@ -79,8 +84,11 @@ object SkewBench {
     time("join_salted_32")(sink(SkewJoin.saltedEquiJoin(big, dim, "k", 32)))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
       (64 * 1024 * 1024).toString)
+    spark.catalog.clearCache()
+    }
 
     // ------------------------------------- universal-token similarity
+    if (scenario == "all" || scenario == "jaccard") {
     val sh = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
         array_sort(array_union(
@@ -95,6 +103,7 @@ object SkewBench {
     spark.catalog.clearCache()
     time("jaccard_df_order")(
       sink(JaccardNearDup.pairs(sh, "doc_id", "sh", 0.8, dfOrdered = true)))
+    }
 
     spark.stop()
   }

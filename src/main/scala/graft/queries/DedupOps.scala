@@ -79,8 +79,9 @@ object DedupOps extends QueryGroup {
     * Delegates to [[graft.operators.JaccardNearDup]] with the prefix
     * ordering AUTO-SELECTED from corpus size: driver SFs keep the
     * zero-extra-shuffle token order; a corpus-scale run gets the
-    * df-ordered prefix — the measured-6.9× skew armor for Zipfian
-    * shingle distributions. Identical results either way
+    * df-ordered prefix — the skew armor for Zipfian shingle
+    * distributions (measured 1.8× at 50k docs and widening with n,
+    * BASELINE §skew). Identical results either way
     * (spec-proven), so the switch affects the plan only.
     */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
