@@ -84,7 +84,13 @@ object GraftExtensions {
         "sorted_intersect_count(a, b) - intersection count of two " +
           "sorted-distinct bigint arrays (merge loop)"),
       (children: Seq[Expression]) =>
-        graft.functions.SortedLongIntersectCount(children(0), children(1))))
+        graft.functions.SortedLongIntersectCount(children(0), children(1))),
+    (FunctionIdentifier("first_equal_index"),
+      info("first_equal_index",
+        "first_equal_index(a, b) - first index where two bigint arrays " +
+          "hold equal values, -1 if none (multi-table LSH dedup filter)"),
+      (children: Seq[Expression]) =>
+        graft.functions.FirstEqualIndex(children(0), children(1))))
 
   private def lit(e: Expression, what: String): Any = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _)

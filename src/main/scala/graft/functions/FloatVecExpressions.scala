@@ -339,3 +339,66 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
     copy(left = newLeft, right = newRight)
 }
+
+/** First index at which two long arrays hold EQUAL values (-1 if none;
+  * scan stops at the shorter length) — one primitive loop inside
+  * whole-stage codegen.
+  *
+  * This is the multi-table LSH dedup kernel: a pair colliding in k of
+  * the L signature tables comes out of the bucket self-join k times, and
+  * `first_equal_index(a.sigs, b.sigs) = table` keeps exactly the FIRST
+  * collision — a per-row filter that replaces a `distinct` over the full
+  * candidate-pair set (a 13.5M-row shuffle at sf1 that removed only the
+  * 4.5% multi-table duplicates; the filter costs ≤ L long compares per
+  * raw candidate and shuffles nothing). Equal to
+  * `array_position(zip_with(a, b, (x, y) => x <=> y), true) - 1` for
+  * non-null elements (spec-asserted). The scan is in index order and
+  * stops at the first equality: a null ELEMENT encountered before it
+  * nulls the result (a null signature has no defined position, unlike
+  * the HOF's never-matches `<=>`); elements past the first equality are
+  * never examined.
+  */
+case class FirstEqualIndex(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with NullableElements {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "first_equal_index"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val r = ctx.freshName("r")
+      val nullCheck = if (!anyElementNullable) "" else
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $r = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  if ($a.getLong($i) == $b.getLong($i)) { $r = $i; break; }
+         |}
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstEqualIndex =
+    copy(left = newLeft, right = newRight)
+}

@@ -51,6 +51,24 @@ object VectorFunctions {
       GraftBridge.expression(v), bits, seed))
   }
 
+  /** First index where two long arrays hold equal values, -1 if none
+    * (native codegen) — the multi-table LSH first-collision filter: see
+    * [[FirstEqualIndex]].
+    */
+  def firstEqualIndex(a: Column, b: Column): Column =
+    GraftBridge.column(FirstEqualIndex(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Reference HOF formulation of [[firstEqualIndex]] — kept for the
+    * spec that asserts the native expression matches it on non-null
+    * elements.
+    */
+  private[graft] def firstEqualIndexHof(a: Column, b: Column): Column =
+    // array_position returns 0 when absent, so the -1 shift yields the
+    // same "not found" sentinel; a NULL array nulls both formulations
+    array_position(zip_with(a, b, (x, y) => x <=> y), lit(true))
+      .cast("int") - 1
+
   /** Reference HOF formulation of [[hyperplaneSignature]] — one
     * interpreted zip_with+aggregate fold per bit; kept for the spec
     * that asserts the native single-pass expression is bit-identical.

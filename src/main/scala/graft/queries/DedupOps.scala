@@ -462,6 +462,14 @@ object DedupOps extends QueryGroup {
     * on (table, bucket); exact cosine verifies; the candidate set is
     * materialized under `tap` so each consumer gets its own
     * hash-verifiable two-stage oracle.
+    *
+    * Multi-table dedup is a per-row FILTER, not a shuffle: a pair
+    * colliding in k of the L tables leaves the self-join k times, and
+    * `first_equal_index(a.sigs, b.sigs) = table` keeps exactly the
+    * first collision — the same unique pair set a `distinct` produced,
+    * without shuffling the full candidate volume (at sf1 that distinct
+    * moved 13.5M rows to drop a 4.5% duplicate tail; the filter is ≤ L
+    * long compares per raw candidate inside the join's codegen stage).
     */
   private def lshCosinePairs(s: SparkSession, dir: String,
       tap: String): DataFrame = {
@@ -469,20 +477,27 @@ object DedupOps extends QueryGroup {
       .select(col("vec_id"), col("embedding"))
     val bits = d8BitsFor(e.count())
     val tables = d8TablesFor(bits)
-    val b = e.select(Seq(col("vec_id"), col("embedding")) ++
-      (0 until tables).map(t =>
+    val b = e.select(col("vec_id"),
+      array((0 until tables).map(t =>
         VectorFunctions.hyperplaneSignature(col("embedding"), bits,
-          0xd8 + t).as(s"h$t")): _*)
-      .select(col("vec_id"),
-        posexplode(array((0 until tables).map(t => col(s"h$t")): _*)))
-      .toDF("vec_id", "table", "bucket")
+          0xd8 + t)): _*).as("sigs"))
+      .select(col("vec_id"), col("sigs"), posexplode(col("sigs")))
+      .toDF("vec_id", "sigs", "table", "bucket")
+    // shuffle-hash, not broadcast: the self-join input is n·L rows and
+    // carries the L-long sigs payload — at corpus scale NO side of a
+    // self-join is broadcastable, and even here the 45 MB broadcast
+    // cost a serial driver-side relation build per execution (measured
+    // ~20 s → 2.4 s on the sf1 candidate stage when hinted). Both
+    // sides hash-shuffle by (table, bucket) — occupancy-keyed buckets
+    // keep partitions balanced at any n.
     val cand = graft.sources.VerifyTap(
-      b.as("a").join(b.as("b"),
+      b.as("a").join(b.as("b").hint("shuffle_hash"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-        .distinct(),
+          col("a.vec_id") < col("b.vec_id") &&
+          VectorFunctions.firstEqualIndex(col("a.sigs"), col("b.sigs"))
+            === col("a.table"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j")),
       tap, coalesce = false)
     val withVecs = cand
       .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")

@@ -148,6 +148,30 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0L
   }
 
+  test("native first_equal_index equals the HOF position fold on real signatures") {
+    import org.apache.spark.sql.functions._
+    // real multi-table hyperplane signatures over the test embeddings —
+    // the exact input shape of the d8/d10 first-collision filter
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select(col("vec_id"),
+        array((0 until 8).map(t =>
+          VectorFunctions.hyperplaneSignature(col("embedding"), 4,
+            0xd8 + t)): _*).as("sigs"))
+    val pairs = e.as("a").crossJoin(e.limit(30).as("b"))
+      .select(col("a.sigs").as("x"), col("b.sigs").as("y"))
+    pairs.filter(
+        VectorFunctions.firstEqualIndex(col("x"), col("y")) =!=
+          VectorFunctions.firstEqualIndexHof(col("x"), col("y")))
+      .count() shouldBe 0L
+    // sentinel + boundary cases
+    eval1(VectorFunctions.firstEqualIndex(
+      array(lit(1L), lit(2L)), array(lit(3L), lit(2L)))) shouldBe 1
+    eval1(VectorFunctions.firstEqualIndex(
+      array(lit(1L), lit(2L)), array(lit(3L), lit(4L)))) shouldBe -1
+    eval1(VectorFunctions.firstEqualIndex(
+      array(lit(7L)), array(lit(7L), lit(9L)))) shouldBe 0
+  }
+
   test("vector dot / norm / cosine match hand computation") {
     val a = array(lit(1.0f), lit(2.0f), lit(3.0f))
     val b = array(lit(4.0f), lit(-5.0f), lit(6.0f))

@@ -111,6 +111,24 @@ class NativeExpressionPropertySpec extends AnyFunSuite with Matchers {
       org.apache.spark.sql.functions.size(array_intersect(col("a"), col("b"))))
   }
 
+  test("FirstEqualIndex equals the HOF position fold on random arrays") {
+    import spark.implicits._
+    // small value range forces frequent equalities at random positions;
+    // unequal lengths exercise the min-length scan against zip_with's
+    // null padding (null <=> value is false — never a match)
+    val arr: Gen[Seq[Long]] = Gen.listOf(Gen.chooseNum(0L, 6L))
+    val pairGen: Gen[(Seq[Long], Seq[Long])] = for {
+      a <- arr; b <- arr
+    } yield (a, b)
+    val df = (samples(pairGen) ++ Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 2L), Seq.empty[Long]),
+      (Seq(5L), Seq(5L)))).toDF("a", "b")
+    agree(df,
+      VectorFunctions.firstEqualIndex(col("a"), col("b")),
+      VectorFunctions.firstEqualIndexHof(col("a"), col("b")))
+  }
+
   test("array expressions null-propagate on null ELEMENTS (HOF poison-fold)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -145,6 +163,17 @@ class NativeExpressionPropertySpec extends AnyFunSuite with Matchers {
     val isect = GraftBridge.column(SortedLongIntersectCount(
       GraftBridge.expression(col("a")), GraftBridge.expression(col("b"))))
     ldf.filter(isect.isNotNull).count() shouldBe 0L
+    // FirstEqualIndex scans in order and never looks past the first
+    // equality: a null BEFORE it poisons, a null AFTER it is unreached
+    val fdf2 = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq(null, 1L), Seq(2L, 1L)), // null precedes the match → null
+        Row(Seq(1L, null), Seq(1L, 2L))), // match at 0 precedes the null → 0
+      lSchema)
+    val fei = GraftBridge.column(FirstEqualIndex(
+      GraftBridge.expression(col("a")), GraftBridge.expression(col("b"))))
+    fdf2.select(fei).collect().map(r =>
+      if (r.isNullAt(0)) null else r.get(0)) shouldBe Array(null, 0)
   }
 
   test("HyperplaneSignature rejects bits outside [1, 63] at construction") {
