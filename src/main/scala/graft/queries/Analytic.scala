@@ -490,28 +490,36 @@ object Analytic extends QueryGroup {
 
   // --------------------------------------------------------------- Q36
   // Edit-distance similarity between consecutive documents of a source
-  // (lag window pairing keeps it O(n) pairs — never all-pairs), with
+  // (adjacent pairing keeps it O(n) pairs — never all-pairs), with
   // Spark's THRESHOLDED levenshtein: beyond `levT` edits the exact
   // distance is useless for near-dup work, and the banded DP costs
   // O(k·n) instead of O(n²) per pair — the bound that keeps edit
   // distance affordable over long documents. Capped pairs report
   // lev = -1, similarity NULL (both engines via the same CASE).
+  //
+  // Adjacency comes from the grouped range rank (GlobalOrder, the
+  // t8/p1 machinery) + a self-join on rank−1 — NOT the lag window the
+  // oracle uses: `LAG OVER (PARTITION BY source)` with ~10 sources
+  // funnels each source's ENTIRE corpus through one reducer, while the
+  // ranked self-join range-partitions by (source, doc_id) and scales
+  // with the corpus. The per-run hash match against the window
+  // formulation proves the pairing identical.
   private val levT = 60
   private val q36 = QueryDef(
     "q36_edit_distance",
     (s, dir) => {
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      Tables.load(s, dir, "documents")
-        .select(col("source"), col("doc_id"), col("text"))
-        .withColumn("prev_id", lag(col("doc_id"), 1).over(w))
-        .withColumn("prev_len",
-          length(lag(col("text"), 1).over(w)).cast("long"))
+      val ranked = graft.operators.GlobalOrder.withGroupedRank(
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("text")),
+        Seq("source"), Seq(col("doc_id")), "rn")
+      val prev = ranked.select(col("source"), col("rn"),
+        col("doc_id").as("prev_id"), col("text").as("prev_text"))
+      ranked
+        .withColumn("rn", col("rn") - 1)
+        .join(prev, Seq("source", "rn"))
+        .withColumn("prev_len", length(col("prev_text")).cast("long"))
         .withColumn("lev",
-          levenshtein(col("text"), lag(col("text"), 1).over(w), levT)
-            .cast("long"))
-        // all window expressions are materialized ABOVE this filter — a
-        // window recomputed after the filter would see the pruned frame
-        .filter(col("prev_id").isNotNull)
+          levenshtein(col("text"), col("prev_text"), levT).cast("long"))
         .select(col("source"), col("prev_id"), col("doc_id"), col("lev"),
           when(col("lev") >= 0,
             lit(1.0) - col("lev").cast("double") /

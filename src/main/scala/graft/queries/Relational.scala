@@ -145,13 +145,23 @@ object Relational extends QueryGroup {
   private val q5 = QueryDef(
     "q5_window_rank",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      // the user-facing semantics are the window idiom in the oracle
+      // SQL, but `rnk <= 10` makes this a top-k per group — planned via
+      // the TopKByScore partial aggregate (F7-style: ≤ k rows per
+      // (partition × segment) cross the shuffle) instead of a window
+      // that funnels each of the ~5 segments' ENTIRE customer set
+      // through one reducer. The unique c_custkey tiebreak makes
+      // rank() = row_number(), and TopKByScore's (score desc, id asc)
+      // ordering reproduces it exactly — the per-run DuckDB hash match
+      // against the window formulation proves the equivalence.
       t(s, dir, "customer")
-        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
-          rank().over(w).cast("long").as("rnk"))
-        .filter(col("rnk") <= 10)
+        .groupBy(col("c_mktsegment"))
+        .agg(graft.functions.TopKAggregate
+          .topKByScore(col("c_acctbal"), col("c_custkey"), 10).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")))
+        .select(col("c_mktsegment"), col("col.id").as("c_custkey"),
+          col("col.score").as("c_acctbal"),
+          (col("pos") + 1).cast("long").as("rnk"))
         .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
     },
     Some("""SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
@@ -185,17 +195,22 @@ object Relational extends QueryGroup {
       |ORDER BY user_id, event_id""".stripMargin))
 
   // ---------------------------------------------------------------- Q7
-  // Top-k per group via row_number — spills gracefully, no collect_list.
+  // Top-k per group via the TopKByScore bounded-heap aggregate (F5) —
+  // ≤ k rows per (partition × group) cross the shuffle, where the
+  // row_number window formulation (kept as the oracle, hash-proving
+  // the equivalence every run) ships each of the 5 priorities' entire
+  // order set through one reducer before discarding all but 3.
   private val q7 = QueryDef(
     "q7_topk_per_group",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
-        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-          row_number().over(w).cast("long").as("rn"))
-        .filter(col("rn") <= 3)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKAggregate
+          .topKByScore(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), col("col.id").as("o_orderkey"),
+          col("col.score").as("o_totalprice"),
+          (col("pos") + 1).cast("long").as("rn"))
         .orderBy(col("o_orderpriority"), col("rn"))
     },
     Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (

@@ -88,6 +88,23 @@ class PlanSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q5/q7/q36: few-group rankings avoid the per-group window too") {
+    // the same wall at relational scale: rank/top-k/lag partitioned by
+    // a handful of values (5 segments, 5 priorities, ~10 sources).
+    // q5/q7 plan through the TopKByScore partial aggregate (the plan
+    // shows a partial+final HashAggregate pair, i.e. "partial_topk"),
+    // q36 through the grouped range rank + rank−1 self-join — no
+    // Window operator anywhere.
+    Seq("q5_window_rank", "q7_topk_per_group", "q36_edit_distance")
+      .foreach { name =>
+        withClue(name) {
+          plan(name) should not include "Window"
+        }
+      }
+    plan("q5_window_rank") should include("topk_by_score")
+    plan("q7_topk_per_group") should include("topk_by_score")
+  }
+
   test("every declared query builds and stays lazy (no driver collect)") {
     SparkEntry.queries.keys.foreach { name =>
       noException should be thrownBy
