@@ -156,14 +156,22 @@ object DedupOps extends QueryGroup {
             min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
         .select(col("doc_id"),
           array((0 until mhK).map(i => col(s"m$i")): _*).as("sig"))
-      val bands = sig.select(col("doc_id"),
-        posexplode(bandKeys(col("sig"), mhBands, mhRows)))
-        .toDF("doc_id", "band", "key")
-      val cand = bands.as("a").join(bands.as("b"),
+      // multi-band dedup is the d8 first-collision filter, not a
+      // distinct over the candidate-pair set: a pair colliding in k of
+      // the bands leaves the self-join only at its first shared band
+      // (exactly the distinct's output, no pair-set shuffle). Shuffled
+      // hash join for the same reason as d8: an n·bands-row self-join
+      // side never fits a broadcast at corpus scale.
+      val bands = sig
+        .select(col("doc_id"), bandKeys(col("sig"), mhBands, mhRows).as("keys"))
+        .select(col("doc_id"), col("keys"), posexplode(col("keys")))
+        .toDF("doc_id", "keys", "band", "key")
+      val cand = bands.as("a").join(bands.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          graft.functions.VectorFunctions.firstEqualIndex(
+            col("a.keys"), col("b.keys")) === col("a.band"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .distinct()
       // exact verification: join candidates back to the shingle sets and
       // keep true-Jaccard ≥ t only — no estimates ship
       val setPairs = cand
