@@ -44,11 +44,15 @@ object LedgerScaleBench {
     }
 
     // bootstrap both ledgers untimed; the timed region is the INGEST
-    // dedup plan a daily run executes (ledger anti-join + batch agg)
+    // dedup plan a daily run executes (ledger anti-join + batch agg).
+    // Each ledger gets its OWN untimed warmup so the 10x number is not
+    // penalized by cold page-cache/footer reads the 1x number skipped
+    // — the asymmetry would land exactly on the comparison at stake.
     val p1x = ledgerOf(small)
     val p10x = ledgerOf(big)
-    timeDedup(p1x, "warmup")
+    timeDedup(p1x, "warmup_1x")
     timeDedup(p1x, "batch_vs_1x_corpus_ledger")
+    timeDedup(p10x, "warmup_10x")
     timeDedup(p10x, "batch_vs_10x_corpus_ledger")
     spark.stop()
   }

@@ -36,6 +36,8 @@ object SkewBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scenario = args.headOption.getOrElse("all")
+    require(Set("all", "join", "jaccard")(scenario),
+      s"unknown scenario '$scenario' (expected all | join | jaccard)")
     val spark = GraftSession.local(32, "graft-skew-bench")
 
     def sink(df: DataFrame): Unit =

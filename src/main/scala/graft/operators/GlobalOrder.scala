@@ -59,7 +59,12 @@ object GlobalOrder {
       sortCols: Seq[Column], rankCol: String = "rank",
       countCol: String = "n_in_group"): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, min}
+    // materialize the ranked frame ONCE: it feeds the bounds aggregate
+    // AND the main join (and consumers like q36 branch it again) —
+    // without the barrier each branch re-executes the range shuffle +
+    // sort + zipWithIndex pipeline per action
     val g = withGlobalRank(df, groupCols.map(col) ++ sortCols, rankCol)
+      .localCheckpoint()
     val bounds = g.groupBy(groupCols.map(col): _*)
       .agg(min(col(rankCol)).as("__first"), count(lit(1)).as(countCol))
     g.join(broadcast(bounds), groupCols)

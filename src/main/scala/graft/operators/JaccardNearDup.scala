@@ -31,19 +31,24 @@ object JaccardNearDup {
 
   /** Corpus size at which [[pairsAuto]] flips to the df-ordered prefix.
     *
-    * Natural-language shingle corpora are Zipfian, and under the plain
-    * token order one frequent token sitting inside every prefix forms a
-    * single O(n²) candidate bucket — SkewBench measures the df-ordered
-    * prefix 1.8× faster on that worst case at 50k docs (42 → 23 s,
-    * BASELINE §skew), with the gap widening quadratically in corpus
-    * size (1.2× at 5k docs — the unique-set armor absorbs most of the
-    * small-corpus case). Below this size the
-    * ordering's two extra shuffles cost more than any bucket can
-    * (worst case is bounded by a SMALL n²), and every driver SF stays
-    * on the zero-extra-shuffle plan with oracle outputs untouched;
-    * above it the skew armor is cheap insurance a 100 TB corpus must
-    * carry. Both orderings are result-identical (spec-proven), so the
-    * switch can never change output — only the plan.
+    * The armor is NOT free, so this is a measured trade, not a free
+    * insurance policy. Against it: on a NATURAL (no hot-token) corpus
+    * the df ordering's two extra shuffles measure 2.1–2.2× on d2/d7 at
+    * 50k docs (r7, BenchSlice on the ScaleUp corpus) — doubling every
+    * well-behaved run. For it: natural-language shingle corpora are
+    * Zipfian, and under the plain token order one frequent token
+    * sitting inside every prefix forms a single O(n²) candidate
+    * bucket — SkewBench measures the df-ordered prefix 1.8× faster on
+    * that adversarial worst case at 50k docs (42 → 23 s, BASELINE
+    * §skew; only 1.2× at 5k, where the unique-set armor absorbs most
+    * of it), and the gap grows quadratically in n while the armor's
+    * cost grows linearly. The crossover regime is O(100k) docs: below,
+    * the bounded worst case costs less than doubling every normal run;
+    * above, the quadratic risk dominates and the armor engages. Every
+    * driver SF (and the sf1 bench corpus) stays on the
+    * zero-extra-shuffle plan. Both orderings are result-identical
+    * (spec-proven), so the switch can never change output — only the
+    * plan.
     */
   val dfOrderMinDocs: Long = 100000L
 

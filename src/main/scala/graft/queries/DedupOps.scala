@@ -84,8 +84,15 @@ object DedupOps extends QueryGroup {
     * BASELINE §skew). Identical results either way
     * (spec-proven), so the switch affects the plan only.
     */
+  // corpus sizes memoized per dir: the count is footer metadata (no
+  // data scan) but still a Spark job with a file listing, and d2/d6/d7
+  // construction would otherwise re-pay it on every build (Bench alone
+  // constructs each query several times)
+  private val docCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val nDocs = docs(s, dir).count() // parquet metadata count, no scan
+    val nDocs = docCountCache.getOrElseUpdate(dir, docs(s, dir).count())
     graft.operators.JaccardNearDup.pairsAuto(
       shingled(s, dir), "doc_id", "sh", jaccardT, nDocs)
   }
@@ -159,14 +166,15 @@ object DedupOps extends QueryGroup {
       // multi-band dedup is the d8 first-collision filter, not a
       // distinct over the candidate-pair set: a pair colliding in k of
       // the bands leaves the self-join only at its first shared band
-      // (exactly the distinct's output, no pair-set shuffle). Shuffled
-      // hash join for the same reason as d8: an n·bands-row self-join
-      // side never fits a broadcast at corpus scale.
+      // (exactly the distinct's output, no pair-set shuffle).
+      // Sort-merge for the same reasons as d8: an n·bands-row
+      // self-join side never fits a broadcast at corpus scale, and the
+      // merge's sort spills where a hash build would OOM.
       val bands = sig
         .select(col("doc_id"), bandKeys(col("sig"), mhBands, mhRows).as("keys"))
         .select(col("doc_id"), col("keys"), posexplode(col("keys")))
         .toDF("doc_id", "keys", "band", "key")
-      val cand = bands.as("a").join(bands.as("b").hint("shuffle_hash"),
+      val cand = bands.as("a").join(bands.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id") &&
           graft.functions.VectorFunctions.firstEqualIndex(
@@ -491,15 +499,19 @@ object DedupOps extends QueryGroup {
           0xd8 + t)): _*).as("sigs"))
       .select(col("vec_id"), col("sigs"), posexplode(col("sigs")))
       .toDF("vec_id", "sigs", "table", "bucket")
-    // shuffle-hash, not broadcast: the self-join input is n·L rows and
+    // sort-merge, not broadcast: the self-join input is n·L rows and
     // carries the L-long sigs payload — at corpus scale NO side of a
     // self-join is broadcastable, and even here the 45 MB broadcast
     // cost a serial driver-side relation build per execution (measured
-    // ~20 s → 2.4 s on the sf1 candidate stage when hinted). Both
-    // sides hash-shuffle by (table, bucket) — occupancy-keyed buckets
-    // keep partitions balanced at any n.
+    // ~20 s → 2.4 s on the sf1 candidate stage once hinted off
+    // broadcast; SMJ and shuffled-hash measure identically here). SMJ
+    // over shuffled-hash because its sort spills: a hash build of a
+    // corpus-proportional partition has no spill path and would OOM
+    // where the merge degrades gracefully. Both sides shuffle by
+    // (table, bucket) — occupancy-keyed buckets keep partitions
+    // balanced at any n.
     val cand = graft.sources.VerifyTap(
-      b.as("a").join(b.as("b").hint("shuffle_hash"),
+      b.as("a").join(b.as("b").hint("merge"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id") &&

@@ -153,8 +153,11 @@ object Relational extends QueryGroup {
       // through one reducer. The unique c_custkey tiebreak makes
       // rank() = row_number(), and TopKByScore's (score desc, id asc)
       // ordering reproduces it exactly — the per-run DuckDB hash match
-      // against the window formulation proves the equivalence.
+      // against the window formulation proves the equivalence. Null
+      // scores are excluded EXPLICITLY on both sides (the aggregate
+      // skips them; a bare window would instead rank them last).
       t(s, dir, "customer")
+        .filter(col("c_acctbal").isNotNull)
         .groupBy(col("c_mktsegment"))
         .agg(graft.functions.TopKAggregate
           .topKByScore(col("c_acctbal"), col("c_custkey"), 10).as("top"))
@@ -167,7 +170,7 @@ object Relational extends QueryGroup {
     Some("""SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
       |  SELECT c_mktsegment, c_custkey, c_acctbal,
       |    CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
-      |  FROM customer) sub
+      |  FROM customer WHERE c_acctbal IS NOT NULL) sub
       |WHERE rnk <= 10
       |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin))
 
@@ -204,6 +207,8 @@ object Relational extends QueryGroup {
     "q7_topk_per_group",
     (s, dir) => {
       t(s, dir, "orders")
+        // null scores excluded explicitly on both sides (see q5)
+        .filter(col("o_totalprice").isNotNull)
         .groupBy(col("o_orderpriority"))
         .agg(graft.functions.TopKAggregate
           .topKByScore(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
@@ -216,7 +221,7 @@ object Relational extends QueryGroup {
     Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
       |  SELECT o_orderpriority, o_orderkey, o_totalprice,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
-      |  FROM orders) sub
+      |  FROM orders WHERE o_totalprice IS NOT NULL) sub
       |WHERE rn <= 3
       |ORDER BY o_orderpriority, rn""".stripMargin))
 
