@@ -24,11 +24,13 @@ import org.apache.spark.util.LongAccumulator
   * images via `javax.imageio` ([[ImageCodec]] — PNG/BMP/GIF/JPEG),
   * audio via `javax.sound.sampled` ([[AudioCodec]] — PCM WAV/AU/AIFF),
   * and MJPEG-AVI video via [[AviCodec]] (RIFF container parsing +
-  * per-frame JPEG decode). Beyond the JDK, IMA-ADPCM WAV (a codec
-  * `javax.sound` CANNOT read) decodes through the pure-JVM
-  * [[AdpcmCodec]] arm — the template for dropping in further external
-  * codecs: the dispatch keys on the asset's `codec` metadata, so each
-  * new codec changes one arm. Features and perceptual hashes come from
+  * per-frame JPEG decode). Beyond the JDK, two codecs `javax.sound`
+  * CANNOT read decode through pure-JVM arms: IMA-ADPCM WAV
+  * ([[AdpcmCodec]], lossy telephony/game audio) and FLAC
+  * ([[FlacCodec]], the lossless format of public speech corpora) —
+  * the template for dropping in further external codecs: the dispatch
+  * keys on the asset's `codec` metadata, so each new codec changes one
+  * arm. Features and perceptual hashes come from
   * actual pixels/samples, so two encodings of the same content dedup
   * together. [[StubDecoder]] remains only for codecs with no JVM
   * decoder in this environment (H.264, MP3, …).
@@ -64,6 +66,8 @@ object BinaryPipeline {
       case ("image", _) => ImageCodec.features(a.data)
       case ("audio", "ima_adpcm") => // non-JDK arm: pure-JVM IMA ADPCM
         AudioCodec.featuresOf(AdpcmCodec.samples(a.data))
+      case ("audio", "flac") => // non-JDK arm: pure-JVM FLAC (lossless)
+        AudioCodec.featuresOf(FlacCodec.samples(a.data))
       case ("audio", _) => AudioCodec.features(a.data)
       case ("video", "mjpeg") =>
         ImageCodec.featuresOf(AviCodec.decodeFrame(a.data, 0))
