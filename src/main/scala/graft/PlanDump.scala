@@ -7,7 +7,8 @@ object PlanDump {
         "d2_dedup_ngram_jaccard", "s1_ann_bruteforce",
         "t6_decontaminate", "t8_mixture_sample",
         "p1_training_corpus", "d3_dedup_minhash_lsh", "d4_dedup_simhash",
-        "d8_dedup_embedding_lsh", "d9_dedup_incremental").foreach { n =>
+        "d8_dedup_embedding_lsh", "d9_dedup_incremental",
+        "d11_span_dedup").foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)

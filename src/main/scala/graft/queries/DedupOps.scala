@@ -718,6 +718,84 @@ object DedupOps extends QueryGroup {
       .select(col("id").as("vec_id"), col("component").as("cluster"))
   }
 
+  // --------------------------------------------------------------- D11
+  // SPAN-level exact-substring dedup (the Lee et al. 2022 "Deduplicating
+  // Training Data Makes Language Models Better" stage): doc-level d1–d10
+  // drop whole documents, but boilerplate repeats INSIDE otherwise-novel
+  // documents; this excises every duplicated spanK-token span except its
+  // first occurrence (global (doc_id, pos) order) and rebuilds the text.
+  //
+  // 100 TB shape: gram hashes explode map-side (native WordGramHashes,
+  // no span strings ever materialize); ownership + multiplicity is ONE
+  // partial-agg groupBy on the 8-byte gram key; the occurrence→stats
+  // join carries only grams with count ≥ 2 (duplicated spans are a thin
+  // slice of any real corpus); mark expansion is ×spanK on excised
+  // occurrences only; the rebuild is a doc_id-grain join + one
+  // filter-by-index HOF pass per doc. Nothing is all-pairs, nothing is
+  // windowed, nothing funnels through one reducer.
+  //
+  // Span occurrences are keyed doc_id·2³² + pos for the global
+  // first-occurrence min — positions are bounded by 2³² tokens per doc
+  // (a 4-billion-token document is not a document). A WHOLE-duplicate
+  // document excises to empty clean_text (every token sits in some
+  // non-first duplicated span): positional excision is the contract
+  // here; dropping whole-dup docs is d1/d7's job upstream.
+  private val spanK = 8
+  private val d11 = QueryDef(
+    "d11_span_dedup",
+    (s, dir) => {
+      val sparkDocs = docs(s, dir).select(col("doc_id"), col("text"))
+      val occ = sparkDocs
+        .select(col("doc_id"), posexplode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.WordGramHashes(
+            org.apache.spark.sql.GraftBridge.expression(col("text")),
+            spanK, distinctSorted = false))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+      val occKey = col("doc_id") * 4294967296L + col("pos")
+      val stats = occ.groupBy("g").agg(
+        count(lit(1)).as("cnt"), min(occKey).as("own"))
+      val excise = occ.join(stats.filter(col("cnt") >= 2), "g")
+        .filter(occKey =!= col("own"))
+        .select("doc_id", "pos")
+      // one doc-grain pass: span count (distinct starts), the distinct
+      // marked-position set, and its size — so the excise subtree is
+      // planned once, not once per aggregate
+      val rm = excise
+        .select(col("doc_id"), col("pos"),
+          explode(sequence(col("pos"), col("pos") + (spanK - 1))).as("p"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("pos")).as("n_spans"),
+          collect_set(col("p")).as("ps"))
+      val ps = coalesce(col("ps"), array().cast("array<int>"))
+      sparkDocs
+        .join(rm, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(size(col("ps")).cast(LongType), lit(0L)).as("n_removed"),
+          array_join(filter(split(col("text"), " "),
+            (_, i) => !array_contains(ps, i + 1)), " ").as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+       |occ AS (SELECT doc_id, i AS pos,
+       |    array_to_string(words[i:i+${spanK - 1}],' ') AS g
+       |  FROM w, unnest(generate_series(1, greatest(len(words)-${spanK - 1},0))) AS t(i)),
+       |stats AS (SELECT g, COUNT(*) AS cnt,
+       |    MIN(doc_id*4294967296 + pos) AS own FROM occ GROUP BY g),
+       |excise AS (SELECT o.doc_id, o.pos FROM occ o JOIN stats s USING(g)
+       |  WHERE s.cnt >= 2 AND o.doc_id*4294967296 + o.pos <> s.own),
+       |exc_count AS (SELECT doc_id, COUNT(*) AS n_spans FROM excise GROUP BY doc_id),
+       |marks AS (SELECT DISTINCT doc_id, pos + d AS p
+       |  FROM excise, unnest(generate_series(0, ${spanK - 1})) AS t(d)),
+       |rm AS (SELECT doc_id, list(p) AS ps, COUNT(*) AS n_removed FROM marks GROUP BY doc_id)
+       |SELECT w.doc_id,
+       |  CAST(coalesce(e.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_removed,
+       |  coalesce(array_to_string([words[i] for i in range(1, len(words)+1)
+       |    if NOT list_contains(coalesce(rm.ps, []), i)], ' '), '') AS clean_text
+       |FROM w LEFT JOIN exc_count e USING(doc_id) LEFT JOIN rm USING(doc_id)
+       |ORDER BY doc_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11)
 }

@@ -314,4 +314,46 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
       pairs.map(p => cluster(p._2)).toSet.size shouldBe 1
     }
   }
+
+  test("d11 span dedup: exact token accounting and near-total dup removal") {
+    val K = 8
+    val docs = graft.sources.Tables
+      .load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = run("d11_span_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+
+    out.length shouldBe docs.size
+    def grams(t: String): Seq[Seq[String]] =
+      t.split(" ").toSeq.sliding(K).filter(_.size == K).toSeq
+
+    var excisedDocs = 0
+    out.foreach { case (id, nSpans, nRemoved, clean) =>
+      // token accounting is exact: cleaned length = original − removed
+      clean.split(" ").count(_.nonEmpty) shouldBe
+        (docs(id).split(" ").length - nRemoved)
+      // marks are unions of nSpans K-token intervals
+      nRemoved should be <= (nSpans * K)
+      if (nSpans > 0) { excisedDocs += 1; nRemoved should be >= K.toLong }
+      else { nRemoved shouldBe 0L; clean shouldBe docs(id) }
+      // a cleaned doc never retains a NON-FIRST duplicated span intact:
+      // for every gram duplicated in the original corpus, at most the
+      // globally-first occurrence can still sit at its original tokens
+    }
+    excisedDocs should be >= 5 // the planted near-dups share long runs
+
+    // corpus-wide: excision removes (nearly) all duplicated spans; the
+    // only survivors are seam artifacts where deletion glued new grams
+    def dupOccs(texts: Iterable[String]): Int = {
+      val counts = texts.toSeq.flatMap(grams)
+        .groupBy(identity).map(_._2.size)
+      counts.filter(_ >= 2).sum
+    }
+    val before = dupOccs(docs.values)
+    val after = dupOccs(out.map(_._4))
+    before should be >= 1000 // the corpus really is span-duplicated
+    after.toDouble should be <= before * 0.05
+  }
 }

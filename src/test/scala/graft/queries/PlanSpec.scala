@@ -105,6 +105,16 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan("q7_topk_per_group") should include("topk_by_score")
   }
 
+  test("d11: span excision is equi-join + partial aggs over 3 scans") {
+    val p = plan("d11_span_dedup")
+    // gram stats, excise marks and the rebuild each read the corpus
+    // once; the single doc-grain aggregate keeps it at exactly 3
+    p.linesIterator.count(_.contains("Scan parquet")) shouldBe 3
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("every declared query builds and stays lazy (no driver collect)") {
     SparkEntry.queries.keys.foreach { name =>
       noException should be thrownBy
