@@ -444,6 +444,39 @@ object TextOps extends QueryGroup {
        |FROM bg JOIN df USING(g)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------------------------------- T12
+  // Sliding-window chunking with stride (the RAG / long-document prep
+  // stage): chunkSize-token windows starting every chunkStride tokens,
+  // so consecutive chunks overlap by chunkSize − chunkStride and every
+  // token lands in at least one chunk. Pure map-side work — explode the
+  // per-doc start sequence, slice the token array — zero shuffles
+  // before the final presentation sort; at 100 TB this runs at scan
+  // speed like t1–t4.
+  private val chunkSize = 32
+  private val chunkStride = 24
+  private val t12 = QueryDef(
+    "t12_chunk_overlap",
+    (s, dir) => {
+      val w = words(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0),
+            ((size(col("w")) - 1) / chunkStride).cast("int"))).as("cid"))
+        .select(col("doc_id"), col("cid").cast(LongType).as("chunk_id"),
+          slice(col("w"), col("cid") * chunkStride + 1, lit(chunkSize)).as("c"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("c")).cast(LongType).as("n_tokens"),
+          array_join(col("c"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents)
+       |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+       |  CAST(len(words[cid*$chunkStride+1 : cid*$chunkStride+$chunkSize]) AS BIGINT) AS n_tokens,
+       |  array_to_string(words[cid*$chunkStride+1 : cid*$chunkStride+$chunkSize], ' ') AS chunk_text
+       |FROM w, unnest(generate_series(0, (len(words)-1)//$chunkStride)) AS t(cid)
+       |ORDER BY doc_id, chunk_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12)
 }

@@ -73,4 +73,32 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     bad shouldBe 0 // ranks contiguous 1..k within every source
     rows.unpersist()
   }
+
+  test("t12: chunks cover every token; overlap and stride hold exactly") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val chunks = run("t12_chunk_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+
+    chunks.keySet shouldBe docs.keySet
+    chunks.foreach { case (id, cs) =>
+      val toks = docs(id)
+      val sorted = cs.sortBy(_._2)
+      sorted.map(_._2).toSeq shouldBe (0L until cs.length)
+      sorted.foreach { case (_, cid, nTok, text) =>
+        val expect = toks.slice(cid.toInt * 24, cid.toInt * 24 + 32)
+        text shouldBe expect.mkString(" ") // stride-24, size-32 windows
+        nTok shouldBe expect.length
+      }
+      // coverage: last chunk starts within the doc, so the union of
+      // [cid·24, cid·24+32) intervals reaches the final token
+      (sorted.last._2 * 24) should be < toks.length.toLong
+      (sorted.last._2 * 24 + sorted.last._3) shouldBe toks.length
+    }
+    // zero-shuffle before the presentation sort: explode + slice only
+    val p = run("t12_chunk_overlap").queryExecution.executedPlan.toString
+    p.linesIterator.count(_.contains("Exchange")) should be <= 1
+  }
 }
