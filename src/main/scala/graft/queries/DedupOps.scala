@@ -734,9 +734,11 @@ object DedupOps extends QueryGroup {
   // filter-by-index HOF pass per doc. Nothing is all-pairs, nothing is
   // windowed, nothing funnels through one reducer.
   //
-  // Span occurrences are keyed doc_id·2³² + pos for the global
-  // first-occurrence min — positions are bounded by 2³² tokens per doc
-  // (a 4-billion-token document is not a document). A WHOLE-duplicate
+  // The global first-occurrence owner is the lexicographic MIN of
+  // (doc_id, pos) — taken as a struct/row min on BOTH engines, so no
+  // packed integer key and no bound on doc_id or position (ScaleUp's
+  // sf1 replicas shift doc_ids past 2³¹, which overflowed the first,
+  // packed-key formulation). A WHOLE-duplicate
   // document excises to empty clean_text (every token sits in some
   // non-first duplicated span): positional excision is the contract
   // here; dropping whole-dup docs is d1/d7's job upstream.
@@ -751,7 +753,7 @@ object DedupOps extends QueryGroup {
             org.apache.spark.sql.GraftBridge.expression(col("text")),
             spanK, distinctSorted = false))))
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
-      val occKey = col("doc_id") * 4294967296L + col("pos")
+      val occKey = struct(col("doc_id"), col("pos"))
       val stats = occ.groupBy("g").agg(
         count(lit(1)).as("cnt"), min(occKey).as("own"))
       val excise = occ.join(stats.filter(col("cnt") >= 2), "g")
@@ -781,9 +783,9 @@ object DedupOps extends QueryGroup {
        |    array_to_string(words[i:i+${spanK - 1}],' ') AS g
        |  FROM w, unnest(generate_series(1, greatest(len(words)-${spanK - 1},0))) AS t(i)),
        |stats AS (SELECT g, COUNT(*) AS cnt,
-       |    MIN(doc_id*4294967296 + pos) AS own FROM occ GROUP BY g),
+       |    MIN((doc_id, pos)) AS own FROM occ GROUP BY g),
        |excise AS (SELECT o.doc_id, o.pos FROM occ o JOIN stats s USING(g)
-       |  WHERE s.cnt >= 2 AND o.doc_id*4294967296 + o.pos <> s.own),
+       |  WHERE s.cnt >= 2 AND (o.doc_id, o.pos) <> s.own),
        |exc_count AS (SELECT doc_id, COUNT(*) AS n_spans FROM excise GROUP BY doc_id),
        |marks AS (SELECT DISTINCT doc_id, pos + d AS p
        |  FROM excise, unnest(generate_series(0, ${spanK - 1})) AS t(d)),
