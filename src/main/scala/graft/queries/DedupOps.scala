@@ -734,6 +734,15 @@ object DedupOps extends QueryGroup {
   // filter-by-index HOF pass per doc. Nothing is all-pairs, nothing is
   // windowed, nothing funnels through one reducer.
   //
+  // The corpus is deliberately SCANNED THREE TIMES ((doc_id, text)
+  // projection only) rather than materializing the exploded occurrence
+  // table once: occ is ×(len−spanK+1) the corpus, so a checkpoint of it
+  // costs more IO than the two extra pruned scans it would save. The
+  // alternative one-pass shape (collect_list of all occurrences per
+  // gram) is NOT scale-safe: a mass-duplicated gram would pull its
+  // millions of occurrences into one aggregation buffer; the join keeps
+  // every hot gram's occurrence set distributed.
+  //
   // The global first-occurrence owner is the lexicographic MIN of
   // (doc_id, pos) — taken as a struct/row min on BOTH engines, so no
   // packed integer key and no bound on doc_id or position (ScaleUp's
