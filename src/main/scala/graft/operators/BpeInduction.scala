@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer-merge induction (SURVEY §2.6 F12) — the "train the
+  * tokenizer on the corpus" stage of a training-data pipeline, as a
+  * distributed job (Sennrich/Haddow/Birch, "Neural Machine Translation
+  * of Rare Words with Subword Units", ACL 2016).
+  *
+  * The 100 TB shape rests on one observation: BPE never needs the
+  * corpus — it needs the WEIGHTED WORD DICTIONARY. The first (and only
+  * corpus-sized) step is a partial-agg `groupBy(word).count()`, which
+  * compresses 100 TB of text to its distinct-word table (~10⁸ rows at
+  * web scale, ~10⁻⁴ of the input) before any merge work starts. Every
+  * merge round then runs over that dictionary:
+  *
+  *  - pair counts: one flatMap over the current segmentations (adjacent
+  *    symbol pairs, weighted by word count) + one partial-agg groupBy —
+  *    the shuffle is bounded by the PAIR VOCABULARY, not the dictionary;
+  *  - argmax: the single best pair reaches the driver via a
+  *    distributed top-1 reduce (`orderBy.limit(1)` → TakeOrdered), a
+  *    one-row collect like BulkCopy's watermark — deterministic
+  *    tie-break on (count desc, pair asc) so reruns pick identical
+  *    merges;
+  *  - rewrite: a map over the dictionary merging that pair's adjacent
+  *    occurrences (greedy leftmost, the reference semantics).
+  *
+  * Rounds are inherent to the algorithm (merge k+1 depends on merge k);
+  * each is O(dictionary), not O(corpus). Lineage is cut with
+  * `localCheckpoint` every `checkpointEvery` rounds (the
+  * ConnectedComponents discipline) so a 32k-vocab training run doesn't
+  * accumulate 32k plan generations; superseded checkpoint blocks are
+  * freed eagerly.
+  *
+  * Words segment to code points (surrogate-pair safe) plus the
+  * end-of-word marker `</w>`, per the original recipe.
+  */
+object BpeInduction {
+
+  val EndOfWord = "</w>"
+
+  /** One dictionary entry: a distinct word, its corpus count, and its
+    * current segmentation.
+    */
+  final case class WordSeg(word: String, n: Long, syms: Seq[String])
+
+  /** Code-point symbols of `word` plus the end-of-word marker. */
+  def baseSymbols(word: String): Seq[String] = {
+    val cps = word.codePoints().toArray
+    cps.map(cp => new String(Character.toChars(cp))).toSeq :+ EndOfWord
+  }
+
+  /** Greedy leftmost, non-overlapping merge of adjacent (a, b) → a+b —
+    * the reference rewrite applied each round (and by [[segment]]).
+    */
+  def mergePair(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** The weighted word dictionary of `docs(textCol)` with base
+    * segmentations — the corpus-sized step (one partial-agg shuffle).
+    */
+  def dictionary(docs: DataFrame, textCol: String): Dataset[WordSeg] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .map { case (w, n) => WordSeg(w, n, baseSymbols(w)) }
+  }
+
+  /** Train `nMerges` BPE merges over the corpus.
+    * @return the learned merge list in order, with each pair's weighted
+    *         count at selection time
+    */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
+      checkpointEvery: Int = 8): Seq[((String, String), Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var dict = dictionary(docs, textCol).localCheckpoint()
+    var prev: Option[Dataset[WordSeg]] = None
+    val merges = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
+    var k = 0
+    var done = false
+    while (k < nMerges && !done) {
+      // weighted adjacent-pair counts over the dictionary; the groupBy
+      // shuffle is bounded by the pair vocabulary
+      val top = dict.flatMap(ws =>
+          ws.syms.iterator.zip(ws.syms.iterator.drop(1))
+            .map { case (x, y) => (x, y, ws.n) })
+        .toDF("a", "b", "w")
+        .groupBy("a", "b").agg(sum("w").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+      else {
+        val (a, b, cnt) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += (((a, b), cnt))
+        val next = dict
+          .map(ws =>
+            if (ws.syms.indices.exists(i => i + 1 < ws.syms.length &&
+                ws.syms(i) == a && ws.syms(i + 1) == b))
+              ws.copy(syms = mergePair(ws.syms, a, b))
+            else ws)
+        k += 1
+        if (k % checkpointEvery == 0) {
+          val cut = next.localCheckpoint()
+          // free the superseded generation's blocks eagerly
+          prev.foreach(_.unpersist(blocking = false))
+          prev = Some(dict)
+          dict = cut
+        } else dict = next
+      }
+    }
+    prev.foreach(_.unpersist(blocking = false))
+    merges.toSeq
+  }
+
+  /** Segment one word with a learned merge list (applied in training
+    * order — the standard encode path for new text).
+    */
+  def segment(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(baseSymbols(word)) { case (syms, (a, b)) =>
+      mergePair(syms, a, b)
+    }
+
+  /** Segment a corpus column with a learned merge list: the merges
+    * BROADCAST (a tokenizer is KBs), so encoding is map-side scan-speed
+    * work. Returns (textCol, tokens) with tokens the concatenated
+    * per-word subword sequences.
+    */
+  def encode(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    docs.select(col(textCol)).as[String]
+      .map { text =>
+        val ms = bc.value
+        (text, text.split(" ").filter(_.nonEmpty).toSeq
+          .flatMap(w => segment(w, ms)))
+      }
+      .toDF(textCol, "tokens")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** [[BpeInduction]] is verified against an independent single-node
+  * reference implementation (bottom of file) computing the same
+  * Sennrich-2016 algorithm with plain maps — exact merge-sequence
+  * equality on the real corpus, not just invariants.
+  */
+class BpeInductionSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs = graft.sources.Tables
+    .load(spark, TestSpark.sfDir, "documents")
+
+  private lazy val wordCounts: Map[String, Long] =
+    docs.collect().map(_.getAs[String]("text"))
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+
+  test("distributed merges equal the single-node reference exactly") {
+    val n = 25
+    val dist = BpeInduction.trainMerges(docs, "text", n)
+    val ref = ReferenceBpe.train(wordCounts, n)
+    dist shouldBe ref
+    dist.length shouldBe n // corpus is big enough to sustain 25 merges
+    // counts are selected in non-increasing order only within ties of
+    // structure — but each selected count must be the true max: spot
+    // the first merge is the corpus' most frequent adjacent pair
+    dist.head._2 should be >= dist.last._2
+  }
+
+  test("training is deterministic across runs") {
+    BpeInduction.trainMerges(docs, "text", 8) shouldBe
+      BpeInduction.trainMerges(docs, "text", 8)
+  }
+
+  test("segment() reproduces training segmentations and encode() scales it") {
+    val n = 15
+    val merges = BpeInduction.trainMerges(docs, "text", n).map(_._1)
+    // reference final segmentation of every dict word == segment()
+    val refSegs = ReferenceBpe.finalSegmentations(wordCounts, n)
+    refSegs.foreach { case (w, syms) =>
+      BpeInduction.segment(w, merges) shouldBe syms
+    }
+    // encode(): every word's subwords concatenate back to word + </w>
+    val enc = BpeInduction.encode(docs.limit(20), "text", merges).collect()
+    enc.foreach { r =>
+      val text = r.getString(0)
+      val toks = r.getSeq[String](1)
+      toks.mkString shouldBe text.split(" ").filter(_.nonEmpty)
+        .map(_ + BpeInduction.EndOfWord).mkString
+    }
+  }
+
+  test("merge mechanics: greedy leftmost, surrogate-safe base symbols") {
+    BpeInduction.mergePair(Seq("a", "a", "a"), "a", "a") shouldBe
+      Seq("aa", "a") // leftmost, non-overlapping
+    BpeInduction.mergePair(Seq("a", "b", "a", "b"), "a", "b") shouldBe
+      Seq("ab", "ab")
+    // supplementary-plane code point stays one symbol
+    BpeInduction.baseSymbols("a😀b") shouldBe
+      Seq("a", "😀", "b", BpeInduction.EndOfWord)
+  }
+
+  /** Single-node reference: the textbook algorithm over a word-count
+    * map, same tie-break (count desc, pair lexicographic asc).
+    */
+  private object ReferenceBpe {
+
+    def train(counts: Map[String, Long],
+        nMerges: Int): Seq[((String, String), Long)] = {
+      var dict = counts.toSeq.map { case (w, n) =>
+        (BpeInduction.baseSymbols(w), n)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
+      var k = 0
+      var done = false
+      while (k < nMerges && !done) {
+        val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+        dict.foreach { case (syms, n) =>
+          syms.zip(syms.drop(1)).foreach { p =>
+            pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+          }
+        }
+        if (pairCounts.isEmpty) done = true
+        else {
+          val ((a, b), cnt) = pairCounts.toSeq
+            .minBy { case ((a, b), c) => (-c, a, b) }
+          if (cnt < 2) done = true
+          else {
+            out += (((a, b), cnt))
+            dict = dict.map { case (syms, n) =>
+              (BpeInduction.mergePair(syms, a, b), n)
+            }
+            k += 1
+          }
+        }
+      }
+      out.toSeq
+    }
+
+    def finalSegmentations(counts: Map[String, Long],
+        nMerges: Int): Map[String, Seq[String]] = {
+      val merges = train(counts, nMerges).map(_._1)
+      counts.keys.map(w => w -> merges.foldLeft(BpeInduction.baseSymbols(w)) {
+        case (s, (a, b)) => BpeInduction.mergePair(s, a, b)
+      }).toMap
+    }
+  }
+}
