@@ -47,19 +47,56 @@ class FlacCodecSpec extends AnyFunSuite with Matchers {
     val flac = FlacEncoder.encode(Array(const), rate = 8000)
     flac.length should be < 200 // constant frames are a few bytes each
     FlacCodec.decode(flac).samples.head.toSeq shouldBe const.toSeq
+
+    // full-scale noise makes raw escape cheaper than any Rice parameter
+    // (zigzagged ±32767 residuals cost ≥ 18 bits under p = 14 vs 16 raw),
+    // so this exercises the decoder's escape arm
+    val rnd = new scala.util.Random(3)
+    val noise = Array.fill(600)(rnd.nextInt(65536) - 32768)
+    val nf = FlacEncoder.encode(Array(noise), rate = 8000)
+    FlacCodec.decode(nf).samples.head.toSeq shouldBe noise.toSeq
   }
 
-  test("stereo round-trips: independent and left/side joint coding") {
+  test("stereo round-trips: independent and all three joint-coding modes") {
     val left = tone(700, hz = 330)
     val right = tone(700, hz = 550, amp = 0.3)
-    for (stereo <- Seq("independent", "leftSide")) {
-      val flac = FlacEncoder.encode(Array(left, right), rate = 8000,
-        stereoMode = stereo)
-      val d = FlacCodec.decode(flac)
-      d.samples.length shouldBe 2
-      d.samples(0).toSeq shouldBe left.toSeq
-      d.samples(1).toSeq shouldBe right.toSeq
+    for (stereo <- Seq("independent", "leftSide", "rightSide", "midSide")) {
+      withClue(stereo) {
+        val flac = FlacEncoder.encode(Array(left, right), rate = 8000,
+          stereoMode = stereo)
+        val d = FlacCodec.decode(flac)
+        d.samples.length shouldBe 2
+        d.samples(0).toSeq shouldBe left.toSeq
+        d.samples(1).toSeq shouldBe right.toSeq
+      }
     }
+  }
+
+  test("wasted bits round-trip: shared trailing zeros move to the header") {
+    // every sample a multiple of 16 → 4 wasted bits in each subframe
+    val pcm = tone(600).map(v => (v >> 4) << 4)
+    for (mode <- Seq("fixed", "verbatim", "lpc")) {
+      val flac = FlacEncoder.encode(Array(pcm), rate = 8000, mode = mode)
+      FlacCodec.decode(flac).samples.head.toSeq shouldBe pcm.toSeq
+    }
+  }
+
+  test("fuzz: every single-bit corruption of frame bytes is rejected") {
+    val flac = FlacEncoder.encode(Array(tone(400)), rate = 8000)
+    val rnd = new scala.util.Random(7)
+    var rejected = 0
+    (0 until 200).foreach { _ =>
+      val c = flac.clone()
+      val at = 42 + rnd.nextInt(c.length - 42) // past metadata
+      c(at) = (c(at) ^ (1 << rnd.nextInt(8))).toByte
+      val failed =
+        try { FlacCodec.decode(c); false }
+        catch { case _: Exception => true }
+      if (failed) rejected += 1
+    }
+    // CRC-8/CRC-16 catch essentially everything; a flip in the final
+    // frame's own CRC-16 field still fails that frame's check
+    rejected shouldBe 200
   }
 
   test("multi-byte UTF-8 frame numbers decode (≥ 128 frames)") {
@@ -185,8 +222,12 @@ private[multimodal] object FlacEncoder {
       w.writeBits(if (bs <= 256) 6L else 7L, 4) // explicit block size follows
       w.writeBits(0L, 4) // sample rate from STREAMINFO
       val chanAsgn =
-        if (channels.length == 2 && stereoMode == "leftSide") 8
-        else channels.length - 1
+        if (channels.length == 2) stereoMode match {
+          case "leftSide" => 8
+          case "rightSide" => 9
+          case "midSide" => 10
+          case _ => 1
+        } else channels.length - 1
       w.writeBits(chanAsgn.toLong, 4)
       w.writeBits(4L, 3) // 16-bit samples
       w.writeBit(0) // reserved
@@ -196,11 +237,22 @@ private[multimodal] object FlacEncoder {
       val header = w.bytesSoFar
       w.writeBits(FlacCodec.crc8(header, 0, header.length).toLong, 8)
 
-      if (chanAsgn == 8) { // left/side: ch1 = left - right, one extra bit
-        val left = channels(0).slice(pos, pos + bs)
-        val side = Array.tabulate(bs)(i => left(i) - channels(1)(pos + i))
-        writeSubframe(w, left, bps, mode)
-        writeSubframe(w, side, bps + 1, mode)
+      if (chanAsgn >= 8) { // joint stereo; the side channel gets +1 bit
+        val l = channels(0).slice(pos, pos + bs)
+        val r = channels(1).slice(pos, pos + bs)
+        val side = Array.tabulate(bs)(i => l(i) - r(i))
+        chanAsgn match {
+          case 8 => // left/side
+            writeSubframe(w, l, bps, mode)
+            writeSubframe(w, side, bps + 1, mode)
+          case 9 => // right/side (side stored FIRST)
+            writeSubframe(w, side, bps + 1, mode)
+            writeSubframe(w, r, bps, mode)
+          case _ => // mid/side: mid = (l+r)>>1, parity rides in side's lsb
+            val mid = Array.tabulate(bs)(i => (l(i) + r(i)) >> 1)
+            writeSubframe(w, mid, bps, mode)
+            writeSubframe(w, side, bps + 1, mode)
+        }
       } else {
         channels.foreach(c => writeSubframe(w, c.slice(pos, pos + bs), bps, mode))
       }
@@ -223,20 +275,36 @@ private[multimodal] object FlacEncoder {
       w.writeBits(0x80L | (v & 0x3f), 8)
     }
 
-  private def writeSubframe(w: BitWriter, s: Array[Int], bps: Int,
+  private def writeSubframe(w: BitWriter, s0: Array[Int], bps0: Int,
       mode: String): Unit = {
     w.writeBit(0) // padding
+    // wasted bits: shared trailing zeros move into the subframe header
+    val wasted =
+      if (s0.forall(_ == 0)) 0
+      else math.min(bps0 - 1,
+        s0.map(v => if (v == 0) bps0 else Integer.numberOfTrailingZeros(v)).min)
+    val s = if (wasted == 0) s0 else s0.map(_ >> wasted)
+    val bps = bps0 - wasted
+    def writeType(t: Long): Unit = {
+      w.writeBits(t, 6)
+      if (wasted == 0) w.writeBit(0)
+      else { // flag, then unary-coded wasted−1
+        w.writeBit(1)
+        (1 until wasted).foreach(_ => w.writeBit(0))
+        w.writeBit(1)
+      }
+    }
     if (s.forall(_ == s.head)) {
-      w.writeBits(0L, 6); w.writeBit(0) // CONSTANT, no wasted bits
+      writeType(0L) // CONSTANT
       w.writeSigned(s.head, bps)
     } else if (mode == "verbatim") {
-      w.writeBits(1L, 6); w.writeBit(0)
+      writeType(1L)
       s.foreach(v => w.writeSigned(v, bps))
     } else if (mode == "lpc") {
       // order-2 LPC, coefficients (5, -3), shift 1, 4-bit precision:
       // pred(i) = (5·s(i−1) − 3·s(i−2)) >> 1
       val order = 2
-      w.writeBits((0x20 | (order - 1)).toLong, 6); w.writeBit(0)
+      writeType((0x20 | (order - 1)).toLong)
       s.take(order).foreach(v => w.writeSigned(v, bps))
       w.writeBits(3L, 4) // precision − 1
       w.writeSigned(1, 5) // shift
@@ -260,7 +328,7 @@ private[multimodal] object FlacEncoder {
         (o, res)
       }
       val (order, res) = cands.minBy(_._2.map(r => math.abs(r.toLong)).sum)
-      w.writeBits((0x08 | order).toLong, 6); w.writeBit(0)
+      writeType((0x08 | order).toLong)
       s.take(order).foreach(v => w.writeSigned(v, bps))
       writeResidual(w, res)
     }
