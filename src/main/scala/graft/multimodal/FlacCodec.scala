@@ -10,9 +10,13 @@ package graft.multimodal
   *
   * Because FLAC is LOSSLESS the verification contract is stronger than
   * ADPCM's: decode(encode(pcm)) must be bit-exact, and a FLAC
-  * re-encoding of a PCM clip must land on the IDENTICAL feature vector
-  * and perceptual hash (asserted in FlacCodecSpec — hamming distance 0,
-  * not "small").
+  * re-encoding of a MONO PCM clip must land on the IDENTICAL feature
+  * vector and perceptual hash (asserted in FlacCodecSpec — hamming
+  * distance 0, not "small"). Multi-channel decode is bit-exact per
+  * channel; the mono DOWNMIX in [[samples]] is a deterministic float
+  * average, which need not bit-match the JDK's own stereo-to-mono
+  * conversion — so the cross-codec identity contract is scoped to mono
+  * (what speech corpora are).
   *
   * Format (public spec, IETF RFC 9639 / xiph.org): `fLaC` magic;
   * metadata blocks (STREAMINFO holds rate/channels/bps/total-samples);
@@ -63,6 +67,16 @@ object FlacCodec {
       val v = readBits(n)
       if (n == 0 || n == 32) v
       else if ((v & (1 << (n - 1))) != 0) v - (1 << n)
+      else v
+    }
+
+    /** n-bit two's-complement signed read into a Long (n ≤ 63) — the
+      * sample read: a 32-bps side channel is 33 bits wide.
+      */
+    def readSignedLong(n: Int): Long = {
+      val v = readBitsLong(n)
+      if (n == 0) v
+      else if ((v & (1L << (n - 1))) != 0) v - (1L << n)
       else v
     }
 
@@ -254,7 +268,7 @@ object FlacCodec {
           var i = 0
           while (i < blockSize) {
             val side = chans(1)(i)
-            val mid = (chans(0)(i) << 1) | (side & 1)
+            val mid = (chans(0)(i) << 1) | (side & 1L)
             chans(0)(i) = (mid + side) >> 1
             chans(1)(i) = (mid - side) >> 1
             i += 1
@@ -271,7 +285,8 @@ object FlacCodec {
       var c = 0
       while (c < nCh) {
         var i = 0
-        while (i < blockSize) { out(c).add(chans(c)(i)); i += 1 }
+        // reconstructed samples fit bps ≤ 32 bits — narrow after recon
+        while (i < blockSize) { out(c).add(chans(c)(i).toInt); i += 1 }
         c += 1
       }
       decoded += blockSize
@@ -290,30 +305,35 @@ object FlacCodec {
 
   // --------------------------------------------------------- subframes
 
-  private def readSubframe(r: BitReader, blockSize: Int, bps: Int): Array[Int] = {
+  /** Subframe samples decode into LONGS: a joint-stereo side channel at
+    * 32 bps reads 33-bit values, and the fixed/LPC predictor arithmetic
+    * on 32-bit samples overflows Int mid-computation — everything stays
+    * 64-bit until the post-reconstruction narrowing in [[decode]].
+    */
+  private def readSubframe(r: BitReader, blockSize: Int, bps: Int): Array[Long] = {
     require(r.readBit() == 0, "FLAC: subframe padding bit set")
     val t = r.readBits(6)
     val wasted =
       if (r.readBit() == 1) r.readUnary() + 1
       else 0
     val eff = bps - wasted
-    val s = new Array[Int](blockSize)
+    val s = new Array[Long](blockSize)
     if (t == 0) { // CONSTANT
-      val v = r.readSigned(eff)
+      val v = r.readSignedLong(eff)
       java.util.Arrays.fill(s, v)
     } else if (t == 1) { // VERBATIM
       var i = 0
-      while (i < blockSize) { s(i) = r.readSigned(eff); i += 1 }
+      while (i < blockSize) { s(i) = r.readSignedLong(eff); i += 1 }
     } else if ((t & 0x38) == 0x08 && (t & 0x07) <= 4) { // FIXED order 0–4
       val order = t & 0x07
       var i = 0
-      while (i < order) { s(i) = r.readSigned(eff); i += 1 }
+      while (i < order) { s(i) = r.readSignedLong(eff); i += 1 }
       readResidual(r, blockSize, order, s)
       restoreFixed(s, order, blockSize)
     } else if ((t & 0x20) != 0) { // LPC, order 1–32
       val order = (t & 0x1f) + 1
       var i = 0
-      while (i < order) { s(i) = r.readSigned(eff); i += 1 }
+      while (i < order) { s(i) = r.readSignedLong(eff); i += 1 }
       val precision = r.readBits(4) + 1
       require(precision < 16, "FLAC: invalid LPC precision")
       val shift = r.readSigned(5)
@@ -324,10 +344,10 @@ object FlacCodec {
       readResidual(r, blockSize, order, s)
       i = order
       while (i < blockSize) {
-        var acc = 0L // 64-bit accumulator: order·2^(precision+bps) overflows Int
+        var acc = 0L
         var j = 0
         while (j < order) { acc += coefs(j).toLong * s(i - 1 - j); j += 1 }
-        s(i) += (acc >> shift).toInt
+        s(i) += (acc >> shift)
         i += 1
       }
     } else throw new IllegalArgumentException(f"FLAC: reserved subframe type 0x$t%x")
@@ -342,7 +362,7 @@ object FlacCodec {
     * escape) decoded IN PLACE into s(order until blockSize).
     */
   private def readResidual(r: BitReader, blockSize: Int, predOrder: Int,
-      s: Array[Int]): Unit = {
+      s: Array[Long]): Unit = {
     val method = r.readBits(2)
     require(method <= 1, s"FLAC: reserved residual method $method")
     val paramBits = if (method == 0) 4 else 5
@@ -359,13 +379,13 @@ object FlacCodec {
       if (param == escape) {
         val raw = r.readBits(5)
         var i = 0
-        while (i < count) { s(w) = r.readSigned(raw); w += 1; i += 1 }
+        while (i < count) { s(w) = r.readSignedLong(raw); w += 1; i += 1 }
       } else {
         var i = 0
         while (i < count) {
           val q = r.readUnary()
-          val v = (q << param) | r.readBits(param)
-          s(w) = (v >>> 1) ^ -(v & 1) // zigzag
+          val v = (q.toLong << param) | r.readBits(param)
+          s(w) = (v >>> 1) ^ -(v & 1L) // zigzag
           w += 1
           i += 1
         }
@@ -375,7 +395,7 @@ object FlacCodec {
   }
 
   /** Fixed-predictor restoration, orders 0–4 (polynomial predictors). */
-  private def restoreFixed(s: Array[Int], order: Int, n: Int): Unit = {
+  private def restoreFixed(s: Array[Long], order: Int, n: Int): Unit = {
     var i = order
     order match {
       case 0 => ()
@@ -395,8 +415,11 @@ object FlacCodec {
   /** Decode to normalized mono samples in [-1, 1] (the
     * [[AudioCodec.samples]] space — channels averaged), so every audio
     * codec arm lands in the same feature space and cross-codec
-    * perceptual dedup works. Lossless: a FLAC of 16-bit PCM reproduces
-    * [[AudioCodec.samples]] of the original WAV bit-for-bit.
+    * perceptual dedup works. Lossless: a FLAC of 16-bit MONO PCM
+    * reproduces [[AudioCodec.samples]] of the original WAV bit-for-bit;
+    * for multi-channel input the per-channel decode is still bit-exact
+    * but this float-average downmix is its own (deterministic)
+    * convention, not a bit-match of the JDK converter's.
     */
   def samples(bytes: Array[Byte]): Array[Double] = {
     val d = decode(bytes)

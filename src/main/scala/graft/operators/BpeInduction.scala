@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   *  - argmax: the single best pair reaches the driver via a
   *    distributed top-1 reduce (`orderBy.limit(1)` → TakeOrdered), a
   *    one-row collect like BulkCopy's watermark — deterministic
-  *    tie-break on (count desc, pair asc) so reruns pick identical
-  *    merges;
+  *    tie-break on (count desc, pair asc), where "asc" is Spark's
+  *    UTF-8 BINARY string order (the canonical tie order for this
+  *    operator; it differs from Java's UTF-16 code-unit order for
+  *    supplementary-plane symbols, so reimplementations must compare
+  *    UTF-8 bytes — the spec's reference does);
   *  - rewrite: a map over the dictionary merging that pair's adjacent
   *    occurrences (greedy leftmost, the reference semantics).
   *
@@ -87,7 +90,10 @@ object BpeInduction {
     val spark = docs.sparkSession
     import spark.implicits._
     var dict = dictionary(docs, textCol).localCheckpoint()
-    var prev: Option[Dataset[WordSeg]] = None
+    // the live checkpoint generation's blocks (LogicalRDD), released
+    // once the next generation has materialized — the CC discipline;
+    // Dataset.unpersist would be a no-op for checkpoint blocks
+    var liveCp = org.apache.spark.sql.GraftBridge.materializedRdd(dict)
     val merges = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
     var k = 0
     var done = false
@@ -114,15 +120,17 @@ object BpeInduction {
             else ws)
         k += 1
         if (k % checkpointEvery == 0) {
+          // eager localCheckpoint: materializes NOW (reading the old
+          // generation's blocks), after which those blocks are dead
           val cut = next.localCheckpoint()
-          // free the superseded generation's blocks eagerly
-          prev.foreach(_.unpersist(blocking = false))
-          prev = Some(dict)
+          liveCp.foreach(_.unpersist(blocking = false))
+          liveCp = org.apache.spark.sql.GraftBridge.materializedRdd(cut)
           dict = cut
         } else dict = next
       }
     }
-    prev.foreach(_.unpersist(blocking = false))
+    // the dictionary itself is not a result — release the last generation
+    liveCp.foreach(_.unpersist(blocking = false))
     merges.toSeq
   }
 

@@ -778,13 +778,18 @@ object DedupOps extends QueryGroup {
         .agg(countDistinct(col("pos")).as("n_spans"),
           collect_set(col("p")).as("ps"))
       val ps = coalesce(col("ps"), array().cast("array<int>"))
+      // O(len + marks) rebuild: array_except builds ONE hash set of the
+      // marked positions per doc (a filter-by-index array_contains scan
+      // would be O(len·marks) — quadratic on a fully-excised document)
+      val toks = split(col("text"), " ")
+      val keep = array_except(sequence(lit(1), size(toks)), ps)
       sparkDocs
         .join(rm, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
           coalesce(size(col("ps")).cast(LongType), lit(0L)).as("n_removed"),
-          array_join(filter(split(col("text"), " "),
-            (_, i) => !array_contains(ps, i + 1)), " ").as("clean_text"))
+          array_join(transform(keep, p => element_at(toks, p)), " ")
+            .as("clean_text"))
         .orderBy("doc_id")
     },
     Some(s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),

@@ -57,6 +57,29 @@ class BpeInductionSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("checkpoint generations are released — no storage accumulation") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    BpeInduction.trainMerges(docs, "text", 9, checkpointEvery = 2)
+    // every superseded generation AND the final dictionary freed
+    spark.sparkContext.getPersistentRDDs.size shouldBe before
+  }
+
+  test("tie-break is UTF-8 binary order on both implementations") {
+    import spark.implicits._
+    // merge 1 is (z,</w>) at count 4; merge 2 then TIES at count 2
+    // between pairs led by U+E000 (UTF-8 bytes EE 80 80) and U+1F600
+    // (F0 9F 98 80). UTF-8 binary order puts U+E000 first while Java's
+    // UTF-16 code-unit order says the opposite (D83D < E000) — both
+    // implementations must resolve the tie the same way.
+    val w1 = "\ud83d\ude00z" // 😀z
+    val w2 = "\ue000z"
+    val corpus = Seq(s"$w1 $w2 $w1 $w2").toDF("text")
+    val dist = BpeInduction.trainMerges(corpus, "text", 2)
+    val ref = ReferenceBpe.train(Map(w1 -> 2L, w2 -> 2L), 2)
+    dist shouldBe ref
+    dist(1)._1 shouldBe (("\ue000", "z" + BpeInduction.EndOfWord))
+  }
+
   test("merge mechanics: greedy leftmost, surrogate-safe base symbols") {
     BpeInduction.mergePair(Seq("a", "a", "a"), "a", "a") shouldBe
       Seq("aa", "a") // leftmost, non-overlapping
@@ -68,9 +91,22 @@ class BpeInductionSpec extends AnyFunSuite with Matchers {
   }
 
   /** Single-node reference: the textbook algorithm over a word-count
-    * map, same tie-break (count desc, pair lexicographic asc).
+    * map, same tie-break (count desc, pair asc in UTF-8 BINARY order —
+    * Spark's string ordering, which differs from Java's UTF-16 order
+    * for supplementary-plane symbols).
     */
   private object ReferenceBpe {
+
+    private def utf8Key(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    private val utf8Ordering: Ordering[Array[Byte]] = (x, y) => {
+      var i = 0
+      val n = math.min(x.length, y.length)
+      var r = 0
+      while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (r != 0) r else x.length - y.length
+    }
 
     def train(counts: Map[String, Long],
         nMerges: Int): Seq[((String, String), Long)] = {
@@ -90,7 +126,8 @@ class BpeInductionSpec extends AnyFunSuite with Matchers {
         if (pairCounts.isEmpty) done = true
         else {
           val ((a, b), cnt) = pairCounts.toSeq
-            .minBy { case ((a, b), c) => (-c, a, b) }
+            .minBy { case ((a, b), c) => (-c, utf8Key(a), utf8Key(b)) }(
+              Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering))
           if (cnt < 2) done = true
           else {
             out += (((a, b), cnt))
