@@ -778,17 +778,24 @@ object DedupOps extends QueryGroup {
         .agg(countDistinct(col("pos")).as("n_spans"),
           collect_set(col("p")).as("ps"))
       val ps = coalesce(col("ps"), array().cast("array<int>"))
-      // O(len + marks) rebuild: array_except builds ONE hash set of the
-      // marked positions per doc (a filter-by-index array_contains scan
-      // would be O(len·marks) — quadratic on a fully-excised document)
+      // Rebuild: filter-by-index against the mark set. Cost is
+      // O(len · |ps|) worst case, but the mark set is a thin slice of
+      // any real corpus and the one genuinely quadratic input — the
+      // FULLY-excised document (|ps| = len, e.g. a whole-duplicate
+      // book) — short-circuits to "" without scanning. (A "linear"
+      // element_at-over-array_except rewrite was tried and REVERTED:
+      // inside a HOF lambda the optimizer re-inlines the split()
+      // expression per element, re-tokenizing the document once per
+      // kept position — measured 4× slower at sf1.)
       val toks = split(col("text"), " ")
-      val keep = array_except(sequence(lit(1), size(toks)), ps)
       sparkDocs
         .join(rm, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
           coalesce(size(col("ps")).cast(LongType), lit(0L)).as("n_removed"),
-          array_join(transform(keep, p => element_at(toks, p)), " ")
+          when(size(ps) >= size(toks), lit(""))
+            .otherwise(array_join(filter(toks,
+              (_, i) => !array_contains(ps, i + 1)), " "))
             .as("clean_text"))
         .orderBy("doc_id")
     },
