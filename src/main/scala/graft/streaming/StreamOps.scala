@@ -160,4 +160,59 @@ object StreamOps {
       .join(broadcast(ledger), Seq("content_hash"), "left_anti")
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  // ---------------------------------------------------------------- ST7
+  /** The span-gram ledger for [[spanDecontaminate]]: distinct hashed
+    * spanK-token grams of a static corpus (an eval-suite holdout or the
+    * already-ingested corpus), built with the SAME native gram hasher
+    * as the batch d11/t6 path so batch and stream agree on what a span
+    * is.
+    */
+  def spanLedger(corpus: DataFrame, textCol: String, spanK: Int): DataFrame =
+    corpus.select(explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WordGramHashes(
+          org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+          spanK, distinctSorted = true))).as("g"))
+      .distinct()
+
+  /** Streaming span decontamination (the streaming face of batch
+    * d11/t6): each incoming document is scored against the STATIC span
+    * ledger and dropped when more than `maxSharedFrac` of its distinct
+    * spanK-token spans already exist there — contaminated/boilerplate
+    * documents never enter the corpus.
+    *
+    * Shape: gram hashes explode map-side; the stream-static LEFT join
+    * is re-planned per micro-batch (a refreshed ledger is picked up
+    * without restarting the query; holdout-sized ledgers broadcast —
+    * corpus-sized ones shuffle the BATCH, never stream history); the
+    * per-document verdict is a watermarked windowed aggregation, so
+    * verdict state is O(documents inside the watermark horizon) and is
+    * expired by the watermark — never O(stream history). Emits one
+    * append-mode row per document once the watermark passes its
+    * window: (doc_id, window, n_grams, n_shared, kept).
+    */
+  def spanDecontaminate(
+      docs: DataFrame,
+      ledger: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermarkDelay: String,
+      spanK: Int,
+      maxSharedFrac: Double): DataFrame = {
+    val grams = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col("doc_id"), col(tsCol),
+        explode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.WordGramHashes(
+            org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+            spanK, distinctSorted = true))).as("g"))
+    grams
+      .join(broadcast(ledger.withColumn("in_ledger", lit(true))), Seq("g"), "left")
+      .groupBy(window(col(tsCol), "1 second"), col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("in_ledger"), 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("kept",
+        col("n_shared").cast("double") / col("n_grams").cast("double")
+          <= maxSharedFrac)
+  }
 }

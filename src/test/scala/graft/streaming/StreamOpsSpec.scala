@@ -206,4 +206,44 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       kept shouldBe Set(2L, 4L)
     } finally q.stop()
   }
+
+  test("ST7 streaming span decontamination: ledger overlap drops documents") {
+    import spark.implicits._
+    val holdout = "the quick brown fox jumps over the lazy dog every day"
+    val ledger = StreamOps.spanLedger(
+      Seq(holdout).toDF("text"), "text", spanK = 4)
+
+    val in = MemoryStream[(Long, String, Timestamp)](spark)
+    val out = StreamOps.spanDecontaminate(
+      in.toDF.toDF("doc_id", "text", "ts"), ledger,
+      textCol = "text", tsCol = "ts", watermarkDelay = "5 seconds",
+      spanK = 4, maxSharedFrac = 0.5)
+
+    val q = out.writeStream.format("memory").queryName("st7")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // 7 distinct 4-grams, all in the holdout → shared frac 1.0
+        (1L, "the quick brown fox jumps over the lazy dog every", ts(1)),
+        // 9 words → 6 distinct 4-grams, none in the holdout → kept
+        (2L, "completely novel writing with no benchmark overlap at all", ts(1)),
+        // shares exactly the leading 4 words = two of its seven 4-grams
+        // (frac 2/7 ≤ 0.5) → kept... first FIVE words share two grams
+        (3L, "the quick brown fox sits calmly beside a different dog", ts(2)))
+      q.processAllAvailable()
+      in.addData((9L, "watermark push", ts(60))) // close the windows
+      q.processAllAvailable()
+      in.addData((10L, "watermark push again", ts(120)))
+      q.processAllAvailable()
+
+      val rows = spark.table("st7")
+        .select("doc_id", "n_grams", "n_shared", "kept").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      rows(1L) shouldBe ((7L, 7L, false)) // fully contaminated → dropped
+      rows(2L) shouldBe ((6L, 0L, true))
+      rows(3L)._3 shouldBe true
+      rows(3L)._2 should be < rows(3L)._1 // partial overlap, under frac
+    } finally q.stop()
+  }
 }
