@@ -586,7 +586,59 @@ object Analytic extends QueryGroup {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin))
 
+  // --------------------------------------------------------------- Q38
+  // Time-series gap fill: a per-customer daily date spine (generated,
+  // never stored) left-joined to actual daily totals, missing days
+  // forward-filled with the last observation (LOCF) — the standard
+  // time-series-engine capability for irregular event data.
+  //
+  // Scale shape: the date filter pushes to the scan; the spine explodes
+  // from per-customer (min, max) bounds — O(active customers × days in
+  // window), generated map-side, never materialized to storage; the
+  // fill window partitions by CUSTOMER (high cardinality — this is the
+  // legitimate window shape, unlike the few-group walls q5/q7 avoid).
+  // Both engines use the same default running frame (unbounded
+  // preceding → current row), so LOCF values hash-match exactly.
+  private val q38 = QueryDef(
+    "q38_gap_fill",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-02-01"))
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+          col("o_totalprice"))
+      val daily = o.groupBy("o_custkey", "d")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("day_total"))
+      val spine = daily.groupBy("o_custkey")
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("o_custkey"), explode(sequence(col("d0"), col("d1"))).as("d"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      spine.join(daily, Seq("o_custkey", "d"), "left")
+        .select(col("o_custkey"), col("d"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          last(col("day_total"), ignoreNulls = true).over(w).as("filled_total"))
+        .orderBy("o_custkey", "d")
+    },
+    Some(s"""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice
+      |  FROM orders
+      |  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'),
+      |daily AS (SELECT o_custkey, d, COUNT(*) AS n_orders,
+      |    ${oSum("o_totalprice")} AS day_total
+      |  FROM o GROUP BY o_custkey, d),
+      |spine AS (SELECT b.o_custkey, CAST(g AS DATE) AS d
+      |  FROM (SELECT o_custkey, MIN(d) AS d0, MAX(d) AS d1
+      |        FROM daily GROUP BY o_custkey) b,
+      |       unnest(generate_series(CAST(b.d0 AS TIMESTAMP),
+      |                              CAST(b.d1 AS TIMESTAMP),
+      |                              INTERVAL 1 DAY)) AS t(g))
+      |SELECT s.o_custkey, s.d,
+      |  CAST(coalesce(daily.n_orders, 0) AS BIGINT) AS n_orders,
+      |  last_value(daily.day_total IGNORE NULLS)
+      |    OVER (PARTITION BY s.o_custkey ORDER BY s.d) AS filled_total
+      |FROM spine s LEFT JOIN daily USING(o_custkey, d)
+      |ORDER BY o_custkey, d""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34, q35, q36, q37)
+      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }
