@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.sources.Tables
 
@@ -477,6 +477,77 @@ object TextOps extends QueryGroup {
        |FROM w, unnest(generate_series(0, (len(words)-1)//$chunkStride)) AS t(cid)
        |ORDER BY doc_id, chunk_id""".stripMargin))
 
+  // --------------------------------------------------------------- T13
+  // Bigram-LM cross-entropy scoring — the CCNet/KenLM-style perplexity
+  // quality filter: train an add-one-smoothed bigram model ON the corpus
+  // (unigram/bigram count tables via partial-agg groupBys over hashed
+  // keys; the model is vocabulary-bounded, orders of magnitude smaller
+  // than the corpus), then score each document's total log-likelihood
+  // Σ ln P(wᵢ₊₁|wᵢ) where P(b|a) = (c(a,b)+1)/(c(a)+V). The only
+  // corpus-sized work is the map-side per-position gram explode (the
+  // d11 discipline: re-scan beats checkpointing an occ ≈ len× table)
+  // plus the two model-probe joins — at web scale the bigram table
+  // outgrows any broadcast, so those are plain hashed-key shuffle joins
+  // AQE is free to downgrade to broadcast while the model fits.
+  // Cross-engine hash-exactness: each per-position log-prob is computed
+  // from bit-identical IEEE quotients and quantized to DECIMAL(18,9)
+  // BEFORE the per-doc sum, making the aggregation order-independent
+  // and absorbing any last-ulp libm ln() divergence between engines;
+  // the keep flag compares exact decimals, never floats.
+  private val lmKeepNats = 6 // keep docs with avg NLL ≤ 6 nats (ppl ≤ e⁶)
+  private val t13 = QueryDef(
+    "t13_lm_score",
+    (s, dir) => {
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      def grams(n: Int) = column(graft.functions.WordGramHashes(
+        expression(col("text")), n, distinctSorted = false))
+      val base = docs(s, dir)
+        .select(col("doc_id"), grams(1).as("u"), grams(2).as("b"))
+      // per-position (context-unigram, bigram) hash pairs — map-side only
+      val pos = base
+        .select(col("doc_id"),
+          slice(col("u"), lit(1), size(col("b"))).as("cs"), col("b"))
+        .select(col("doc_id"), explode(arrays_zip(col("cs"), col("b"))).as("p"))
+        .select(col("doc_id"), col("p.cs").as("ctx"), col("p.b").as("g"))
+      val cb = pos.groupBy("g").agg(count(lit(1)).as("c_bg"))
+      val cw = pos.groupBy("ctx").agg(count(lit(1)).as("c_ctx"))
+      val vocab = base.select(explode(col("u")).as("w"))
+        .agg(count_distinct(col("w")).as("vocab"))
+      pos.join(cb, "g").join(cw, "ctx").crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          log((col("c_bg") + 1).cast("double") /
+            (col("c_ctx") + col("vocab")).cast("double"))
+            .cast(DecimalType(18, 9)).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp_d"))
+        .select(col("doc_id"), col("n_bigrams"),
+          // exact decimal sum → double only at the output boundary (the
+          // q1 precedent; the keep rule compares exact decimals)
+          col("sum_lp_d").cast("double").as("sum_lp"),
+          (col("sum_lp_d") >=
+            lit(-lmKeepNats).cast(DecimalType(18, 9)) * col("n_bigrams"))
+            .as("ppl_ok"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+       |pos AS (SELECT doc_id,
+       |          unnest(words[1:len(words)-1]) AS ctx,
+       |          unnest(words[2:len(words)]) AS nxt
+       |        FROM w),
+       |bg AS (SELECT doc_id, ctx, ctx || ' ' || nxt AS g FROM pos),
+       |cb AS (SELECT g, COUNT(*) AS c_bg FROM bg GROUP BY g),
+       |cw AS (SELECT ctx, COUNT(*) AS c_ctx FROM bg GROUP BY ctx),
+       |v AS (SELECT COUNT(DISTINCT w) AS vocab
+       |      FROM (SELECT unnest(words) AS w FROM w)),
+       |lp AS (SELECT doc_id,
+       |         CAST(ln(CAST(c_bg + 1 AS DOUBLE)
+       |                 / CAST(c_ctx + vocab AS DOUBLE)) AS DECIMAL(18,9)) AS lp
+       |       FROM bg JOIN cb USING(g) JOIN cw USING(ctx) CROSS JOIN v)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(lp) AS DOUBLE) AS sum_lp,
+       |  (SUM(lp) >= CAST(-$lmKeepNats AS DECIMAL(18,9)) * COUNT(*)) AS ppl_ok
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13)
 }

@@ -101,4 +101,46 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     val p = run("t12_chunk_overlap").queryExecution.executedPlan.toString
     p.linesIterator.count(_.contains("Exchange")) should be <= 1
   }
+
+  test("t13: exact match vs an independent single-node bigram-LM reference") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    // plain-Scala add-one bigram LM over word STRINGS (the query runs on
+    // hashed-long gram keys — agreement also re-proves collision-freeness)
+    val bigrams = docs.flatMap { case (_, w) =>
+      w.sliding(2).filter(_.length == 2).map(a => (a.head, a(1)))
+    }
+    val cb = bigrams.groupBy(identity).map { case (k, v) => k -> v.length }
+    val cw = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val vocab = docs.flatMap(_._2).distinct.length
+    // mirror the plan's quantization: double → DECIMAL(18,9), HALF_UP on
+    // the shortest decimal representation (Spark's Cast-to-decimal rule)
+    def q(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    val expected = docs.map { case (id, w) =>
+      val lps = w.sliding(2).filter(_.length == 2).map { a =>
+        q(math.log((cb((a.head, a(1))) + 1).toDouble /
+          (cw(a.head) + vocab).toDouble))
+      }.toSeq
+      id -> (lps.length.toLong, lps.reduce(_.add(_)))
+    }.toMap
+
+    val out = run("t13_lm_score").collect()
+    out.length shouldBe expected.size
+    out.foreach { r =>
+      val (n, sum) = expected(r.getLong(0))
+      r.getLong(1) shouldBe n
+      r.getDouble(2) shouldBe sum.doubleValue()
+      r.getBoolean(3) shouldBe
+        sum.compareTo(new java.math.BigDecimal(-6L * n).setScale(9)) >= 0
+    }
+  }
+
+  test("t13: model probes stay partial-agg + join — no window, " +
+    "per-doc sum map-side combined") {
+    val p = run("t13_lm_score").queryExecution.executedPlan.toString
+    p should not include "Window"
+    p should include("partial_sum")
+  }
 }
