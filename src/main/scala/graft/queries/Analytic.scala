@@ -638,7 +638,55 @@ object Analytic extends QueryGroup {
       |FROM spine s LEFT JOIN daily USING(o_custkey, d)
       |ORDER BY o_custkey, d""".stripMargin))
 
+  // --------------------------------------------------------------- Q39
+  // Cohort retention matrix: cohort = month of a customer's FIRST order;
+  // cell (cohort, month_offset) = distinct customers of that cohort
+  // active offset months later, plus the retention rate vs cohort size.
+  // Scale shape: the first-order table is customer-grain (bucket-sized
+  // at 100 TB, never wider); the orders→first join and the per-customer
+  // min share one hash shuffle on o_custkey; the distinct-count runs as
+  // the standard two-phase partial agg over (cohort, offset, customer).
+  // Output is bounded by cohorts × offsets — months², not data-sized.
+  // The rate is one IEEE division of two exact longs (engine-identical).
+  private val q39 = QueryDef(
+    "q39_cohort_retention",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      val first = o.groupBy("o_custkey").agg(min(col("m")).as("cohort"))
+      val sizes = first.groupBy("cohort")
+        .agg(count(lit(1)).as("cohort_n"))
+      o.join(first, "o_custkey")
+        .select(col("cohort"), col("o_custkey"),
+          ((year(col("m")) * 12 + month(col("m"))) -
+            (year(col("cohort")) * 12 + month(col("cohort"))))
+            .cast("long").as("month_offset"))
+        .groupBy("cohort", "month_offset")
+        .agg(count_distinct(col("o_custkey")).as("n_active"))
+        .join(sizes, "cohort")
+        .select(col("cohort"), col("month_offset"), col("n_active"),
+          col("cohort_n"),
+          (col("n_active").cast("double") / col("cohort_n").cast("double"))
+            .as("retention"))
+        .orderBy("cohort", "month_offset")
+    },
+    Some("""WITH o AS (SELECT o_custkey,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS m FROM orders),
+      |f AS (SELECT o_custkey, MIN(m) AS cohort FROM o GROUP BY o_custkey),
+      |sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_n
+      |       FROM f GROUP BY cohort),
+      |r AS (SELECT cohort,
+      |        CAST((EXTRACT(year FROM m)*12 + EXTRACT(month FROM m))
+      |           - (EXTRACT(year FROM cohort)*12
+      |              + EXTRACT(month FROM cohort)) AS BIGINT) AS month_offset,
+      |        CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+      |      FROM o JOIN f USING(o_custkey) GROUP BY 1, 2)
+      |SELECT cohort, month_offset, n_active, cohort_n,
+      |  CAST(n_active AS DOUBLE)/CAST(cohort_n AS DOUBLE) AS retention
+      |FROM r JOIN sz USING(cohort)
+      |ORDER BY cohort, month_offset""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }
