@@ -215,4 +215,52 @@ object StreamOps {
         col("n_shared").cast("double") / col("n_grams").cast("double")
           <= maxSharedFrac)
   }
+
+  // ---------------------------------------------------------------- ST8
+  final case class PackDoc(source: String, docId: Long, nTokens: Long)
+
+  final case class PackState(seqId: Long, used: Long)
+
+  final case class PackedDoc(
+      source: String, docId: Long, seqId: Long, offset: Long, nTokens: Long)
+
+  /** Streaming sequence packing — t9's streaming twin: assign each
+    * arriving document a (sequence id, token offset) inside its
+    * source's fixed-`budget` training sequences, rolling to a fresh
+    * sequence when the current one can't fit the document. A document
+    * longer than the whole budget still gets a (its own) sequence —
+    * same contract as the batch packer.
+    *
+    * Packing is inherently sequential PER STREAM — each assignment
+    * depends on the running fill — which is exactly what keyed state
+    * is for: state per source is ONE tiny (seqId, used) struct
+    * (O(sources), never O(history)), sources pack in parallel, and
+    * each trigger shuffles only its own micro-batch on the source key.
+    * Within a micro-batch documents pack in doc-id order, so a replayed
+    * batch assigns identically (exactly-once sinks can rely on it).
+    */
+  def packStream(
+      docs: Dataset[PackDoc], budget: Long): Dataset[PackedDoc] = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import docs.sparkSession.implicits._
+
+    def update(source: String, rows: Iterator[PackDoc],
+        state: GroupState[PackState]): Iterator[PackedDoc] = {
+      var s = state.getOption.getOrElse(PackState(0L, 0L))
+      val out = rows.toSeq.sortBy(_.docId).map { d =>
+        if (s.used > 0 && s.used + d.nTokens > budget)
+          s = PackState(s.seqId + 1, 0L)
+        val assigned = PackedDoc(source, d.docId, s.seqId, s.used, d.nTokens)
+        s = PackState(s.seqId, s.used + d.nTokens)
+        assigned
+      }
+      state.update(s)
+      out.iterator
+    }
+
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -246,4 +246,51 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       rows(3L)._2 should be < rows(3L)._1 // partial overlap, under frac
     } finally q.stop()
   }
+
+  test("ST8 streaming sequence packing: state carries fill across " +
+    "micro-batches, rollover exact, sources independent") {
+    import spark.implicits._
+    import StreamOps.{PackDoc, PackedDoc}
+    val in = MemoryStream[PackDoc](spark)
+    val out = StreamOps.packStream(in.toDS(), budget = 100L)
+
+    val q = out.writeStream.format("memory").queryName("st8")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        PackDoc("a", 1L, 40L), PackDoc("a", 2L, 50L), PackDoc("a", 3L, 30L),
+        PackDoc("b", 10L, 150L), PackDoc("b", 11L, 10L))
+      q.processAllAvailable()
+      // batch 2 continues from batch 1's remainder (a: seq 1 holds 30)
+      in.addData(PackDoc("a", 4L, 60L), PackDoc("a", 5L, 20L))
+      q.processAllAvailable()
+
+      val rows = spark.table("st8").as[PackedDoc].collect()
+        .map(p => p.docId -> ((p.seqId, p.offset))).toMap
+      // source a, batch 1: 40+50=90 fits; 30 rolls to seq 1
+      rows(1L) shouldBe ((0L, 0L))
+      rows(2L) shouldBe ((0L, 40L))
+      rows(3L) shouldBe ((1L, 0L))
+      // source b: oversized doc owns seq 0 alone; next doc rolls
+      rows(10L) shouldBe ((0L, 0L))
+      rows(11L) shouldBe ((1L, 0L))
+      // batch 2, source a: 30+60=90 still fits seq 1; 20 rolls to seq 2
+      rows(4L) shouldBe ((1L, 30L))
+      rows(5L) shouldBe ((2L, 0L))
+
+      // every sequence respects the budget unless a single doc overflows
+      val bySeq = spark.table("st8").as[PackedDoc].collect()
+        .groupBy(p => (p.source, p.seqId))
+      bySeq.values.foreach { docs =>
+        val total = docs.map(_.nTokens).sum
+        if (docs.length > 1) total should be <= 100L
+        // offsets are the exact running prefix sum in doc-id order
+        docs.sortBy(_.docId).foldLeft(0L) { (acc, d) =>
+          d.offset shouldBe acc
+          acc + d.nTokens
+        }
+        ()
+      }
+    } finally q.stop()
+  }
 }
