@@ -21,40 +21,57 @@ import org.apache.spark.sql.functions._
   *  - documents: replica r > 0 suffixes every word with `_r<r>`, so no
   *    shingle survives across replicas (cross-replica Jaccard = 0)
   *    while within-replica near-dup structure is preserved exactly;
-  *  - embeddings: replica r rotates each vector cyclically by r
-  *    positions — an orthogonal transform, so within-replica dot
-  *    products (and thus the whole pair/cluster structure) are
+  *  - embeddings: replica r applies an orthogonal transform (cyclic
+  *    rotation by `r mod dim`, composed with a ±1 diagonal sign
+  *    pattern for r ≥ dim — see [[scaleEmbeddings]]), so within-replica
+  *    dot products (and thus the whole pair/cluster structure) are
   *    preserved EXACTLY, while cross-replica cosines are as unrelated
-  *    as random vectors.
+  *    as random vectors at ANY factor.
   * Each output table therefore has exactly `factor ×` the rows, and
   * pair-generating operators scale linearly, like a real bigger corpus.
   */
 object ScaleUp {
   private val Offset = 1000000000L
 
-  /** The embeddings replica transform (key shift + cyclic rotation —
-    * orthogonal, so within-replica pair/cluster structure is preserved
-    * EXACTLY while cross-replica cosines are as unrelated as random
-    * vectors), exposed for specs and benches that need a larger vector
-    * corpus without synthesizing every table.
+  /** The embeddings replica transform (key shift + an orthogonal
+    * per-replica transform, so within-replica pair/cluster structure is
+    * preserved EXACTLY while cross-replica cosines are as unrelated as
+    * random vectors), exposed for specs and benches that need a larger
+    * vector corpus without synthesizing every table.
+    *
+    * Replica r composes two orthogonal maps: a cyclic rotation by
+    * `r mod dim` positions, and — for r ≥ dim, where rotations alone
+    * would REPEAT and create exact cross-replica duplicates (quadratic
+    * pair growth) — a diagonal ±1 sign pattern keyed by `r div dim`.
+    * Sign flips cancel inside a replica ((s⊙v)·(s⊙w) = v·w, exact in
+    * IEEE — negation flips a bit), so within-replica structure is
+    * still preserved exactly, while any two replicas differ in either
+    * rotation or an (expected-)half-disagreeing sign pattern. Factors
+    * up to dim keep the historical pure-rotation output bit-for-bit.
     */
   def scaleEmbeddings(base: DataFrame, factor: Int): DataFrame = {
     val cols = base.columns
     base.crossJoin(
         base.sparkSession.range(factor).toDF("replica").hint("broadcast"))
       .withColumn("vec_id", col("vec_id") + col("replica") * Offset)
-      .withColumn("embedding", when(col("replica") === 0, col("embedding"))
+      .withColumn("rot", pmod(col("replica"), size(col("embedding"))).cast("int"))
+      .withColumn("lvl", (col("replica") / size(col("embedding"))).cast("long"))
+      .withColumn("embedding", when(col("rot") === 0, col("embedding"))
         .otherwise(concat(
-          slice(col("embedding"), (col("replica") + 1).cast("int"),
-            size(col("embedding")) - col("replica").cast("int")),
-          slice(col("embedding"), lit(1), col("replica").cast("int")))))
+          slice(col("embedding"), (col("rot") + 1),
+            size(col("embedding")) - col("rot")),
+          slice(col("embedding"), lit(1), col("rot")))))
+      .withColumn("embedding", when(col("lvl") === 0, col("embedding"))
+        .otherwise(expr(
+          "transform(embedding, (x, i) -> " +
+            "IF(pmod(xxhash64(lvl, i), 2) = 0, x, CAST(-x AS FLOAT)))")))
       .select(cols.map(col).toIndexedSeq: _*)
   }
 
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, factorStr) = args.take(3)
     val factor = factorStr.toInt
-    require(factor >= 1 && factor < 100, s"factor out of range: $factor")
+    require(factor >= 1 && factor <= 1024, s"factor out of range: $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.local(cpus, "graft-scaleup")
     spark.sparkContext.setLogLevel("WARN")
