@@ -80,8 +80,27 @@ object ScaleUp {
     def src(name: String): DataFrame =
       spark.read.parquet(s"$inDir/$name.parquet")
 
-    def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    /** Output file count for a table: ~64 MB target files (the layout a
+      * real table at this size would have), floored at the session's
+      * parallelism. Without this the replicated frame inherits the
+      * small source's partitioning and a 100× table lands as ONE file /
+      * ONE row group — every downstream scan of it is a single task, and
+      * the bench measures file-layout serialization instead of the
+      * plans (observed: sf10 documents as one 80 MB part → serial scans
+      * throughout).
+      */
+    def targetFiles(name: String): Int = {
+      val path = new org.apache.hadoop.fs.Path(s"$inDir/$name.parquet")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(path).getLength * factor
+      val bySize = (bytes / (64L << 20)).toInt + 1
+      math.max(spark.sparkContext.defaultParallelism, bySize)
+    }
+
+    def write(df: DataFrame, name: String, parts: Option[Int] = None): Unit = {
+      val out = parts.fold(df)(df.repartition(_))
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
 
     /** factor copies with `keys` shifted by r·Offset; `extra` rewrites
       * applied per replica (receiving the replica column).
@@ -95,7 +114,8 @@ object ScaleUp {
       keys.foreach(k => df = df.withColumn(k,
         col(k) + col("replica") * Offset))
       df = extra(df, col("replica"))
-      write(df.select(cols.map(col).toIndexedSeq: _*), name)
+      write(df.select(cols.map(col).toIndexedSeq: _*), name,
+        Some(targetFiles(name)))
     }
 
     // fixed-cardinality dims: copy unchanged
@@ -116,7 +136,8 @@ object ScaleUp {
       .withColumn("n_chars", when(r === 0, col("n_chars"))
         .otherwise(length(col("text")).cast("long"))))
 
-    write(scaleEmbeddings(src("embeddings"), factor), "embeddings")
+    write(scaleEmbeddings(src("embeddings"), factor), "embeddings",
+      Some(targetFiles("embeddings")))
 
     Tables.check(spark, inDir, outDir, factor)
     spark.stop()
