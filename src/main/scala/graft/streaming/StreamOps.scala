@@ -206,8 +206,20 @@ object StreamOps {
           graft.functions.WordGramHashes(
             org.apache.spark.sql.GraftBridge.expression(col(textCol)),
             spanK, distinctSorted = true))).as("g"))
+    val tagged = ledger.withColumn("in_ledger", lit(true))
+    // Broadcast only when the optimizer's own size estimate clears the
+    // session threshold — an unconditional hint would force a
+    // corpus-sized ledger through the driver (OOM) instead of honoring
+    // the documented contract: holdout-sized ledgers broadcast,
+    // corpus-sized ones degrade to shuffling the micro-BATCH.
+    import org.apache.spark.sql.GraftBridge
+    val thresh = GraftBridge.autoBroadcastThreshold(tagged)
+    val side =
+      if (thresh > 0 && GraftBridge.planSizeBytes(tagged) <= thresh)
+        broadcast(tagged)
+      else tagged
     grams
-      .join(broadcast(ledger.withColumn("in_ledger", lit(true))), Seq("g"), "left")
+      .join(side, Seq("g"), "left")
       .groupBy(window(col(tsCol), "1 second"), col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("in_ledger"), 1L).otherwise(0L)).as("n_shared"))

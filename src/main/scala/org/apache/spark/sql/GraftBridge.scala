@@ -25,4 +25,19 @@ object GraftBridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
       case _ => None
     }
+
+  /** The optimizer's size-in-bytes estimate for a frame — the same
+    * statistic the planner itself consults when auto-selecting a
+    * broadcast join. Lets operators gate an explicit `broadcast()` hint
+    * on "would the planner have broadcast this anyway", instead of
+    * forcing a collect of a side whose size they can't know statically.
+    */
+  def planSizeBytes(df: Dataset[_]): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** The session's `spark.sql.autoBroadcastJoinThreshold` in bytes
+    * (-1 = auto-broadcast disabled). `sessionState` is `private[sql]`,
+    * hence the bridge. */
+  def autoBroadcastThreshold(df: Dataset[_]): Long =
+    df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
 }
