@@ -98,7 +98,19 @@ object Bench {
     val total = times.map(_._2).sum
     // total repeated at the END: the driver archives a tail-truncated
     // copy of this line, which can cut the leading "value" field
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","total_sec":$total}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","total_sec":$total}"""
+    println(line)
+    // the driver caps the archived stdout tail at 2,000 chars, which has
+    // destroyed the per-query dict two rounds running — persist the full
+    // line to durable files too (repo copy gets committed as evidence)
+    for (p <- Seq("/tmp/graft_bench.json", "/root/repo/BENCH_FULL.json")) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -199,16 +199,23 @@ object TextOps extends QueryGroup {
   private val t5 = QueryDef(
     "t5_vocab_topk",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // ~10 languages means a row_number window over partitionBy(lang)
+      // funnels each language's ENTIRE vocabulary through one reducer at
+      // any cluster size. The TopKByScore bounded-heap aggregate (F5,
+      // string-id arm) carries ≤ 5 (word,cnt) pairs per (partition ×
+      // lang) across the shuffle instead; the window formulation stays
+      // as the oracle, hash-proving the equivalence every run. cnt is
+      // exact in the DOUBLE score channel (counts ≪ 2^53).
       val counts = docs(s, dir)
         .select(col("lang"), explode(words(col("text"))).as("word"))
         .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("cnt").desc, col("word"))
       counts
-        .withColumn("rank", row_number().over(w).cast(LongType))
-        .filter(col("rank") <= 5)
-        .select("lang", "rank", "word", "cnt")
+        .groupBy("lang")
+        .agg(graft.functions.TopKAggregate
+          .topKByScore(col("cnt").cast("double"), col("word"), 5).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("col.id").as("word"), col("col.score").cast(LongType).as("cnt"))
         .orderBy("lang", "rank")
     },
     Some("""SELECT lang, rank, word, cnt FROM (

@@ -17,20 +17,8 @@ object Tables {
   val broadcastDims: Set[String] = Set("region", "nation", "supplier")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read the raw int64 nanos and surface:
-      //   ts_ms — epoch millis (matches DuckDB epoch_ms(ts) exactly, so
-      //           oracle comparisons never hit the ns-vs-us truncation gap)
-      //   ts    — microsecond TimestampType for window()/streaming uses
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$dir/events.parquet")
-        // integer `div`, NOT `/`: epoch-nanos overflow double's 53-bit
-        // mantissa, so floating division is off by ±1ms on some rows
-        .withColumn("ts_ms", expr("ts div 1000000"))
-        .withColumn("ts", timestamp_millis(col("ts_ms")))
-    } else if (name == "embeddings") {
+    if (name == "events") loadEvents(spark, s"$dir/events.parquet")
+    else if (name == "embeddings") {
       // parquet declares array elements nullable even when no element is
       // null; re-declare containsNull = false (asserted, once per row)
       // so the native vector kernels emit their branch-free loops — the
@@ -42,6 +30,48 @@ object Tables {
           graft.functions.KnownNonNullElements(
             org.apache.spark.sql.GraftBridge.expression(col("embedding")))))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Load the events table, tolerant of how its `ts` column was encoded.
+    *
+    * Generators have shipped `ts` both as parquet TIMESTAMP(NANOS) — which
+    * Spark only reads as raw int64 under `legacy.parquet.nanosAsLong` — and
+    * as TIMESTAMP(MICROS) (isAdjustedToUTC=false → TimestampNTZType). The
+    * loader dispatches on the *loaded* dtype so a testdata regeneration
+    * can't break every event-time query again. Surfaced columns:
+    *   ts_ms — epoch millis (matches DuckDB `epoch_ms(ts)` exactly, so
+    *           oracle comparisons never hit sub-ms truncation gaps)
+    *   ts    — ms-truncated TimestampType, identical under either encoding
+    */
+  def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw =
+      try {
+        val df = spark.read.parquet(path)
+        df.schema // forces footer-based schema resolution
+        df
+      } catch {
+        // TIMESTAMP(NANOS) footer: only readable as raw int64 nanos
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("NANOS") =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
+    val withMs = raw.schema("ts").dataType match {
+      // integer `div`, NOT `/`: epoch-nanos overflow double's 53-bit
+      // mantissa, so floating division is off by ±1ms on some rows
+      case LongType => raw.withColumn("ts_ms", expr("ts div 1000000"))
+      case _: TimestampType =>
+        raw.withColumn("ts_ms", unix_millis(col("ts")))
+      case _: TimestampNTZType =>
+        // session timeZone is pinned UTC (GraftSession.tune), so the
+        // NTZ→TZ cast is shift-free and matches DuckDB's naive epoch_ms
+        raw.withColumn("ts_ms", unix_millis(col("ts").cast(TimestampType)))
+      case other =>
+        throw new IllegalStateException(s"events.ts has unsupported type $other")
+    }
+    withMs.withColumn("ts", timestamp_millis(col("ts_ms")))
+  }
 
   /** Register every table as a temp view so `spark.sql` works directly. */
   def registerAll(spark: SparkSession, dir: String): Unit =

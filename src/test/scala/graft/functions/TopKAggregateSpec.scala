@@ -69,6 +69,54 @@ class TopKAggregateSpec extends AnyFunSuite with Matchers {
     e2.getClass.getName should include("AnalysisException")
   }
 
+  test("string-id arm matches the window top-k (cnt desc, word asc)") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+
+    val viaAgg = docs.groupBy("lang")
+      .agg(topKByScore(col("cnt").cast("double"), col("word"), 5).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("word"), col("col.score").cast("long").as("cnt"))
+
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("word"))
+    val viaWindow = docs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("lang", "rank", "word", "cnt")
+
+    val a = viaAgg.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val b = viaWindow.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    a shouldBe b
+    a.size should be > 0
+  }
+
+  test("string ids survive serialize/merge across many partitions") {
+    // enough rows + partitions to force partial-buffer serialization and
+    // heap merges; every id is a string that would be corrupted if the
+    // UnsafeRow-aliased UTF8String weren't copied in update()
+    val df = spark.range(0, 20000).toDF("id")
+      .repartition(8)
+      .withColumn("g", col("id") % 4)
+      .withColumn("word", concat(lit("w"), format_string("%05d", col("id") % 777)))
+      .withColumn("score", (col("id") % 101).cast("double"))
+    val top = df.groupBy("g")
+      .agg(topKByScore(col("score"), col("word"), 3).as("t"))
+      .select(col("g"), col("t")("id").as("words"), col("t")("score").as("scores"))
+      .collect()
+    top.length shouldBe 4
+    top.foreach { r =>
+      val words = r.getSeq[String](1)
+      words.length shouldBe 3
+      all(words) should fullyMatch regex "w\\d{5}"
+      val scores = r.getSeq[Double](2)
+      scores shouldBe scores.sorted.reverse // rank order: score desc
+    }
+  }
+
   test("ties break toward the smaller id") {
     import spark.implicits._
     val df = Seq((1.0, 9L), (1.0, 2L), (1.0, 5L), (0.5, 1L))

@@ -95,7 +95,8 @@ class PlanSpec extends AnyFunSuite with Matchers {
     // shows a partial+final HashAggregate pair, i.e. "partial_topk"),
     // q36 through the grouped range rank + rank−1 self-join — no
     // Window operator anywhere.
-    Seq("q5_window_rank", "q7_topk_per_group", "q36_edit_distance")
+    Seq("q5_window_rank", "q7_topk_per_group", "q36_edit_distance",
+      "t5_vocab_topk")
       .foreach { name =>
         withClue(name) {
           plan(name) should not include "Window"
@@ -103,6 +104,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
       }
     plan("q5_window_rank") should include("topk_by_score")
     plan("q7_topk_per_group") should include("topk_by_score")
+    plan("t5_vocab_topk") should include("topk_by_score")
   }
 
   test("d11: span excision is equi-join + partial aggs over 3 scans") {
