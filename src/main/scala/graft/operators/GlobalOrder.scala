@@ -59,12 +59,19 @@ object GlobalOrder {
       sortCols: Seq[Column], rankCol: String = "rank",
       countCol: String = "n_in_group"): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, min}
-    // materialize the ranked frame ONCE: it feeds the bounds aggregate
-    // AND the main join (and consumers like q36 branch it again) —
-    // without the barrier each branch re-executes the range shuffle +
-    // sort + zipWithIndex pipeline per action
+    import org.apache.spark.storage.StorageLevel
+    // share the ranked frame: it feeds the bounds aggregate AND the
+    // main join (and consumers like q36 branch it again) — without
+    // sharing each branch re-executes the range shuffle + sort +
+    // zipWithIndex pipeline per action. LAZY persist, not
+    // localCheckpoint: a checkpoint materializes a job at CONSTRUCTION
+    // time and its blocks are unevictable and unreleasable until
+    // driver GC (they piled up across Verify's 68 query builds), while
+    // cache blocks are LRU-evictable, recompute-safe (the ranked sort
+    // is deterministic under the required total order), and freed by
+    // catalog.clearCache()/Dataset.unpersist.
     val g = withGlobalRank(df, groupCols.map(col) ++ sortCols, rankCol)
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bounds = g.groupBy(groupCols.map(col): _*)
       .agg(min(col(rankCol)).as("__first"), count(lit(1)).as(countCol))
     g.join(broadcast(bounds), groupCols)

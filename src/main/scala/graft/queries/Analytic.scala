@@ -497,26 +497,53 @@ object Analytic extends QueryGroup {
   // distance affordable over long documents. Capped pairs report
   // lev = -1, similarity NULL (both engines via the same CASE).
   //
-  // Adjacency comes from the grouped range rank (GlobalOrder, the
-  // t8/p1 machinery) + a self-join on rank−1 — NOT the lag window the
-  // oracle uses: `LAG OVER (PARTITION BY source)` with ~10 sources
-  // funnels each source's ENTIRE corpus through one reducer, while the
-  // ranked self-join range-partitions by (source, doc_id) and scales
-  // with the corpus. The per-run hash match against the window
-  // formulation proves the pairing identical.
+  // The adjacency pairing is SIZE-KEYED (the d2 pairsAuto pattern,
+  // identical output either way — spec-proven, so the switch affects
+  // only the plan):
+  //  - small corpus: the lag window — one shuffle, no rank machinery;
+  //    the per-source reducer is harmless when a source's rows fit one
+  //    task, and the rank plan's ~0.6 s constant (range-partition
+  //    sampling + zipWithIndex barrier) dominates at driver SFs.
+  //  - >= pairLargeMinDocs: grouped range rank (GlobalOrder, the t8/p1
+  //    machinery) + a self-join on rank−1 — `LAG OVER (PARTITION BY
+  //    source)` with ~10 sources would funnel each source's ENTIRE
+  //    corpus through one reducer, while the ranked self-join
+  //    range-partitions by (source, doc_id) and scales with the corpus.
   private val levT = 60
-  private val q36 = QueryDef(
-    "q36_edit_distance",
-    (s, dir) => {
+  private[queries] val pairLargeMinDocs = 100000L
+
+  /** (source, doc_id, text, prev_id, prev_text) for consecutive docs
+    * of a source, under either pairing regime. Package-private so the
+    * spec can hash-compare the regimes and plan-gate the large arm.
+    */
+  private[queries] def adjacentPairs(docsDf: DataFrame,
+      large: Boolean): DataFrame =
+    if (!large) {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      docsDf
+        .select(col("source"), col("doc_id"), col("text"),
+          lag(col("doc_id"), 1).over(w).as("prev_id"),
+          lag(col("text"), 1).over(w).as("prev_text"))
+        .filter(col("prev_id").isNotNull)
+    } else {
       val ranked = graft.operators.GlobalOrder.withGroupedRank(
-        Tables.load(s, dir, "documents")
-          .select(col("source"), col("doc_id"), col("text")),
-        Seq("source"), Seq(col("doc_id")), "rn")
+        docsDf, Seq("source"), Seq(col("doc_id")), "rn")
       val prev = ranked.select(col("source"), col("rn"),
         col("doc_id").as("prev_id"), col("text").as("prev_text"))
       ranked
         .withColumn("rn", col("rn") - 1)
         .join(prev, Seq("source", "rn"))
+        .select(col("source"), col("doc_id"), col("text"),
+          col("prev_id"), col("prev_text"))
+    }
+
+  private val q36 = QueryDef(
+    "q36_edit_distance",
+    (s, dir) => {
+      val docsDf = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+      val large = CorpusStats.nDocs(s, dir) >= pairLargeMinDocs
+      adjacentPairs(docsDf, large)
         .withColumn("prev_len", length(col("prev_text")).cast("long"))
         .withColumn("lev",
           levenshtein(col("text"), col("prev_text"), levT).cast("long"))

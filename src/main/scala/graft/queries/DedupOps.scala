@@ -84,18 +84,10 @@ object DedupOps extends QueryGroup {
     * BASELINE §skew). Identical results either way
     * (spec-proven), so the switch affects the plan only.
     */
-  // corpus sizes memoized per dir: the count is footer metadata (no
-  // data scan) but still a Spark job with a file listing, and d2/d6/d7
-  // construction would otherwise re-pay it on every build (Bench alone
-  // constructs each query several times)
-  private val docCountCache =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
-
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val nDocs = docCountCache.getOrElseUpdate(dir, docs(s, dir).count())
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.JaccardNearDup.pairsAuto(
-      shingled(s, dir), "doc_id", "sh", jaccardT, nDocs)
-  }
+      shingled(s, dir), "doc_id", "sh", jaccardT,
+      CorpusStats.nDocs(s, dir))
 
   /** Shared oracle CTEs: shingle sets, token explode, sizes, pair
     * overlap counts (the naive all-pairs twin of the prefix-filtered

@@ -47,6 +47,23 @@ class AnalyticInvariantSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q36: both pairing regimes produce identical adjacent pairs") {
+    // the size-keyed switch (lag window vs grouped range rank) must be
+    // plan-only — same (source, doc_id, prev_id, prev_text) set
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("source"), col("doc_id"), col("text"))
+    def pairs(large: Boolean) =
+      Analytic.adjacentPairs(docs, large)
+        .select("source", "doc_id", "prev_id", "prev_text")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+    val small = pairs(large = false)
+    val big = pairs(large = true)
+    small shouldBe big
+    small.size should be > 100
+  }
+
   test("q39: offset 0 is the full cohort; retention bounded and exact") {
     val out = run("q39_cohort_retention").collect()
       .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -95,8 +95,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
     // shows a partial+final HashAggregate pair, i.e. "partial_topk"),
     // q36 through the grouped range rank + rank−1 self-join — no
     // Window operator anywhere.
-    Seq("q5_window_rank", "q7_topk_per_group", "q36_edit_distance",
-      "t5_vocab_topk")
+    Seq("q5_window_rank", "q7_topk_per_group", "t5_vocab_topk")
       .foreach { name =>
         withClue(name) {
           plan(name) should not include "Window"
@@ -105,6 +104,20 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan("q5_window_rank") should include("topk_by_score")
     plan("q7_topk_per_group") should include("topk_by_score")
     plan("t5_vocab_topk") should include("topk_by_score")
+  }
+
+  test("q36: large-corpus pairing plans rank self-join, no Window") {
+    // q36's pairing is size-keyed (pairsAuto pattern): at driver SFs it
+    // takes the lag window, at >= pairLargeMinDocs the grouped range
+    // rank. The large arm — the one that must survive 100 TB — shows no
+    // Window operator anywhere.
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val largePlan = Analytic.adjacentPairs(docs, large = true)
+      .queryExecution.executedPlan.toString
+    largePlan should not include "Window"
   }
 
   test("d11: span excision is equi-join + partial aggs over 3 scans") {
