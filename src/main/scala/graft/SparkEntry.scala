@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.TextOps,
     graft.queries.DedupOps,
     graft.queries.SimilarityOps,
+    graft.queries.MultimodalOps,
     graft.queries.PipelineOps)
 
   def all: Seq[QueryDef] = groups.flatMap(_.queries)

@@ -85,6 +85,36 @@ object AudioCodec {
     out
   }
 
+  /** Re-container audio: decode any JDK-supported payload and write the
+    * IDENTICAL 16-bit mono samples in the requested container ("wav" or
+    * "au"). The output is byte-different from the input but
+    * sample-identical — the canonical perceptual-dedup test pair
+    * (features, and therefore phashes, must collide at hamming 0).
+    */
+  def transcode(bytes: Array[Byte], format: String): Array[Byte] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val src = in.getFormat
+      // AU is a big-endian container; WAV little-endian. Matching the
+      // target endianness avoids a writer-side conversion surprise.
+      val big = format == "au"
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, 1, 2, src.getSampleRate, big)
+      val pcm = AudioSystem.getAudioInputStream(target, in)
+      val raw = pcm.readAllBytes()
+      val stream = new AudioInputStream(
+        new ByteArrayInputStream(raw), target, raw.length / 2L)
+      val out = new ByteArrayOutputStream()
+      val fileType = format match {
+        case "wav" => AudioFileFormat.Type.WAVE
+        case "au" => AudioFileFormat.Type.AU
+        case other => throw new IllegalArgumentException(s"format: $other")
+      }
+      AudioSystem.write(stream, fileType, out)
+      out.toByteArray
+    } finally in.close()
+  }
+
   /** Deterministic test tone: `ms` milliseconds of a sine at `hz` with a
     * second harmonic, 16-bit mono 8 kHz PCM in the requested container
     * ("wav" or "au").

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.multimodal.BinaryPipeline
+
+class MultimodalOpsSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  private val n = 240 // MultimodalOps.nAssets
+
+  private lazy val pairs = {
+    val q = MultimodalOps.queries.find(_.name == "mm3_phash_dedup").get
+    q.build(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+  }
+
+  test("mm3: every cross-container re-encoding collides at hamming 0") {
+    // BMP re-encode (identical pixels), AU re-container (identical
+    // samples), AVI byte copy — perceptual hashing must see through all
+    val recodedIds = (0L until n by 5L)
+    recodedIds.foreach { id =>
+      withClue(s"base $id vs recode ${id + n}: ") {
+        pairs.get((id, id + n)) shouldBe Some(0L)
+      }
+    }
+  }
+
+  test("mm3: one-block image perturbation sits at hamming exactly 1") {
+    // perturbed variants exist for image ids ≡ 0 (mod 10); images are
+    // ids ≡ 0 (mod 3) → ids ≡ 0 (mod 30)
+    val perturbedIds = (0L until n by 30L)
+    perturbedIds should not be empty
+    perturbedIds.foreach { id =>
+      withClue(s"base $id vs perturbed ${id + 2 * n}: ") {
+        pairs.get((id, id + 2L * n)) shouldBe Some(1L)
+      }
+      withClue(s"recode ${id + n} vs perturbed ${id + 2 * n}: ") {
+        pairs.get((id + n, id + 2L * n)) shouldBe Some(1L)
+      }
+    }
+  }
+
+  test("mm3: blocked pairing matches brute force exactly") {
+    // the oracle's all-pairs twin, run in-process: HammingNearDup must
+    // return the complete ≤ maxHam set, nothing more
+    val sigs = BinaryPipeline.phashes(MultimodalOps.assetsWithRecodes(spark))
+      .collect().map(h => h.assetId -> h.phash)
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb)
+      if d <= MultimodalOps.mmMaxHam
+    } yield (ia, ib) -> d.toLong).toMap
+    pairs shouldBe brute
+  }
+}
