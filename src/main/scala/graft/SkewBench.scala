@@ -36,8 +36,8 @@ object SkewBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scenario = args.headOption.getOrElse("all")
-    require(Set("all", "join", "jaccard")(scenario),
-      s"unknown scenario '$scenario' (expected all | join | jaccard)")
+    require(Set("all", "join", "jaccard", "lm")(scenario),
+      s"unknown scenario '$scenario' (expected all | join | jaccard | lm)")
     val spark = GraftSession.local(32, "graft-skew-bench")
 
     def sink(df: DataFrame): Unit =
@@ -105,6 +105,45 @@ object SkewBench {
     spark.catalog.clearCache()
     time("jaccard_df_order")(
       sink(JaccardNearDup.pairs(sh, "doc_id", "sh", 0.8, dfOrdered = true)))
+    }
+
+    // --------------------------------------- Zipfian LM context probe
+    // t13's model probe joins key on the context unigram, and natural
+    // text is Zipfian: one stopword can own a double-digit share of ALL
+    // bigram positions. Here 50% of 20M positions share one hot context
+    // ("the"); the rest spread over a 5k vocabulary. Broadcast is
+    // disabled to model the regime where the model tables exceed
+    // broadcast size (web-scale vocab/bigram tables) — with a
+    // broadcastable model there is no shuffle and no skew problem.
+    // Variants: naive shuffle join AQE off/on (does AQE's skew split
+    // absorb it?) vs the salted ctx probe (SkewJoin, result-equal).
+    if (scenario == "all" || scenario == "lm") {
+    val nDocs = 100000L
+    val docLen = 200
+    val hot = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(docLen)), i =>
+        when(pmod(xxhash64(col("id"), i), lit(2)) === 0, lit("the"))
+          .otherwise(concat(lit("w"),
+            pmod(xxhash64(col("id"), i, lit(7)), lit(5000)))))).as("text"))
+    val pos = graft.queries.TextOps.lmPositions(hot)
+    val vocab = graft.queries.TextOps.lmVocab(hot)
+    // cache positions + vocab: the timed region is the model build +
+    // probe joins + per-doc aggregation, not the synthesis scan
+    pos.cache().write.format("noop").mode("overwrite").save()
+    vocab.cache().write.format("noop").mode("overwrite").save()
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def score(saltCtx: Int): Unit =
+      sink(graft.queries.TextOps.lmScoreFromPositions(pos, vocab, saltCtx))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    score(0) // warm the codegen paths untimed
+    time("lm_naive_noAQE")(score(0))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    time("lm_naive_AQE")(score(0))
+    time("lm_salted_32")(score(32))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (64 * 1024 * 1024).toString)
+    spark.catalog.clearCache()
     }
 
     spark.stop()

@@ -142,6 +142,31 @@ object BpeInduction {
       mergePair(syms, a, b)
     }
 
+  /** [[encode]] carrying a numeric id column through tokenization so
+    * downstream joins/verification can key on it (the driver-oracled
+    * t14 path). Adds a per-partition segmentation memo: a corpus is
+    * Zipfian, so most words repeat constantly — the memo makes encode
+    * cost ~O(distinct words) merge folds per partition instead of
+    * O(corpus words); its size is dictionary-bounded.
+    */
+  def encodeById(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        it.map { case (id, text) =>
+          (id, text.split(" ").filter(_.nonEmpty).toSeq
+            .flatMap(w => memo.getOrElseUpdate(w, segment(w, ms))))
+        }
+      }
+      .toDF(idCol, "tokens")
+  }
+
   /** Segment a corpus column with a learned merge list: the merges
     * BROADCAST (a tokenizer is KBs), so encoding is map-side scan-speed
     * work. Returns (textCol, tokens) with tokens the concatenated

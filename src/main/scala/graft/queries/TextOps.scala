@@ -502,39 +502,68 @@ object TextOps extends QueryGroup {
   // and absorbing any last-ulp libm ln() divergence between engines;
   // the keep flag compares exact decimals, never floats.
   private val lmKeepNats = 6 // keep docs with avg NLL ≤ 6 nats (ppl ≤ e⁶)
+
+  /** Per-position (doc_id, ctx, g) hashed (context-unigram, bigram)
+    * pairs of a (doc_id, text) frame — map-side only. Shared by t13 and
+    * SkewBench's `lm` scenario.
+    */
+  private[graft] def lmPositions(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    def grams(n: Int) = column(graft.functions.WordGramHashes(
+      expression(col("text")), n, distinctSorted = false))
+    d.select(col("doc_id"), grams(1).as("u"), grams(2).as("b"))
+      .select(col("doc_id"),
+        slice(col("u"), lit(1), size(col("b"))).as("cs"), col("b"))
+      .select(col("doc_id"), explode(arrays_zip(col("cs"), col("b"))).as("p"))
+      .select(col("doc_id"), col("p.cs").as("ctx"), col("p.b").as("g"))
+  }
+
+  /** One-row (vocab) distinct-unigram count of a (doc_id, text) frame. */
+  private[graft] def lmVocab(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    d.select(explode(column(graft.functions.WordGramHashes(
+        expression(col("text")), 1, distinctSorted = false))).as("w"))
+      .agg(count_distinct(col("w")).as("vocab"))
+  }
+
+  /** Model build + probe joins + per-doc aggregation over a positions
+    * frame: the t13 pipeline below its corpus scan. `saltCtx` > 0 routes
+    * the context probe join through [[graft.operators.SkewJoin]] — the
+    * ctx key is Zipfian in natural text (one stopword can own a
+    * double-digit share of all positions), and SkewBench's `lm`
+    * scenario measures when the salt pays for itself.
+    */
+  private[graft] def lmScoreFromPositions(pos: DataFrame, vocab: DataFrame,
+      saltCtx: Int = 0): DataFrame = {
+    val cb = pos.groupBy("g").agg(count(lit(1)).as("c_bg"))
+    val cw = pos.groupBy("ctx").agg(count(lit(1)).as("c_ctx"))
+    val posCb = pos.join(cb, "g")
+    val probed =
+      if (saltCtx > 0)
+        graft.operators.SkewJoin.saltedEquiJoin(posCb, cw, "ctx", saltCtx)
+      else posCb.join(cw, "ctx")
+    probed.crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((col("c_bg") + 1).cast("double") /
+          (col("c_ctx") + col("vocab")).cast("double"))
+          .cast(DecimalType(18, 9)).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp_d"))
+      .select(col("doc_id"), col("n_bigrams"),
+        // exact decimal sum → double only at the output boundary (the
+        // q1 precedent; the keep rule compares exact decimals)
+        col("sum_lp_d").cast("double").as("sum_lp"),
+        (col("sum_lp_d") >=
+          lit(-lmKeepNats).cast(DecimalType(18, 9)) * col("n_bigrams"))
+          .as("ppl_ok"))
+      .orderBy("doc_id")
+  }
+
   private val t13 = QueryDef(
     "t13_lm_score",
     (s, dir) => {
-      import org.apache.spark.sql.GraftBridge.{column, expression}
-      def grams(n: Int) = column(graft.functions.WordGramHashes(
-        expression(col("text")), n, distinctSorted = false))
-      val base = docs(s, dir)
-        .select(col("doc_id"), grams(1).as("u"), grams(2).as("b"))
-      // per-position (context-unigram, bigram) hash pairs — map-side only
-      val pos = base
-        .select(col("doc_id"),
-          slice(col("u"), lit(1), size(col("b"))).as("cs"), col("b"))
-        .select(col("doc_id"), explode(arrays_zip(col("cs"), col("b"))).as("p"))
-        .select(col("doc_id"), col("p.cs").as("ctx"), col("p.b").as("g"))
-      val cb = pos.groupBy("g").agg(count(lit(1)).as("c_bg"))
-      val cw = pos.groupBy("ctx").agg(count(lit(1)).as("c_ctx"))
-      val vocab = base.select(explode(col("u")).as("w"))
-        .agg(count_distinct(col("w")).as("vocab"))
-      pos.join(cb, "g").join(cw, "ctx").crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          log((col("c_bg") + 1).cast("double") /
-            (col("c_ctx") + col("vocab")).cast("double"))
-            .cast(DecimalType(18, 9)).as("lp"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp_d"))
-        .select(col("doc_id"), col("n_bigrams"),
-          // exact decimal sum → double only at the output boundary (the
-          // q1 precedent; the keep rule compares exact decimals)
-          col("sum_lp_d").cast("double").as("sum_lp"),
-          (col("sum_lp_d") >=
-            lit(-lmKeepNats).cast(DecimalType(18, 9)) * col("n_bigrams"))
-            .as("ppl_ok"))
-        .orderBy("doc_id")
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      lmScoreFromPositions(lmPositions(d), lmVocab(d))
     },
     Some(s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
        |pos AS (SELECT doc_id,
@@ -555,6 +584,43 @@ object TextOps extends QueryGroup {
        |  (SUM(lp) >= CAST(-$lmKeepNats AS DECIMAL(18,9)) * COUNT(*)) AS ppl_ok
        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------------------------------- T14
+  // BPE tokenization end-to-end (F12 driven through the driver gate):
+  // train [[bpeMerges]] merges on the corpus with the distributed
+  // inducer (graft.operators.BpeInduction — dictionary-sized rounds,
+  // never corpus-sized), then tokenize every document with the learned
+  // tokenizer (merges broadcast; map-side scan-speed work with a
+  // per-partition segmentation memo). DuckDB cannot re-run BPE in SQL,
+  // so verification splits: the merge sequence and segmentations are
+  // proven against an independent single-node reference implementation
+  // (BpeInductionSpec, exact equality), while the driver checks the
+  // LOSSLESS ROUND-TRIP cross-engine — Spark reconstructs each document
+  // from its own tokens (`detok`), the oracle reads the SOURCE text
+  // from the documents table, and the hash compare fails on any
+  // tokenizer corruption. n_tokens rides the VerifyTap (the weaker,
+  // tap-carried channel; its ground truth is the reference spec).
+  private val bpeMerges = 20
+  private val t14 = QueryDef(
+    "t14_bpe_encode",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.operators.BpeInduction
+        .trainMerges(d, "text", bpeMerges).map(_._1)
+      val enc = graft.operators.BpeInduction
+        .encodeById(d, "doc_id", "text", merges)
+      val out = enc.select(col("doc_id"),
+        size(col("tokens")).cast(LongType).as("n_tokens"),
+        rtrim(regexp_replace(concat_ws("", col("tokens")),
+          lit(graft.operators.BpeInduction.EndOfWord), lit(" ")))
+          .as("detok"))
+      graft.sources.VerifyTap(out, "t14_enc", coalesce = false)
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT t.doc_id, t.n_tokens, d.text AS detok
+       |FROM read_parquet('${graft.sources.VerifyTap.root}/t14_enc/*.parquet') t
+       |JOIN documents d USING (doc_id)
+       |ORDER BY doc_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14)
 }

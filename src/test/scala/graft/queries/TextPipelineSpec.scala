@@ -143,4 +143,45 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     p should not include "Window"
     p should include("partial_sum")
   }
+
+  test("t13: salted ctx probe is result-equal to the plain join") {
+    // SkewBench's lm scenario shows the salt beating the naive probe
+    // 1.6× on a 50%-hot-context corpus (AQE does not absorb it); the
+    // switch must be plan-only
+    val d = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val pos = TextOps.lmPositions(d)
+    val vocab = TextOps.lmVocab(d)
+    def rows(salt: Int) =
+      TextOps.lmScoreFromPositions(pos, vocab, salt).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSeq
+    rows(4) shouldBe rows(0)
+  }
+
+  test("t14: tokenization round-trips every document losslessly") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = run("t14_bpe_encode").collect()
+    out.length shouldBe docs.size
+    out.foreach { r =>
+      val text = docs(r.getLong(0))
+      withClue(s"doc ${r.getLong(0)}: ") {
+        r.getString(2) shouldBe text // detok reconstructs the source
+        // merges only ever shrink the base segmentation: per word,
+        // 1 ≤ #tokens ≤ #codepoints + 1
+        val nWords = text.split(" ").count(_.nonEmpty).toLong
+        r.getLong(1) should be >= nWords
+        r.getLong(1) should be <=
+          (text.codePoints().count() + nWords)
+      }
+    }
+    // the tokenizer must actually compress: 20 merges on this corpus
+    // leave strictly fewer tokens than raw symbol count somewhere
+    val totalTokens = out.map(_.getLong(1)).sum
+    val totalSyms = docs.values.map(t =>
+      t.codePoints().count() + t.split(" ").count(_.nonEmpty)).sum
+    totalTokens should be < totalSyms
+  }
 }
