@@ -36,8 +36,8 @@ object SkewBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scenario = args.headOption.getOrElse("all")
-    require(Set("all", "join", "jaccard", "lm")(scenario),
-      s"unknown scenario '$scenario' (expected all | join | jaccard | lm)")
+    require(Set("all", "join", "jaccard", "lm", "pairs")(scenario),
+      s"unknown scenario '$scenario' (expected all | join | jaccard | lm | pairs)")
     val spark = GraftSession.local(32, "graft-skew-bench")
 
     def sink(df: DataFrame): Unit =
@@ -143,6 +143,44 @@ object SkewBench {
     time("lm_salted_32")(score(32))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
       (64 * 1024 * 1024).toString)
+    spark.catalog.clearCache()
+    }
+
+    // ----------------------------------- q36 pairing arms, head-to-head
+    // The q36 adjacency switch (small → lag window, ≥100k docs →
+    // grouped range rank) is result-equal by spec; this times both arms
+    // WITH the downstream levenshtein at the current SF dir. The window
+    // arm's hidden cost is not just the per-source reducer funnel: its
+    // output stays partitioned by source (~10 partitions), so the
+    // bounded levenshtein — the expensive stage — runs on ~10 tasks
+    // while the rest of the host idles. The rank arm leaves range
+    // partitioning by (source, doc_id) and keeps every core busy. Run
+    // against /tmp/graft_sf2 (100k docs) to see the arms at the
+    // switch's engagement threshold.
+    // Optional second arg = in-memory replication factor for the doc
+    // corpus (key-shifted replicas; content replicas are fine here —
+    // adjacency pairing only orders by doc_id). `pairs 200` on sf0.1 =
+    // a 1M-doc corpus without synthesizing a dir.
+    if (scenario == "pairs") {
+    val factor = args.lift(1).map(_.toInt).getOrElse(1)
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val docs =
+      if (factor == 1) base
+      else base.crossJoin(
+          spark.range(factor).toDF("rep").hint("broadcast"))
+        .withColumn("doc_id", col("doc_id") + col("rep") * 1000000000L)
+        .drop("rep")
+    docs.cache().write.format("noop").mode("overwrite").save()
+    def lev(large: Boolean): Unit = sink(
+      graft.queries.Analytic.adjacentPairs(docs, large)
+        .select(col("source"), col("doc_id"),
+          levenshtein(col("text"), col("prev_text"), 60).as("lev")))
+    lev(true) // warm codegen untimed
+    time("pairs_window_arm")(lev(false))
+    time("pairs_rank_arm")(lev(true))
+    time("pairs_window_arm_2")(lev(false))
+    time("pairs_rank_arm_2")(lev(true))
     spark.catalog.clearCache()
     }
 

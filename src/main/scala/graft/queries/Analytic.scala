@@ -509,14 +509,21 @@ object Analytic extends QueryGroup {
   //    source)` with ~10 sources would funnel each source's ENTIRE
   //    corpus through one reducer, while the ranked self-join
   //    range-partitions by (source, doc_id) and scales with the corpus.
+  // switch threshold MEASURED (SkewBench `pairs`, BASELINE §skew): on
+  // local[32] the lag window still wins at 100k docs (rank's ~0.6 s
+  // range-sample + zipWithIndex constant dominates), the rank arm wins
+  // 1.9× at 500k and 1.5× at 1M; crossover ≈ 250k. On a many-core
+  // cluster the window arm caps at ~#sources tasks at ANY corpus size,
+  // so the local measurement is an UPPER bound for the right threshold.
   private val levT = 60
-  private[queries] val pairLargeMinDocs = 100000L
+  private[queries] val pairLargeMinDocs = 250000L
 
   /** (source, doc_id, text, prev_id, prev_text) for consecutive docs
-    * of a source, under either pairing regime. Package-private so the
-    * spec can hash-compare the regimes and plan-gate the large arm.
+    * of a source, under either pairing regime. Visible in-library so
+    * the spec can hash-compare the regimes / plan-gate the large arm
+    * and SkewBench's `pairs` scenario can time them head-to-head.
     */
-  private[queries] def adjacentPairs(docsDf: DataFrame,
+  private[graft] def adjacentPairs(docsDf: DataFrame,
       large: Boolean): DataFrame =
     if (!large) {
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
