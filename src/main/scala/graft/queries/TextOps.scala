@@ -621,6 +621,67 @@ object TextOps extends QueryGroup {
        |JOIN documents d USING (doc_id)
        |ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------------------------------- T15
+  // PII redaction — the C4/Dolma-style scrub pass every public corpus
+  // recipe runs before training: emails, phone numbers and IPv4
+  // addresses replaced by placeholder tokens, with per-doc match
+  // counts. Pure regexp projection: map-side, scan-speed, no shuffle
+  // beyond the final order — the same 100 TB shape as t1/t2.
+  //
+  // The synthetic corpus carries no PII, so the query PLANTS
+  // deterministic PII first — both engines plant the identical strings
+  // from doc_id arithmetic — and the oracle then proves the REDACTION
+  // itself equivalent cross-engine (Java regex vs RE2 agreeing on
+  // every planted and every incidental match, counts and rewritten
+  // text byte-for-byte). Patterns deliberately use the common subset
+  // (no lookaround, ASCII classes) so both engines mean the same thing.
+  private val piiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val piiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val piiIp = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val t15 = QueryDef(
+    "t15_redact_pii",
+    (s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" reach u"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" call 415-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit("."), pmod(expr("doc_id div 256"), lit(256)).cast("string"),
+            lit(".7"))).otherwise(lit(""))).as("text"))
+      injected.select(col("doc_id"),
+        regexp_count(col("text"), lit(piiEmail)).cast(LongType).as("n_email"),
+        regexp_count(col("text"), lit(piiPhone)).cast(LongType).as("n_phone"),
+        regexp_count(col("text"), lit(piiIp)).cast(LongType).as("n_ip"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+            lit(piiEmail), lit("<EMAIL>")),
+          lit(piiPhone), lit("<PHONE>")),
+          lit(piiIp), lit("<IP>")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH inj AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 7 = 0
+       |    THEN ' reach u' || doc_id || '@mail.example.com' ELSE '' END ||
+       |  CASE WHEN doc_id % 11 = 0
+       |    THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 13 = 0
+       |    THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id // 256) % 256) || '.7'
+       |    ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$piiEmail')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$piiPhone')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(text, '$piiIp')) AS BIGINT) AS n_ip,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$piiEmail', '<EMAIL>', 'g'), '$piiPhone', '<PHONE>', 'g'),
+       |    '$piiIp', '<IP>', 'g') AS clean_text
+       |FROM inj ORDER BY doc_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15)
 }

@@ -61,6 +61,48 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       eval1(contentFingerprint(lit("the quick brown cat")))
   }
 
+  test("native pq_encode matches a plain-Scala reference, incl. ties") {
+    // deterministic mini-setup: 40 vectors of dim 8, M=2 subspaces,
+    // K=4 centroids — reference computes the same ascending-code
+    // strict-< argmin with float→double promotion, left-to-right sums
+    val m = 2; val k = 4; val dim = 8; val subDim = dim / m
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(40)(i =>
+      i.toLong -> Array.fill(dim)(rnd.nextFloat() - 0.5f))
+    // centroids include DUPLICATES (codes 2 and 3 identical) so the
+    // tie-break arm is actually exercised
+    val cents = Seq.tabulate(m, k)((s, c) =>
+      if (c == 3) Seq.tabulate(subDim)(j => (s + 2 * j).toDouble / 10)
+      else if (c == 2) Seq.tabulate(subDim)(j => (s + 2 * j).toDouble / 10)
+      else Seq.fill(subDim)(rnd.nextDouble() - 0.5))
+    def refCodes(v: Array[Float]): Seq[Int] =
+      (0 until m).map { s =>
+        var bd = Double.MaxValue; var bc = -1
+        for (c <- 0 until k) {
+          var d = 0.0
+          for (j <- 0 until subDim) {
+            val t = v(s * subDim + j).toDouble - cents(s)(c)(j)
+            d += t * t
+          }
+          if (d < bd) { bd = d; bc = c }
+        }
+        bc
+      }
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val out = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), column(graft.functions.PqEncode(
+        expression(col("embedding")),
+        expression(typedLit(cents.flatten.flatten)), m, k)).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      withClue(s"vec $id: ") { out(id) shouldBe refCodes(v) }
+    }
+    // ties resolve to the LOWEST code: duplicate centroids mean code 3
+    // can never be emitted
+    out.values.flatten.toSet should not contain 3
+  }
+
   test("native codegen dot is bit-identical to the HOF fold on real data") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")

@@ -82,6 +82,37 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     recall(lsh, exact) should be >= 0.3
   }
 
+  test("S5 PQ: codes well-formed, scores bounded, recall beats random") {
+    // 8 sub-codes of 6 bits — a 48-bit sketch of a 2048-bit vector; the
+    // gate guards the pipeline (training → encode → ADC), not exactness.
+    // Measured 0.388 (2026-08, K=64, 4 Lloyd iters; 0.225 at K=16)
+    val codesDf = SparkEntry.queries("s5_ann_pq")(spark, TestSpark.sfDir)
+    val top = codesDf.collect()
+    val codes = spark.read
+      .parquet(s"${graft.sources.VerifyTap.root}/s5_codes")
+      .collect()
+    val nVecs = graft.sources.Tables
+      .load(spark, TestSpark.sfDir, "embeddings").count()
+    codes.length shouldBe nVecs
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      cs.length shouldBe 8
+      all(cs) should (be >= 0 and be <= 63)
+      r.getDouble(2) should be > 0.0 // vnorm
+    }
+    // ADC cosine approximations stay in a sane band (true cosine ± PQ
+    // distortion; the synthetic corpus keeps |cos| well under 1)
+    top.foreach(r => math.abs(r.getDouble(3)) should be <= 1.5)
+
+    val exact = neighborSets("s1_ann_bruteforce")
+    val pq = neighborSets("s5_ann_pq")
+    val r = recall(pq, exact)
+    info(f"PQ recall@10 at sf0.001 = $r%.3f")
+    // random top-10 of ~500 would land ≈ 0.02; floor under the 0.388
+    // measurement
+    r should be >= 0.3
+  }
+
   test("10× corpus: candidate budgets shrink sub-linearly, recall holds") {
     // The scale gate for the size-keyed index knobs: on a ScaleUp-
     // synthesized 10× embeddings corpus (n = 20 000; rotation preserves

@@ -159,6 +159,25 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     rows(4) shouldBe rows(0)
   }
 
+  test("t15: every planted PII string is counted and redacted") {
+    val out = run("t15_redact_pii").collect()
+    out.length should be > 0
+    out.foreach { r =>
+      val id = r.getLong(0)
+      withClue(s"doc $id: ") {
+        r.getLong(1) shouldBe (if (id % 7 == 0) 1L else 0L)
+        r.getLong(2) shouldBe (if (id % 11 == 0) 1L else 0L)
+        r.getLong(3) shouldBe (if (id % 13 == 0) 1L else 0L)
+        val clean = r.getString(4)
+        clean should not include "@mail.example.com"
+        clean should not include "415-555-"
+        if (id % 7 == 0) clean should include("<EMAIL>")
+        if (id % 11 == 0) clean should include("<PHONE>")
+        if (id % 13 == 0) clean should include("<IP>")
+      }
+    }
+  }
+
   test("t14: tokenization round-trips every document losslessly") {
     val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
       .select("doc_id", "text").collect()
