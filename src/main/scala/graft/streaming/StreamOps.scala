@@ -275,4 +275,57 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  // ---------------------------------------------------------------- ST9
+  /** Streaming ANN over a PQ-coded static corpus (s5's streaming twin —
+    * online retrieval): query vectors arrive on the stream, each
+    * micro-batch builds their ADC lookup tables against the
+    * driver-literal codebook (a few KB of model, not data), joins the
+    * STATIC codes table (16× narrower than raw vectors — the side that
+    * is 100 TB-scale and stays on disk) and folds per-pair scores in
+    * the same fixed order as the batch operator, so results are
+    * identical to batch s5 for the same queries (spec-asserted).
+    * Per-query top-k aggregates in update mode; state is one bounded
+    * heap per qid — O(queries seen), never O(corpus).
+    *
+    * @param queries  streaming (qid: long, qemb: array<float>)
+    * @param codes    static (vec_id, codes: array<int>, vnorm) from
+    *                 [[graft.operators.ProductQuantizer.encode]]
+    * @param codebook driver codebook `cb(sub)(code)(j)`
+    */
+  def annScoreStream(queries: DataFrame, codes: DataFrame,
+      codebook: Seq[Seq[Seq[Double]]], topK: Int): DataFrame = {
+    val m = codebook.length
+    val k = codebook.head.length
+    val subDim = codebook.head.head.length
+    val cbFlat = typedLit(codebook.flatten.flatten)
+    // per-query flat M·K lookup table: one fixed-order subDim fold per
+    // slot — interpreted HOF cost is paid per QUERY row only (the
+    // stream side is small; the corpus side never computes it)
+    // NB `/` is DOUBLE division in Spark SQL — the sub index needs a
+    // floor division
+    val dt = transform(sequence(lit(0), lit(m * k - 1)), slot =>
+      aggregate(zip_with(
+          slice(col("qemb"),
+            floor(slot / lit(k)).cast("int") * subDim + lit(1),
+            lit(subDim)),
+          slice(cbFlat, slot * subDim + lit(1), lit(subDim)),
+          (a, b) => a.cast("double") * b),
+        lit(0d), (acc, x) => acc + x))
+    val qs = queries.select(col("qid"), dt.as("dt"),
+      graft.functions.VectorFunctions.norm(col("qemb")).as("qnorm"),
+      lit(1).as("__all"))
+    // stream-static equi-join on a constant key = the supported
+    // stream-static inner join shape for "score every corpus row"
+    qs.join(codes.withColumn("__all", lit(1)), "__all")
+      .select(col("qid"), col("vec_id"),
+        (aggregate(
+            zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+              (c, s) => element_at(col("dt"), (s * k + c + 1).cast("int"))),
+            lit(0d), (acc, x) => acc + x)
+          / (col("vnorm") * col("qnorm"))).as("cosine"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAggregate
+        .topKByScore(col("cosine"), col("vec_id"), topK).as("top"))
+  }
 }

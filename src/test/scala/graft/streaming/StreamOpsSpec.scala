@@ -293,4 +293,58 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       }
     } finally q.stop()
   }
+
+  test("ST9 streaming ANN equals batch PQ scoring for the same queries") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val cbDf = graft.operators.ProductQuantizer
+      .trainCodebook(emb, 64, 8, 16, 2, n)
+    val codebook = graft.operators.ProductQuantizer.collectCodebook(cbDf)
+    val codes = graft.operators.ProductQuantizer.encode(emb, cbDf, 64, 8)
+      .cache()
+
+    // batch reference: same queries through the batch ADC fold + top-k
+    val qVecs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        graft.functions.VectorFunctions.norm(col("embedding")).as("qnorm"))
+    val batchTop = graft.operators.ProductQuantizer
+      .adcScores(codes, cbDf, qVecs, 64, 8, 16)
+      .groupBy("qid")
+      .agg(graft.functions.TopKAggregate
+        .topKByScore(col("score"), col("vec_id"), 5).as("top"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+          (x.getAs[Long]("id"), x.getAs[Double]("score"))))
+      .toMap
+
+    val in = MemoryStream[(Long, Seq[Float])](spark)
+    val out = StreamOps.annScoreStream(
+      in.toDF.toDF("qid", "qemb"), codes, codebook, topK = 5)
+    val q = out.writeStream.format("memory").queryName("st9")
+      .outputMode("update").start()
+    try {
+      val queryRows = emb.filter(col("vec_id") < 3).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      in.addData(queryRows.take(2).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(queryRows.drop(2).toIndexedSeq)
+      q.processAllAvailable()
+
+      val got = spark.table("st9").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+            (x.getAs[Long]("id"), x.getAs[Double]("score"))))
+        .toMap
+      got.keySet shouldBe batchTop.keySet
+      batchTop.foreach { case (qid, top) =>
+        withClue(s"qid $qid: ") { got(qid) shouldBe top }
+      }
+    } finally {
+      q.stop()
+      codes.unpersist()
+    }
+  }
 }
