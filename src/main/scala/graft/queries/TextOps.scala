@@ -682,6 +682,63 @@ object TextOps extends QueryGroup {
        |    '$piiIp', '<IP>', 'g') AS clean_text
        |FROM inj ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------------------------------- T16
+  // Temperature-based mixture reweighting (the multilingual-LM recipe:
+  // sample source i ∝ n_i^α, α < 1 flattens the head so low-resource
+  // sources are up-weighted — mT5/XLM-R style, α = 0.5 here): quota_i =
+  // max(1, floor(T · w_i)) with w_i = √n_i / Σ√n_j, filled
+  // deterministically by ascending doc_id through the grouped range
+  // rank (the t8 no-window machinery). Σ√n accumulates as
+  // DECIMAL(18,9) — exact, order-free — so w_i, the quotas, and the
+  // selected set are bit-identical cross-engine (the t13 discipline);
+  // the per-source stats table is ~|sources| rows and broadcasts.
+  private val mixT = 100L // target sampled corpus size (driver SFs have 500-5000 docs)
+  private val t16 = QueryDef(
+    "t16_mixture_reweight",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("doc_id"))
+      val stats = d.groupBy("source")
+        .agg(count(lit(1)).as("n_src"))
+        .withColumn("sqrt_d",
+          sqrt(col("n_src").cast("double")).cast(DecimalType(18, 9)))
+      val total = stats.agg(sum(col("sqrt_d")).as("total_d"))
+      val quotas = stats.crossJoin(broadcast(total))
+        .withColumn("weight",
+          col("sqrt_d").cast("double") / col("total_d").cast("double"))
+        .select(col("source"), col("n_src"), col("weight"),
+          greatest(lit(1L),
+            floor(lit(mixT.toDouble) * col("weight")).cast(LongType))
+            .as("quota"))
+      val ranked = graft.operators.GlobalOrder.withGroupedRank(
+        d, Seq("source"), Seq(col("doc_id")), "rn")
+      ranked.join(broadcast(quotas), "source")
+        .filter(col("rn") <= col("quota"))
+        .select(col("source"), col("doc_id"), col("rn"),
+          col("n_src"), col("weight"), col("quota"))
+        .orderBy("source", "rn")
+    },
+    Some(s"""WITH stats AS (
+       |  SELECT source, COUNT(*) AS n_src,
+       |    CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,9)) AS sqrt_d
+       |  FROM documents GROUP BY source
+       |), quotas AS (
+       |  SELECT source, CAST(n_src AS BIGINT) AS n_src,
+       |    CAST(sqrt_d AS DOUBLE) / CAST(SUM(sqrt_d) OVER () AS DOUBLE) AS weight,
+       |    GREATEST(1, CAST(FLOOR($mixT *
+       |      (CAST(sqrt_d AS DOUBLE) / CAST(SUM(sqrt_d) OVER () AS DOUBLE)))
+       |      AS BIGINT)) AS quota
+       |  FROM stats
+       |), ranked AS (
+       |  SELECT source, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+       |  FROM documents
+       |)
+       |SELECT r.source, r.doc_id, r.rn, q.n_src, q.weight, q.quota
+       |FROM ranked r JOIN quotas q USING (source)
+       |WHERE r.rn <= q.quota
+       |ORDER BY source, rn""".stripMargin))
+
   override val queries: Seq[QueryDef] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
+      t16)
 }

@@ -113,6 +113,29 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     r should be >= 0.3
   }
 
+  test("S6 two-stage re-rank recovers recall over raw PQ scoring") {
+    // exact re-rank of the ADC top-50: recall@10 is bounded by ADC
+    // recall@50, so it must land well above raw PQ top-10
+    val exact = neighborSets("s1_ann_bruteforce")
+    val pq = neighborSets("s5_ann_pq")
+    val rr = neighborSets("s6_ann_pq_rerank")
+    val rPq = recall(pq, exact)
+    val rRr = recall(rr, exact)
+    info(f"PQ recall@10 = $rPq%.3f, rerank recall@10 = $rRr%.3f")
+    rRr should be > rPq
+    rRr should be >= 0.6
+    // exactly K candidates survive per query and cosines are exact:
+    // every (qid, neighbor) pair's cosine matches s1's where shared
+    val s1Cos = SparkEntry.queries("s1_ann_bruteforce")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    SparkEntry.queries("s6_ann_pq_rerank")(spark, TestSpark.sfDir)
+      .collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(2))
+        s1Cos.get(key).foreach(_ shouldBe r.getDouble(3))
+      }
+  }
+
   test("10× corpus: candidate budgets shrink sub-linearly, recall holds") {
     // The scale gate for the size-keyed index knobs: on a ScaleUp-
     // synthesized 10× embeddings corpus (n = 20 000; rotation preserves

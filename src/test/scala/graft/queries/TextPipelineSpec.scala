@@ -178,6 +178,32 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("t16: temperature quotas honored exactly; weights sum to 1") {
+    val out = run("t16_mixture_reweight").collect()
+    val bySrc = out.groupBy(_.getString(0))
+    val srcCounts = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, rows) =>
+      val quota = rows.head.getLong(5)
+      withClue(s"$src: ") {
+        // selected = min(quota, n_src), ranks contiguous from 1
+        rows.length.toLong shouldBe math.min(quota, srcCounts(src))
+        rows.map(_.getLong(2)).sorted shouldBe (1L to rows.length).toArray
+      }
+    }
+    // α = 0.5 flattens the head: weights sum to ~1 and a smaller source
+    // gets a LARGER weight per doc than a bigger one
+    val weights = bySrc.toSeq.map { case (_, rows) =>
+      (rows.head.getLong(3), rows.head.getDouble(4))
+    }
+    weights.map(_._2).sum shouldBe 1.0 +- 1e-9
+    val sorted = weights.sortBy(_._1)
+    if (sorted.head._1 < sorted.last._1)
+      sorted.head._2 / sorted.head._1.toDouble should be >
+        sorted.last._2 / sorted.last._1.toDouble
+  }
+
   test("t14: tokenization round-trips every document losslessly") {
     val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
       .select("doc_id", "text").collect()
