@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.multimodal.{AudioCodec, BinaryPipeline, ImageCodec}
 import graft.multimodal.BinaryPipeline.MediaAsset
@@ -104,5 +105,45 @@ object MultimodalOps extends QueryGroup {
        |WHERE bit_count(xor(a.phash, b.phash)) <= $mmMaxHam
        |ORDER BY i, j""".stripMargin))
 
-  def queries: Seq[QueryDef] = Seq(mm3)
+  // --------------------------------------------------------------- MM4
+  // Media near-dup CLUSTERS: mm3's pairs fed through the distributed
+  // ConnectedComponents (the d6 machinery — large-star/small-star
+  // label propagation, never a driver-side union-find), so a re-encode
+  // chain (base ↔ BMP twin ↔ perturbation) lands in ONE cluster with a
+  // canonical min-id label — the keep-one-per-cluster step of media
+  // dedup. The phash table rides its own tap; DuckDB re-derives the
+  // pairs by brute force AND the components via a recursive min-label
+  // CTE (the d6 oracle pattern), so the clustering itself is verified
+  // cross-engine, not just the pairing.
+  private val mm4 = QueryDef(
+    "mm4_phash_clusters",
+    (s, dir) => {
+      val sig = graft.sources.VerifyTap(
+        BinaryPipeline.phashes(assetsWithRecodes(s)).toDF(), "mm4_phash")
+      val pairs = graft.operators.HammingNearDup
+        .pairs(sig, "assetId", "phash", mmMaxHam)
+      graft.operators.ConnectedComponents.run(
+          sig.select(col("assetId").as("id")),
+          pairs.select(col("i").as("src"), col("j").as("dst")))
+        .select(col("id").as("assetId"), col("component").as("cluster"))
+        .orderBy("assetId")
+    },
+    Some(s"""WITH RECURSIVE sigs AS (
+       |  SELECT assetId, phash
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/mm4_phash/*.parquet')
+       |), good AS (
+       |  SELECT a.assetId AS i, b.assetId AS j
+       |  FROM sigs a JOIN sigs b ON a.assetId < b.assetId
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $mmMaxHam
+       |), edges AS (
+       |  SELECT i AS a, j AS b FROM good UNION ALL SELECT j, i FROM good
+       |), reach AS (
+       |  SELECT assetId AS node, assetId AS lab FROM sigs
+       |  UNION
+       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+       |)
+       |SELECT node AS assetId, MIN(lab) AS cluster
+       |FROM reach GROUP BY node ORDER BY assetId""".stripMargin))
+
+  def queries: Seq[QueryDef] = Seq(mm3, mm4)
 }

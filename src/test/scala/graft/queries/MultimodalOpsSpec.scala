@@ -43,6 +43,24 @@ class MultimodalOpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("mm4: every re-encode chain collapses into one min-id cluster") {
+    val q = MultimodalOps.queries.find(_.name == "mm4_phash_clusters").get
+    val cluster = q.build(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // base, cross-container recode (+n) and perturbation (+2n) share a
+    // cluster labeled by the min member id (= the base id)
+    (0L until n by 5L).foreach { id =>
+      withClue(s"chain of $id: ") {
+        cluster(id + n) shouldBe cluster(id)
+        if (id % 30 == 0) cluster(id + 2L * n) shouldBe cluster(id)
+        cluster(id) should be <= id
+      }
+    }
+    // clusters are canonical: every label is itself a member's id with
+    // that same label (min-id representative)
+    cluster.values.toSet.foreach { lab: Long => cluster(lab) shouldBe lab }
+  }
+
   test("mm3: blocked pairing matches brute force exactly") {
     // the oracle's all-pairs twin, run in-process: HammingNearDup must
     // return the complete ≤ maxHam set, nothing more
