@@ -66,6 +66,11 @@ object ProductQuantizer {
     }.toDF("sub", "code", "centroid")
   }
 
+  /** Rebuild the (sub, code, centroid) model relation from driver form
+    * — the inverse of [[collectCodebook]], for cached codebooks.
+    */
+  def codebookDf(ref: DataFrame, cb: Codebook): DataFrame = cbToDf(ref, cb)
+
   /** Collect a (sub, code, centroid) frame back into driver form —
     * M·K rows, an O(1) model relation.
     */

