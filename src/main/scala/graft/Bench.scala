@@ -27,6 +27,7 @@ object Bench {
     // interfere, and a prior run's blocks otherwise pile into the next
     // run's memory budget and show up as GC, not as the query's cost
     def clear(): Unit = {
+      operators.ScratchCache.releaseAll() // also empties the registry
       spark.catalog.clearCache()
       // localCheckpoint blocks (d6/d7) are not catalog-cached
       spark.sparkContext.getPersistentRDDs.values

@@ -17,6 +17,7 @@ object BenchSlice {
       def once(): Unit = SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       def clear(): Unit = {
+        operators.ScratchCache.releaseAll()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

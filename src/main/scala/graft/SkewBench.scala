@@ -117,8 +117,11 @@ object SkewBench {
     // broadcastable model there is no shuffle and no skew problem.
     // Variants: naive shuffle join AQE off/on (does AQE's skew split
     // absorb it?) vs the salted ctx probe (SkewJoin, result-equal).
+    // Optional second arg = corpus size in docs (default 100k ≈ 20M
+    // positions). Sweeping it locates the size-keyed switch point for
+    // t13's salted-probe default (TextOps.lmSaltMinDocs).
     if (scenario == "all" || scenario == "lm") {
-    val nDocs = 100000L
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(100000L)
     val docLen = 200
     val hot = spark.range(nDocs).select(col("id").as("doc_id"),
       concat_ws(" ", transform(sequence(lit(1), lit(docLen)), i =>
@@ -147,8 +150,9 @@ object SkewBench {
     }
 
     // ----------------------------------- q36 pairing arms, head-to-head
-    // The q36 adjacency switch (small → lag window, ≥100k docs →
-    // grouped range rank) is result-equal by spec; this times both arms
+    // The q36 adjacency switch (small → lag window, ≥ pairLargeMinDocs
+    // = 250k docs → grouped range rank; measured crossover ≈ 250k, see
+    // Analytic) is result-equal by spec; this times both arms
     // WITH the downstream levenshtein at the current SF dir. The window
     // arm's hidden cost is not just the per-source reducer funnel: its
     // output stays partitioned by source (~10 partitions), so the

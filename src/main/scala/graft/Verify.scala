@@ -34,6 +34,7 @@ object Verify {
           Some(msg)
         }
       // isolate queries: drop caches + checkpoint blocks between runs
+      graft.operators.ScratchCache.releaseAll()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -38,6 +38,14 @@ case class PqEncode(vector: Expression, codebook: Expression,
     val x = v.asInstanceOf[ArrayData]
     val c = cb.asInstanceOf[ArrayData]
     val subDim = x.numElements() / m
+    // loud on malformed input: a vector length that is not m·subDim
+    // would silently drop trailing dimensions, and a codebook of the
+    // wrong layout would read garbage distances
+    if (x.numElements() % m != 0 || m.toLong * k * subDim != c.numElements())
+      throw new IllegalArgumentException(
+        s"pq_encode: vector length ${x.numElements()} / codebook length " +
+          s"${c.numElements()} inconsistent with m=$m, k=$k " +
+          "(expect vector = m*subDim, codebook = m*k*subDim)")
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -85,6 +93,12 @@ case class PqEncode(vector: Expression, codebook: Expression,
            |${ev.isNull} = $hasNull;""".stripMargin
       s"""
          |int $subDim = $v.numElements() / $m;
+         |if ($v.numElements() % $m != 0
+         |    || (long) $m * $k * $subDim != $cb.numElements()) {
+         |  throw new IllegalArgumentException("pq_encode: vector length "
+         |    + $v.numElements() + " / codebook length " + $cb.numElements()
+         |    + " inconsistent with m=$m, k=$k");
+         |}
          |int[] $out = new int[$m];
          |$nullScan
          |if (!${ev.isNull}) {

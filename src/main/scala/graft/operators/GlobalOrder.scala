@@ -20,8 +20,14 @@ import org.apache.spark.sql.types.LongType
   * shuffle-free "index within an existing partitioning" (a
   * `Window.partitionBy(spark_partition_id())` would re-shuffle by pid).
   *
-  * The sort columns must form a total order (include a unique tiebreak)
-  * for the rank to be deterministic.
+  * The sort columns MUST form a total order (include a unique
+  * tiebreak). This is a correctness requirement, not just determinism
+  * hygiene: [[withGroupedRank]] persists the ranked frame lazily
+  * (MEMORY_AND_DISK), so on cache eviction a branch may RECOMPUTE its
+  * ranks — under a non-total order `zipWithIndex` could then number
+  * tied rows differently between the bounds aggregate and the join
+  * branches, producing inconsistent ranks. Every in-repo caller sorts
+  * on a unique key (doc_id / (source, doc_id)); a new caller must too.
   */
 object GlobalOrder {
 

@@ -61,18 +61,19 @@ object JaccardNearDup {
 
   def pairs(toks: DataFrame, idCol: String, toksCol: String,
       t: Double, dfOrdered: Boolean = false): DataFrame = {
-    val members = toks.select(col(idCol).as("doc_id"), col(toksCol).as("sh"))
-      .withColumn("n", size(col("sh")))
-      .cache()
+    // corpus-sized scratch: explicit level + releasable, see ScratchCache
+    val members = ScratchCache.scratch(
+      toks.select(col(idCol).as("doc_id"), col(toksCol).as("sh"))
+        .withColumn("n", size(col("sh"))))
     // prefix keys + verification run over UNIQUE shingle sets: a dedup
     // corpus is dup-heavy by definition, and a mass-duplicate group of
     // m rows sharing one set would otherwise push m copies of every
     // prefix token through the candidate join and verify m²/2 times.
     // Row pairs are recovered after verification (cross-group streams
     // out of a join; within-group pairs are jaccard 1.0 by identity).
-    val sh = members.groupBy("sh", "n")
+    val sh = ScratchCache.scratch(members.groupBy("sh", "n")
       .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id", "sh", "n").cache()
+      .select("doc_id", "sh", "n"))
     val prefLen = (col("n") - ceil(col("n") * t) + 1).cast("int")
 
     val prefix =

@@ -138,15 +138,15 @@ object DedupOps extends QueryGroup {
   private val d3 = QueryDef(
     "d3_dedup_minhash_lsh",
     (s, dir) => {
-      val members = shingled(s, dir).cache()
+      val members = graft.operators.ScratchCache.scratch(shingled(s, dir))
       // signature build, banding and verification run over UNIQUE
       // shingle sets (identical sets ⇒ identical signatures ⇒ they
       // collide in EVERY band, so within-group pairs are LSH-surfaced
       // by construction) — the same dup-heavy armor as d2/d4: a
       // mass-duplicate group would otherwise go quadratic inside the
       // band join. Row pairs are recovered after verification.
-      val sets = members.groupBy("sh", "n")
-        .agg(min(col("doc_id")).as("doc_id")).cache()
+      val sets = graft.operators.ScratchCache.scratch(
+        members.groupBy("sh", "n").agg(min(col("doc_id")).as("doc_id")))
       // shingles are already hashed longs; permutation i = xxhash64(i, h)
       val tok = sets.select(col("doc_id"), explode(col("sh")).as("h"))
       val sig = tok.groupBy("doc_id")
@@ -247,11 +247,12 @@ object DedupOps extends QueryGroup {
     * update loop pay for. ~1.6× at sf0.1.
     */
   private[graft] def simhashSigs(s: SparkSession, dir: String): DataFrame = {
-    // cache the shingle table before exploding: under a Generate the
+    // persist the shingle table before exploding: under a Generate the
     // optimizer re-inlines the gram-build HOF into the generator input
     // and the O(n²) re-evaluation comes back (measured 0.3 s → 4.8 s
-    // uncached); every other shingled consumer already caches
-    val tok = shingled(s, dir).cache()
+    // unpersisted); corpus-sized, so it goes through ScratchCache
+    // (explicit level + releasable) like every other shingled consumer
+    val tok = graft.operators.ScratchCache.scratch(shingled(s, dir))
       .select(col("doc_id"), explode(col("sh")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val packedAggs = (0 until 16).map { g =>

@@ -328,7 +328,7 @@ object SimilarityOps extends QueryGroup {
   // the memory-bound regime's answer — vectors compress to M=8 6-bit
   // codes (+1 stored norm), queries scan CODES through a per-query
   // M·K lookup table instead of raw floats, ~16× less scan traffic at
-  // any corpus size (measured recall@10 0.388 vs 0.225 at K=16 —
+  // any corpus size (measured recall@10 0.425 vs 0.225 at K=16 —
   // AnnRecallSpec). Codebook trains distributed (decimal-mean Lloyd on
   // a hash sample, deterministic) and both the codebook and the coded
   // corpus ride VerifyTaps: DuckDB rebuilds the ADC lookup table from
@@ -376,6 +376,9 @@ object SimilarityOps extends QueryGroup {
             .as("qnorm"))
       val scored = graft.operators.ProductQuantizer
         .adcScores(codes, cb, queries, dim, pqM, pqK)
+        // s1 convention: self-matches excluded, so recalls compare
+        // apples-to-apples across s1/s5/s6
+        .filter(col("qid") =!= col("vec_id"))
         .withColumnRenamed("score", "cosine")
       topKAgg(scored)
     },
@@ -403,7 +406,7 @@ object SimilarityOps extends QueryGroup {
        |    list_reduce(list_prepend(0.0,
        |      [d.dt[(i-1)*$pqK + c.codes[i] + 1] for i in range(1, len(c.codes)+1)]),
        |      (x,y) -> x+y) / (c.vnorm * d.qnorm) AS cosine
-       |  FROM codes c, dtq d
+       |  FROM codes c, dtq d WHERE c.vec_id <> d.qid
        |), ranked AS (
        |  SELECT qid, vec_id,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank,

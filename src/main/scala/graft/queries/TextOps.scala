@@ -494,8 +494,10 @@ object TextOps extends QueryGroup {
   // corpus-sized work is the map-side per-position gram explode (the
   // d11 discipline: re-scan beats checkpointing an occ ≈ len× table)
   // plus the two model-probe joins — at web scale the bigram table
-  // outgrows any broadcast, so those are plain hashed-key shuffle joins
-  // AQE is free to downgrade to broadcast while the model fits.
+  // outgrows any broadcast, so those are hashed-key shuffle joins AQE
+  // is free to downgrade to broadcast while the model fits; above
+  // [[lmSaltMinDocs]] the ctx probe routes through the salted arm by
+  // default (Zipfian hot-context armor, measured in BASELINE §skew).
   // Cross-engine hash-exactness: each per-position log-prob is computed
   // from bit-identical IEEE quotients and quantized to DECIMAL(18,9)
   // BEFORE the per-doc sum, making the aggregation order-independent
@@ -559,11 +561,34 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Corpus size at which t13's context probe joins go through the
+    * salted arm by default (the q36/d2 size-keyed auto-switch pattern;
+    * both arms result-equal by spec, so the switch is plan-only).
+    *
+    * The ctx key is Zipfian in natural text — one stopword can own a
+    * double-digit share of ALL bigram positions — and AQE's skew split
+    * does not fire on it (BASELINE §skew): SkewBench `lm` measures the
+    * salted probe winning at EVERY synthetic-hot size swept (1.5× at
+    * 12.5k docs through 1.6× at 100k docs, 50%-hot corpus, broadcast
+    * disabled). Below the threshold the driver corpus' model tables
+    * broadcast (no shuffle, no skew problem) and the salt only adds
+    * the big-side row hash + ×buckets model replication; above it, a
+    * web-scale vocabulary outgrows broadcast and the hot context
+    * becomes a straggler wall. Threshold sits at the same O(100k)
+    * regime as [[graft.operators.JaccardNearDup.dfOrderMinDocs]]: the
+    * point where corpus-scale skew armor stops being insurance and
+    * starts being the plan you'd want on every natural corpus.
+    */
+  private[queries] val lmSaltMinDocs = 100000L
+  private[queries] val lmSaltBuckets = 32
+
   private val t13 = QueryDef(
     "t13_lm_score",
     (s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      lmScoreFromPositions(lmPositions(d), lmVocab(d))
+      val saltCtx =
+        if (CorpusStats.nDocs(s, dir) >= lmSaltMinDocs) lmSaltBuckets else 0
+      lmScoreFromPositions(lmPositions(d), lmVocab(d), saltCtx)
     },
     Some(s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
        |pos AS (SELECT doc_id,
@@ -599,6 +624,14 @@ object TextOps extends QueryGroup {
   // from the documents table, and the hash compare fails on any
   // tokenizer corruption. n_tokens rides the VerifyTap (the weaker,
   // tap-carried channel; its ground truth is the reference spec).
+  // CORPUS PRECONDITION for the round-trip oracle: documents must be
+  // single-space separated with no leading/trailing/consecutive spaces
+  // and no literal '</w>' substring — encodeById drops empty tokens
+  // and detok re-joins on single spaces, so a corpus violating this
+  // makes the compare fail LOUDLY (a false alarm, not silent
+  // corruption). The driver's synthetic corpus satisfies it; if a
+  // regen ever doesn't, normalize whitespace on both sides here and in
+  // the oracle before comparing.
   private val bpeMerges = 20
 
   // The learned merge list is a MODEL ARTIFACT (a tokenizer): trained

@@ -103,6 +103,25 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out.values.flatten.toSet should not contain 3
   }
 
+  test("pq_encode rejects vector/codebook lengths inconsistent with m,k") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val cb = Seq.fill(2 * 4 * 4)(0.5) // m=2, k=4, subDim=4 → dim 8
+    def enc(dim: Int) = Seq(1L -> Array.fill(dim)(0.1f))
+      .toDF("vec_id", "embedding")
+      .select(column(graft.functions.PqEncode(
+        expression(col("embedding")),
+        expression(typedLit(cb)), 2, 4)).as("codes"))
+    enc(8).collect() should have length 1 // consistent: fine
+    // dim 7 (not a multiple of m) and dim 6 (m*subDim != codebook
+    // layout) must fail LOUDLY, not silently drop trailing dimensions
+    for (bad <- Seq(7, 6)) withClue(s"dim $bad: ") {
+      val e = intercept[Exception](enc(bad).collect())
+      (e.getMessage + Option(e.getCause).mkString)
+        .should(include("pq_encode"))
+    }
+  }
+
   test("native codegen dot is bit-identical to the HOF fold on real data") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")

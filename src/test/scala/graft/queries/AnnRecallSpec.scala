@@ -85,7 +85,7 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
   test("S5 PQ: codes well-formed, scores bounded, recall beats random") {
     // 8 sub-codes of 6 bits — a 48-bit sketch of a 2048-bit vector; the
     // gate guards the pipeline (training → encode → ADC), not exactness.
-    // Measured 0.388 (2026-08, K=64, 4 Lloyd iters; 0.225 at K=16)
+    // Measured 0.425 (2026-08 r11, K=64, 4 Lloyd iters, self-matches excluded per the s1 convention; was 0.388 with self-matches burning a slot)
     val codesDf = SparkEntry.queries("s5_ann_pq")(spark, TestSpark.sfDir)
     val top = codesDf.collect()
     val codes = spark.read
@@ -108,7 +108,7 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     val pq = neighborSets("s5_ann_pq")
     val r = recall(pq, exact)
     info(f"PQ recall@10 at sf0.001 = $r%.3f")
-    // random top-10 of ~500 would land ≈ 0.02; floor under the 0.388
+    // random top-10 of ~500 would land ≈ 0.02; floor under the 0.425
     // measurement
     r should be >= 0.3
   }

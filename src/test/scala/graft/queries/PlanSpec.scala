@@ -120,6 +120,24 @@ class PlanSpec extends AnyFunSuite with Matchers {
     largePlan should not include "Window"
   }
 
+  test("t13: large-corpus arm routes the ctx probe through the salt") {
+    // t13's probe is size-keyed (the q36 pattern): at driver SFs the
+    // plain ctx join, at >= lmSaltMinDocs the salted arm (Zipfian
+    // hot-context armor, result-equal by TextPipelineSpec). The large
+    // arm — the one that must survive a web-scale corpus — must show
+    // the salt key in the join, and the small arm must not.
+    val d = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val pos = TextOps.lmPositions(d)
+    val vocab = TextOps.lmVocab(d)
+    def planOf(salt: Int): String =
+      TextOps.lmScoreFromPositions(pos, vocab, salt)
+        .queryExecution.executedPlan.toString
+    planOf(TextOps.lmSaltBuckets) should include("__salt")
+    planOf(0) should not include "__salt"
+  }
+
   test("d11: span excision is equi-join + partial aggs over 3 scans") {
     val p = plan("d11_span_dedup")
     // gram stats, excise marks and the rebuild each read the corpus

@@ -347,4 +347,166 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       codes.unpersist()
     }
   }
+
+  // ------------------------------------------------------------ recovery
+  // Restart-recovery gates: kill the query between (and once, BEFORE)
+  // commits and restart from the checkpoint; output must equal the
+  // uninterrupted run. This is the exactly-once property a production
+  // pipeline actually leans on: keyed state (ST2 session aggs, ST8 pack
+  // fill, ST9 top-k heaps), the watermark, and source offsets all come
+  // back from the checkpoint, not from luck. The memory sink refuses
+  // checkpoint recovery, so these collect through foreachBatch (which
+  // supports it).
+
+  private def checkpointDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+  test("ST2 recovery: sessions survive a kill + restart from checkpoint") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val out = StreamOps.sessionize(in.toDS(), gapMs = 10000)
+    val ckpt = checkpointDir()
+    val buf = scala.collection.mutable.Buffer.empty[(Long, Long, Double)]
+    def start() = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamOps.Session],
+          _: Long) =>
+        val rows = ds.collect().map(s => (s.userId, s.nEvents, s.total))
+        buf.synchronized { buf ++= rows }; ()
+      }
+      .start()
+
+    // phase 1: open sessions for users 1 and 2 (no output yet), then
+    // enqueue the watermark-advancing batch WITHOUT processing it and
+    // kill — the restart must replay it from the recovered offset
+    val q1 = start()
+    try {
+      in.addData(Event(1, ts(10), 1.0), Event(1, ts(14), 2.0),
+        Event(2, ts(12), 5.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    in.addData(Event(3, ts(60), 0.0))
+
+    // phase 2: restart from the checkpoint; recovered state + watermark
+    // close both sessions exactly once
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      in.addData(Event(3, ts(120), 0.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val sessions = buf.synchronized(buf.toSet)
+    sessions should contain((1L, 2L, 3.0))
+    sessions should contain((2L, 1L, 5.0))
+    // exactly once: no session emitted twice across the restart
+    buf.synchronized(buf.size) shouldBe buf.synchronized(buf.toSet.size)
+  }
+
+  test("ST8 recovery: pack fill state survives a kill + restart") {
+    import spark.implicits._
+    import StreamOps.{PackDoc, PackedDoc}
+    val in = MemoryStream[PackDoc](spark)
+    val out = StreamOps.packStream(in.toDS(), budget = 100L)
+    val ckpt = checkpointDir()
+    val buf = scala.collection.mutable.Buffer.empty[PackedDoc]
+    def start() = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[PackedDoc],
+          _: Long) =>
+        val rows = ds.collect(); buf.synchronized { buf ++= rows }; ()
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      in.addData(
+        PackDoc("a", 1L, 40L), PackDoc("a", 2L, 50L), PackDoc("a", 3L, 30L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      // the continuation only packs correctly if PackState(seqId=1,
+      // used=30) came back from the checkpoint: doc 4 (60) must land at
+      // (1, 30), not restart at (0, 0)
+      in.addData(PackDoc("a", 4L, 60L), PackDoc("a", 5L, 20L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = buf.synchronized(buf.toSeq)
+    rows.map(_.docId).sorted shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+    val byDoc = rows.map(p => p.docId -> ((p.seqId, p.offset))).toMap
+    byDoc(3L) shouldBe ((1L, 0L))
+    byDoc(4L) shouldBe ((1L, 30L)) // recovered fill, the crux
+    byDoc(5L) shouldBe ((2L, 0L))
+  }
+
+  test("ST9 recovery: streaming ANN equals batch results across a restart") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val cbDf = graft.operators.ProductQuantizer
+      .trainCodebook(emb, 64, 8, 16, 2, n)
+    val codebook = graft.operators.ProductQuantizer.collectCodebook(cbDf)
+    val codes = graft.operators.ProductQuantizer.encode(emb, cbDf, 64, 8)
+      .cache()
+    val batchTop = graft.operators.ProductQuantizer
+      .adcScores(codes, cbDf,
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            graft.functions.VectorFunctions.norm(col("embedding"))
+              .as("qnorm")),
+        64, 8, 16)
+      .groupBy("qid")
+      .agg(graft.functions.TopKAggregate
+        .topKByScore(col("score"), col("vec_id"), 5).as("top"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+          (x.getAs[Long]("id"), x.getAs[Double]("score"))))
+      .toMap
+
+    val in = MemoryStream[(Long, Seq[Float])](spark)
+    val out = StreamOps.annScoreStream(
+      in.toDF.toDF("qid", "qemb"), codes, codebook, topK = 5)
+    val ckpt = checkpointDir()
+    // update mode re-emits a qid's row when its aggregate changes: keep
+    // the LATEST row per qid (what an upsert sink would hold)
+    val latest = scala.collection.mutable
+      .Map.empty[Long, Seq[(Long, Double)]]
+    def start() = out.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val rows = df.collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+            (x.getAs[Long]("id"), x.getAs[Double]("score"))))
+        latest.synchronized { rows.foreach { case (k, v) => latest(k) = v } }
+        ()
+      }
+      .start()
+
+    val queryRows = emb.filter(col("vec_id") < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val q1 = start()
+    try {
+      in.addData(queryRows.take(2).toIndexedSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // enqueue the last query unprocessed: the restart must replay it
+    in.addData(queryRows.drop(2).toIndexedSeq)
+    val q2 = start()
+    try q2.processAllAvailable() finally { q2.stop(); codes.unpersist() }
+
+    val got = latest.synchronized(latest.toMap)
+    got.keySet shouldBe batchTop.keySet
+    batchTop.foreach { case (qid, top) =>
+      withClue(s"qid $qid: ") { got(qid) shouldBe top }
+    }
+  }
 }
