@@ -20,6 +20,22 @@ object GraftSession {
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Big shuffles must not be capped at the steady-state partition
+      // count: with a fixed 32, the sf10 probe put ~2 GB in each
+      // partition of d8's candidate-verify exchange — a spill wall AQE
+      // CANNOT fix, because coalescing only merges small partitions
+      // and skew-split only divides outliers; uniformly-huge shuffle
+      // partitions have no adaptive remedy except starting wider.
+      // Shuffles START at this width and AQE coalesces small ones
+      // back down. It is data-scale config by nature: on a real
+      // cluster the 100 TB profile sets it in the thousands; locally
+      // it defaults to the steady-state count because the extra tasks'
+      // fixed overhead measures +1-1.6 s per query on the sf0.1 bench
+      // corpus (and the RDD-side paths - zipWithIndex, CC rounds -
+      // never coalesce). The sf1/sf10 scale runs set it via env.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS",
+          shufflePartitions.toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)

@@ -120,13 +120,29 @@ object AudioCodec {
     * ("wav" or "au").
     */
   def synthTone(hz: Double, ms: Int, format: String = "wav",
-      amplitude: Double = 0.5): Array[Byte] = {
+      amplitude: Double = 0.5): Array[Byte] =
+    synthMelody(Seq((hz, amplitude)), ms, format)
+
+  /** Concatenated tone segments — one (hz, amplitude) per EQUAL time
+    * slice of the clip. A clip with [[frames]] segments puts an
+    * independent (loudness, pitch) pair in every feature frame, so the
+    * perceptual-hash cell space grows combinatorially (~20^8) instead
+    * of the single steady tone's ~20 cells — what a SCALED media
+    * corpus needs for near-dup pair counts to stay linear in corpus
+    * size (see MultimodalOps.scaleAssets). One segment ≡ the steady
+    * tone [[synthTone]] has always produced.
+    */
+  def synthMelody(segments: Seq[(Double, Double)], ms: Int,
+      format: String = "wav"): Array[Byte] = {
+    require(segments.nonEmpty, "need at least one segment")
     val rate = 8000f
     val n = (rate * ms / 1000).toInt
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
       val t = i / rate.toDouble
+      val (hz, amplitude) = segments(
+        math.min(i.toLong * segments.length / n, segments.length - 1L).toInt)
       val v = amplitude * (math.sin(2 * math.Pi * hz * t) +
         0.25 * math.sin(4 * math.Pi * hz * t)) / 1.25
       val s = math.max(-32768, math.min(32767, math.round(v * 32767))).toInt

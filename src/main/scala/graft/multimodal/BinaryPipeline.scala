@@ -124,7 +124,8 @@ object BinaryPipeline {
     * video rows carry REAL MJPEG AVI payloads (4 fps of id+frame-keyed
     * JPEG patterns in a spec-shaped RIFF container).
     */
-  def syntheticAssets(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
+  def syntheticAssets(spark: SparkSession, n: Int,
+      melodicAudio: Boolean = false): Dataset[MediaAsset] = {
     import spark.implicits._
     spark.range(n).map { id =>
       val kind = (id % 3) match {
@@ -135,6 +136,21 @@ object BinaryPipeline {
       val videoMs = 1000L * (1 + id % 5)
       val bytes = kind match {
         case "image" => ImageCodec.encode(syntheticImage(id, w, 64), "png")
+        case "audio" if melodicAudio =>
+          // SCALE-AXIS audio: an 8-segment melody with per-segment
+          // (pitch, loudness) keyed by (id, segment). The steady-tone
+          // corpus below has only 2 degrees of freedom, which the
+          // 4-tier threshold hash quantizes into ~16 cells — 80 tones
+          // already mass-collide (376 of mm3's 616 pairs) and a 10×
+          // corpus would go QUADRATIC. One independent (RMS, ZCR) pair
+          // per feature frame grows the cell space to ~16^8, so
+          // spurious collisions stay negligible at any bench factor
+          // while recode twins still collide at hamming 0.
+          AudioCodec.synthMelody(
+            (0 until AudioCodec.frames).map { seg =>
+              (200 + 12.3 * math.floorMod(mix64(id * 131 + seg), 120),
+                0.2 + 0.006 * math.floorMod(mix64(id * 131 + seg + 7919), 100))
+            }, ms = toneMs)
         case "audio" => AudioCodec.synthTone(
           hz = 200 + 37.0 * (id % 40), ms = toneMs,
           amplitude = 0.2 + 0.06 * (id % 10))
@@ -175,11 +191,17 @@ object BinaryPipeline {
     img
   }
 
-  private def mixBit(z0: Long): Boolean = {
+  private def mixBit(z0: Long): Boolean = mix64(z0) < 0
+
+  /** splitmix64 finalizer — the deterministic per-(id, salt) randomness
+    * behind the synthetic patterns; `% k` uses of it mask to
+    * non-negative first.
+    */
+  private[multimodal] def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    (z ^ (z >>> 31)) < 0
+    z ^ (z >>> 31)
   }
 
   /** Decode + featurize with explicit batching. `decodeBatches` (if

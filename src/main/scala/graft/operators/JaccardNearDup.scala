@@ -56,11 +56,29 @@ object JaccardNearDup {
     * (`nDocs` — a parquet metadata count upstream, no data scan).
     */
   def pairsAuto(toks: DataFrame, idCol: String, toksCol: String,
-      t: Double, nDocs: Long): DataFrame =
-    pairs(toks, idCol, toksCol, t, dfOrdered = nDocs >= dfOrderMinDocs)
+      t: Double, nDocs: Long): DataFrame = {
+    val large = nDocs >= dfOrderMinDocs
+    pairs(toks, idCol, toksCol, t, dfOrdered = large, noBroadcast = large)
+  }
 
+  /** `noBroadcast = true` puts explicit sort-merge hints on every
+    * corpus-derived join side (the d3/d8 discipline). Catalyst's
+    * size-only estimates undervalue computed shingle tables
+    * (unknown-width array projections under Generate) enough to plan
+    * corpus-sized BROADCASTS: at 500k docs (sf10 probe) the static
+    * plan tried to broadcast the prefix and set tables and died on the
+    * driver's broadcast-build guard, while at driver SFs those same
+    * broadcasts are genuinely optimal (KB-sized sides; forcing merge
+    * everywhere measured 3-4x on d2/d6/d7/p1 at sf0.1). Size-keyed by
+    * [[pairsAuto]] alongside dfOrdered: both armor arms engage
+    * together at >= [[dfOrderMinDocs]]. Result-identical either way
+    * (the hint changes join STRATEGY, never join semantics).
+    */
   def pairs(toks: DataFrame, idCol: String, toksCol: String,
-      t: Double, dfOrdered: Boolean = false): DataFrame = {
+      t: Double, dfOrdered: Boolean = false,
+      noBroadcast: Boolean = false): DataFrame = {
+    def nb(df: DataFrame): DataFrame =
+      if (noBroadcast) df.hint("merge") else df
     // corpus-sized scratch: explicit level + releasable, see ScratchCache
     val members = ScratchCache.scratch(
       toks.select(col(idCol).as("doc_id"), col(toksCol).as("sh"))
@@ -88,13 +106,14 @@ object JaccardNearDup {
         val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("df"), col("tok"))
-        tok.join(df, "tok")
+        // df is vocabulary-sized — same no-broadcast discipline
+        tok.join(nb(df), "tok")
           .withColumn("pos", row_number().over(w))
           .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
           .select("doc_id", "n", "tok")
       }
 
-    val cand = prefix.as("a").join(prefix.as("b"),
+    val cand = prefix.as("a").join(nb(prefix.as("b")).as("b"),
       col("a.tok") === col("b.tok") &&
         col("a.doc_id") < col("b.doc_id") &&
         // length filter: J ≥ t ⇒ t·|y| ≤ |x| (and symmetric)
@@ -104,10 +123,10 @@ object JaccardNearDup {
     // duplicate candidates (several shared prefix tokens) are verified
     // redundantly and deduped AFTER the ≥t filter, where rows are few
     val setPairs = cand
-      .join(sh.select(col("doc_id").as("i"), col("sh").as("sha"),
-        col("n").as("na")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb"),
-        col("n").as("nb")), "j")
+      .join(nb(sh.select(col("doc_id").as("i"), col("sh").as("sha"),
+        col("n").as("na"))), "i")
+      .join(nb(sh.select(col("doc_id").as("j"), col("sh").as("shb"),
+        col("n").as("nb"))), "j")
       // native merge-count (inputs are sorted distinct per the contract
       // above); == size(array_intersect(…)), spec-asserted
       .withColumn("shared", org.apache.spark.sql.GraftBridge.column(
@@ -123,7 +142,7 @@ object JaccardNearDup {
       .dropDuplicates("i", "j")
     // expand verified SET pairs back to row pairs
     val gid = members.join(
-        sh.select(col("sh"), col("doc_id").as("gid")), Seq("sh"))
+        nb(sh.select(col("sh"), col("doc_id").as("gid"))), Seq("sh"))
       .select(col("doc_id"), col("gid"), col("n"))
     val cross = setPairs
       .join(gid.select(col("gid").as("i"), col("doc_id").as("ia")), "i")

@@ -138,6 +138,17 @@ object DedupOps extends QueryGroup {
   private val d3 = QueryDef(
     "d3_dedup_minhash_lsh",
     (s, dir) => {
+      // no-broadcast discipline above the armor threshold (the
+      // JaccardNearDup.pairsAuto size key): Catalyst's size-only
+      // estimates undervalue the computed set/gid tables enough to
+      // plan corpus-sized broadcasts — the sf10 probe (500k docs) died
+      // on the driver's broadcast-build guard in the verification
+      // joins. At driver SFs those broadcasts are genuinely optimal,
+      // so the hints are size-keyed exactly like the d2 armor.
+      def nb(df: DataFrame): DataFrame =
+        if (CorpusStats.nDocs(s, dir) >=
+          graft.operators.JaccardNearDup.dfOrderMinDocs) df.hint("merge")
+        else df
       val members = graft.operators.ScratchCache.scratch(shingled(s, dir))
       // signature build, banding and verification run over UNIQUE
       // shingle sets (identical sets ⇒ identical signatures ⇒ they
@@ -175,10 +186,10 @@ object DedupOps extends QueryGroup {
       // exact verification: join candidates back to the shingle sets and
       // keep true-Jaccard ≥ t only — no estimates ship
       val setPairs = cand
-        .join(sets.select(col("doc_id").as("i"), col("sh").as("sha"),
-          col("n").as("na")), "i")
-        .join(sets.select(col("doc_id").as("j"), col("sh").as("shb"),
-          col("n").as("nb")), "j")
+        .join(nb(sets.select(col("doc_id").as("i"), col("sh").as("sha"),
+          col("n").as("na"))), "i")
+        .join(nb(sets.select(col("doc_id").as("j"), col("sh").as("shb"),
+          col("n").as("nb"))), "j")
         .withColumn("shared", org.apache.spark.sql.GraftBridge.column(
           graft.functions.SortedLongIntersectCount(
             org.apache.spark.sql.GraftBridge.expression(col("sha")),
@@ -190,7 +201,7 @@ object DedupOps extends QueryGroup {
         .select(col("i"), col("j"), col("shared").cast(LongType).as("shared"),
           col("jaccard"))
       val gid = members.join(
-          sets.select(col("sh"), col("doc_id").as("gid")), Seq("sh"))
+          nb(sets.select(col("sh"), col("doc_id").as("gid"))), Seq("sh"))
         .select(col("doc_id"), col("gid"), col("n"))
       val cross = setPairs
         .join(gid.select(col("gid").as("i"), col("doc_id").as("ia")), "i")
@@ -480,18 +491,48 @@ object DedupOps extends QueryGroup {
     * moved 13.5M rows to drop a 4.5% duplicate tail; the filter is ≤ L
     * long compares per raw candidate inside the join's codegen stage).
     */
+  /** Vector count at which [[lshCosinePairs]] switches to the in-stage
+    * verify arm (embedding carried through the band table). Below it,
+    * the candidate set is small and the embedding table broadcasts, so
+    * fetching vectors AFTER the tap by equi-join is free and avoids
+    * re-running the bucket join wide (the in-stage arm measured +2.4 s
+    * on d10 at sf0.1). Above it, the embedding side outgrows broadcast
+    * and each post-tap fetch becomes a sort-merge that SORTS the
+    * candidate-pair side — at the sf10 probe (200k vectors, 327M
+    * candidates) that was an 8×-per-candidate spill wall, 371 s of
+    * wall-clock; the in-stage arm re-measured 86 s. Same O(100k)
+    * regime as every other size-keyed armor switch. Result-identical
+    * either way (the arms differ only in where the deterministic
+    * cosine is evaluated).
+    */
+  private val d8InStageMinVecs = 100000L
+
   private def lshCosinePairs(s: SparkSession, dir: String,
       tap: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val bits = d8BitsFor(e.count())
+    val n = e.count()
+    val bits = d8BitsFor(n)
     val tables = d8TablesFor(bits)
-    val b = e.select(col("vec_id"),
-      array((0 until tables).map(t =>
-        VectorFunctions.hyperplaneSignature(col("embedding"), bits,
-          0xd8 + t)): _*).as("sigs"))
-      .select(col("vec_id"), col("sigs"), posexplode(col("sigs")))
-      .toDF("vec_id", "sigs", "table", "bucket")
+    val inStage = n >= d8InStageMinVecs
+    // the large arm's band table CARRIES the embedding: the candidate
+    // join's output then has both vectors in-row and the exact-cosine
+    // verify runs INSIDE the join's codegen stage — the candidate set
+    // (327M rows at the sf10 probe) never crosses an exchange. Cost:
+    // one ~4×-wider band shuffle (the 256 B embedding rides the n·L
+    // band rows) and a second, column-pruned pass for the tap — the
+    // only formulation whose per-candidate cost stays flat when
+    // NOTHING is broadcastable.
+    val bCols =
+      (if (inStage) Seq(col("vec_id"), col("embedding"))
+       else Seq(col("vec_id"))) :+
+        array((0 until tables).map(t =>
+          VectorFunctions.hyperplaneSignature(col("embedding"), bits,
+            0xd8 + t)): _*).as("sigs")
+    val b = e.select(bCols: _*)
+      .select(col("*"), posexplode(col("sigs")))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
     // sort-merge, not broadcast: the self-join input is n·L rows and
     // carries the L-long sigs payload — at corpus scale NO side of a
     // self-join is broadcastable, and even here the 45 MB broadcast
@@ -503,22 +544,46 @@ object DedupOps extends QueryGroup {
     // where the merge degrades gracefully. Both sides shuffle by
     // (table, bucket) — occupancy-keyed buckets keep partitions
     // balanced at any n.
-    val cand = graft.sources.VerifyTap(
+    val joined = b.as("a").join(b.as("b").hint("merge"),
+      col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id") &&
+        VectorFunctions.firstEqualIndex(col("a.sigs"), col("b.sigs"))
+          === col("a.table"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+
+    if (inStage) {
+      // candidate tap for the two-stage oracle: a SECOND, column-pruned
+      // pass over the bucket join (ids only — the pruner drops the
+      // embedding payload from this plan, so the tap write costs the
+      // small arm's candidate stage, not the wide join). The result
+      // below shares the same deterministic lineage (hyperplane
+      // signatures are pure functions), so tap rows and result pairs
+      // coincide exactly.
+      graft.sources.VerifyTap(joined, tap, coalesce = false)
       b.as("a").join(b.as("b").hint("merge"),
-        col("a.table") === col("b.table") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id") &&
-          VectorFunctions.firstEqualIndex(col("a.sigs"), col("b.sigs"))
-            === col("a.table"))
-        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j")),
-      tap, coalesce = false)
-    val withVecs = cand
-      .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
-      .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
-    withVecs
-      .select(col("i"), col("j"),
-        VectorFunctions.cosine(col("ea"), col("eb")).as("cosine"))
-      .filter(col("cosine") >= cosT)
+          col("a.table") === col("b.table") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id") &&
+            VectorFunctions.firstEqualIndex(col("a.sigs"), col("b.sigs"))
+              === col("a.table"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          VectorFunctions.cosine(col("a.embedding"), col("b.embedding"))
+            .as("cosine"))
+        .filter(col("cosine") >= cosT)
+    } else {
+      // small arm: tap the candidates, fetch vectors by equi-join —
+      // the embedding table broadcasts here, so the pair side streams
+      val cand = graft.sources.VerifyTap(joined, tap, coalesce = false)
+      cand
+        .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")),
+          "i")
+        .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")),
+          "j")
+        .select(col("i"), col("j"),
+          VectorFunctions.cosine(col("ea"), col("eb")).as("cosine"))
+        .filter(col("cosine") >= cosT)
+    }
   }
 
   /** Oracle CTE block re-running exact cosine over a materialized
@@ -669,8 +734,13 @@ object DedupOps extends QueryGroup {
   private val d10 = QueryDef(
     "d10_dedup_semantic_clusters",
     (s, dir) => {
+      // verified pairs are output-sized: checkpoint them so CC's sym
+      // union + rounds replay the blocks, not the LSH join lineage
+      // (the d6/d7 discipline — without it the r11 in-stage verify
+      // rewrite made every CC entry re-run the bucket join)
       val edges = lshCosinePairs(s, dir, "d10_cand")
         .select(col("i").as("src"), col("j").as("dst"))
+        .localCheckpoint()
       val nodes = Tables.load(s, dir, "embeddings")
         .select(col("vec_id").as("id"))
       graft.operators.ConnectedComponents.run(nodes, edges)

@@ -32,15 +32,34 @@ object MultimodalOps extends QueryGroup {
 
   private val nAssets = 240
   private val recodeEvery = 5
-  private[queries] val mmMaxHam = 3
+  private[graft] val mmMaxHam = 3
 
   /** Base corpus + cross-container re-encodings (assetId = base + n)
     * + one-block visual perturbations (assetId = base + 2n).
     */
   private[queries] def assetsWithRecodes(
-      s: SparkSession): Dataset[MediaAsset] = {
+      s: SparkSession): Dataset[MediaAsset] =
+    withRecodes(s, BinaryPipeline.syntheticAssets(s, nAssets), nAssets)
+
+  /** SCALE-AXIS corpus: `factor × nAssets` base assets (melodic audio —
+    * the steady-tone generator's ~16-cell hash space would make audio
+    * pairs quadratic in the factor, see BinaryPipeline.syntheticAssets)
+    * with the same designed recode/perturbation structure, which grows
+    * LINEARLY with the factor (every 5th asset gets a re-encoded twin,
+    * every 10th image a hamming-1 perturbation) — the media equivalent
+    * of ScaleUp's replica-perturbed documents. Used by MediaScaleBench
+    * for the mm3/mm4 scaling rows in BASELINE §sf1.
+    */
+  private[graft] def scaleAssets(s: SparkSession,
+      factor: Int): Dataset[MediaAsset] =
+    withRecodes(s,
+      BinaryPipeline.syntheticAssets(s, nAssets * factor,
+        melodicAudio = true),
+      nAssets * factor)
+
+  private def withRecodes(s: SparkSession, base: Dataset[MediaAsset],
+      nAssets: Int): Dataset[MediaAsset] = {
     import s.implicits._
-    val base = BinaryPipeline.syntheticAssets(s, nAssets)
     val recoded = base.filter(_.assetId % recodeEvery == 0).map { a =>
       val bytes = a.kind match {
         case "image" => ImageCodec.encode(ImageCodec.read(a.data), "bmp")

@@ -73,4 +73,29 @@ class MultimodalOpsSpec extends AnyFunSuite with Matchers {
     } yield (ia, ib) -> d.toLong).toMap
     pairs shouldBe brute
   }
+
+  test("scale corpus: near-dup pairs grow linearly with the factor") {
+    // the media scale axis (MediaScaleBench) is only evidence if the
+    // corpus' pair structure is linear by construction: melodic audio
+    // keeps spurious hash collisions negligible (the steady-tone
+    // corpus's ~16-cell audio hash space holds 376 collision pairs at
+    // factor 1 and would grow QUADRATICALLY), leaving the designed
+    // recode/perturbation pairs, which scale with the asset count
+    def nPairs(f: Int): Long = graft.operators.HammingNearDup
+      .pairs(BinaryPipeline.phashes(
+          MultimodalOps.scaleAssets(spark, f)).toDF(),
+        "assetId", "phash", MultimodalOps.mmMaxHam)
+      .count()
+    val p1 = nPairs(1)
+    val p2 = nPairs(2)
+    // designed pairs at factor 1: 48 recode twins + image perturbation
+    // chains; spurious melodic collisions must stay a small minority
+    p1 should be >= 48L
+    p1 should be <= 200L
+    val ratio = p2.toDouble / p1
+    withClue(f"pairs $p1 -> $p2 (ratio $ratio%.2f): ") {
+      ratio should be >= 1.5
+      ratio should be <= 2.5
+    }
+  }
 }
