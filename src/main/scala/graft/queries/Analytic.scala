@@ -720,7 +720,145 @@ object Analytic extends QueryGroup {
       |FROM r JOIN sz USING(cohort)
       |ORDER BY cohort, month_offset""".stripMargin))
 
+  // --------------------------------------------------------------- Q40
+  // Distributed second-moment statistics (variance / stddev / covariance
+  // / Pearson correlation) per group — the profiling pass every feature
+  // pipeline runs before normalizing columns. Built as a MOMENT SKETCH:
+  // one partial-agg pass accumulates exact DECIMAL power sums (n, Σx,
+  // Σx², Σy, Σy², Σxy) — commutative, order-independent, mergeable
+  // across any partitioning, so the shuffle carries 6 numbers per group
+  // regardless of data size. The statistics derive from the sums at the
+  // output boundary with BOTH engines evaluating the identical IEEE
+  // double expression over identical exact-decimal inputs → bit-exact
+  // hashes without any float aggregation order dependence (built-in
+  // `corr`/`var_samp` stream doubles in partition order and could never
+  // cross-engine hash-match).
+  private val q40 = QueryDef(
+    "q40_stats_moments",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_returnflag"),
+        dec(col("l_quantity")).as("q"), dec(col("l_extendedprice")).as("p"))
+      val sums = l.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq_d"), sum(col("p")).as("sp_d"),
+        sum(col("q") * col("q")).as("sqq_d"),
+        sum(col("p") * col("p")).as("spp_d"),
+        sum(col("q") * col("p")).as("sqp_d"))
+      val dn = col("n").cast(DoubleType)
+      def d(c: String) = col(c).cast(DoubleType)
+      // Output stats round to 6 dp: the power sums are exact, but their
+      // decimal→double casts double-round once the unscaled value
+      // crosses 2⁵³ (engine-dependent last ulp — observed on DuckDB's
+      // int128-path cast), so derived doubles carry ~1e-16 RELATIVE
+      // noise. The statistics are ratio-of-sums (magnitude does not
+      // grow with n), so a fixed 1e-6 grid absorbs that noise at any
+      // corpus size.
+      def r6(c: Column) = round(c, 6)
+      sums.select(col("l_returnflag"), col("n"),
+          r6(d("sq_d") / dn).as("mean_q"),
+          r6((d("sqq_d") - d("sq_d") * d("sq_d") / dn) / (dn - lit(1.0)))
+            .as("var_q"),
+          r6(sqrt((d("sqq_d") - d("sq_d") * d("sq_d") / dn) / (dn - lit(1.0))))
+            .as("std_q"),
+          r6((d("sqp_d") - d("sq_d") * d("sp_d") / dn) / (dn - lit(1.0)))
+            .as("covar_qp"),
+          r6((dn * d("sqp_d") - d("sq_d") * d("sp_d")) /
+            (sqrt(dn * d("sqq_d") - d("sq_d") * d("sq_d")) *
+              sqrt(dn * d("spp_d") - d("sp_d") * d("sp_d")))).as("corr_qp"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH m AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq_d,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp_d,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_quantity AS DECIMAL(18,2))) AS sqq_d,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp_d,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp_d
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round(CAST(sq_d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_q,
+      |  round((CAST(sqq_d AS DOUBLE) - CAST(sq_d AS DOUBLE) * CAST(sq_d AS DOUBLE)
+      |     / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6) AS var_q,
+      |  round(sqrt((CAST(sqq_d AS DOUBLE) - CAST(sq_d AS DOUBLE) * CAST(sq_d AS DOUBLE)
+      |     / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS std_q,
+      |  round((CAST(sqp_d AS DOUBLE) - CAST(sq_d AS DOUBLE) * CAST(sp_d AS DOUBLE)
+      |     / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6) AS covar_qp,
+      |  round((CAST(n AS DOUBLE) * CAST(sqp_d AS DOUBLE)
+      |     - CAST(sq_d AS DOUBLE) * CAST(sp_d AS DOUBLE))
+      |   / (sqrt(CAST(n AS DOUBLE) * CAST(sqq_d AS DOUBLE)
+      |        - CAST(sq_d AS DOUBLE) * CAST(sq_d AS DOUBLE))
+      |    * sqrt(CAST(n AS DOUBLE) * CAST(spp_d AS DOUBLE)
+      |        - CAST(sp_d AS DOUBLE) * CAST(sp_d AS DOUBLE))), 6) AS corr_qp
+      |FROM m ORDER BY l_returnflag""".stripMargin))
+
+  // --------------------------------------------------------------- Q41
+  // Event-time RANGE-frame window: per event, the count and sum of the
+  // user's activity in the trailing 7 days — the sliding-window feature
+  // every behavioral model trains on. The frame is defined by VALUE
+  // range over epoch millis (not row count), so irregular event spacing
+  // is handled exactly. Scale shape: partitions by user_id (high
+  // cardinality — one user's history per reducer, never the corpus);
+  // the summed value is quantized to DECIMAL before the frame aggregate
+  // so the result is independent of each engine's frame-evaluation
+  // strategy (DuckDB's segment tree vs Spark's sliding accumulation
+  // would drift last-ulp under a double sum).
+  private val q41 = QueryDef(
+    "q41_range_frame",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("ts_ms"), dec(col("value"), 6).as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-7L * 24 * 3600 * 1000, Window.currentRow)
+      e.select(col("event_id"), col("user_id"), col("ts_ms"),
+          count(lit(1)).over(w).as("n_7d"),
+          sum(col("v")).over(w).cast(DoubleType).as("sum_7d"))
+        .orderBy("user_id", "ts_ms", "event_id")
+    },
+    Some("""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |  RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_ms, event_id""".stripMargin))
+
+  // --------------------------------------------------------------- Q42
+  // Deterministic stratified sampling: each stratum (language) keeps a
+  // configured fraction of documents, selected by an md5 bucket of the
+  // stable key — the reproducible subsampling a corpus-ablation study
+  // needs (`rand()` sampling is irreproducible across engines, retries,
+  // and partitionings; a hash of the key is a pure projection that
+  // yields the SAME sample on any engine at any parallelism). Scale
+  // shape: map-side filter only — zero shuffle, scan-speed, and the
+  // per-stratum rate is enforced without counting the strata first.
+  private val q42 = QueryDef(
+    "q42_stratified_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val bucket = substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val thr = when(col("lang") === "en", lit("80"))  // ~50%
+        .when(col("lang") === "zh", lit("0d"))         // ~5%
+        .otherwise(lit("33"))                          // ~20%
+      d.filter(bucket < thr)
+        .select(col("doc_id"), col("lang"), col("source"),
+          bucket.as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, source,
+      |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      |FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  (CASE WHEN lang = 'en' THEN '80'
+      |        WHEN lang = 'zh' THEN '0d'
+      |        ELSE '33' END)
+      |ORDER BY doc_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
+      q42)
 }

@@ -786,7 +786,64 @@ object TextOps extends QueryGroup {
        |WHERE r.rn <= q.quota
        |ORDER BY source, rn""".stripMargin))
 
+  // --------------------------------------------------------------- T17
+  // TF-IDF keyword extraction: the top-3 most characteristic terms per
+  // document — the classic relevance/topic signal a corpus index or
+  // mixture analysis wants per doc. Two partial-agg passes build the
+  // term-frequency and document-frequency tables (both shuffle on the
+  // word key — partial-agg-friendly at any corpus size; df is
+  // vocabulary-bounded like t13's model and rides the same
+  // AQE-broadcastable probe join); the corpus count is one broadcast
+  // row. The per-term score is tf · ln(N/df) with the ln quantized to
+  // DECIMAL(18,9) BEFORE the multiply (the t13 discipline — absorbs
+  // last-ulp libm divergence, keeps the DESC ranking order identical
+  // cross-engine); top-3 selection partitions its window by doc_id
+  // (high-cardinality — the legitimate window shape).
+  private val t17 = QueryDef(
+    "t17_tfidf_keywords",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val tf = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfT, "w").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("w"), col("tf"), col("df"),
+          // tf as DECIMAL(10,0), not bigint: bigint is decimal(20,0) to
+          // the multiply, whose (20,0)×(18,9) product exceeds precision
+          // 38 and silently drops to scale 8 — away from DuckDB's 9
+          (col("tf").cast(DecimalType(10, 0)) *
+            log(col("n_docs").cast("double") / col("df").cast("double"))
+              .cast(DecimalType(18, 9))).as("score_d"))
+      val byScore = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score_d").desc, col("w"))
+      scored.withColumn("rk", row_number().over(byScore).cast(LongType))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w"), col("tf"), col("df"),
+          col("score_d").cast("double").as("score"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH tf AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM
+       |    (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+       |  GROUP BY doc_id, w
+       |), dfx AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+       |), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, w, tf, df,
+       |    tf * CAST(ln(n_docs / CAST(df AS DOUBLE)) AS DECIMAL(18,9))
+       |      AS score_d
+       |  FROM tf JOIN dfx USING(w) CROSS JOIN n
+       |), ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER
+       |    (PARTITION BY doc_id ORDER BY score_d DESC, w) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, w, tf, df, CAST(score_d AS DOUBLE) AS score
+       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16)
+      t16, t17)
 }

@@ -1,0 +1,176 @@
+package graft.queries
+
+import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkEntry
+import graft.TestSpark
+
+/** Result invariants for the round-11 additions — the moment-sketch
+  * statistics (q40), the event-time RANGE frame (q41), deterministic
+  * stratified sampling (q42), and TF-IDF keyword extraction (t17):
+  * each checked against an independent single-node reference computed
+  * here, plus the plan properties that make them scale.
+  */
+class StatsSamplingSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+  private def plan(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  // ------------------------------------------------------------- q40
+  test("q40: moments match an exact single-node BigDecimal reference") {
+    val rows = graft.sources.Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def d2(x: Double) = new JBD(x).setScale(2, RoundingMode.HALF_UP)
+    val ref = rows.groupBy(_._1).map { case (flag, rs) =>
+      val q = rs.map(t => d2(t._2))
+      val p = rs.map(t => d2(t._3))
+      val n = rs.length.toDouble
+      def s(xs: Seq[JBD]) = xs.reduce(_.add(_)).doubleValue()
+      def s2(xs: Seq[JBD], ys: Seq[JBD]) =
+        xs.zip(ys).map { case (a, b) => a.multiply(b) }
+          .reduce(_.add(_)).doubleValue()
+      val (sq, sp) = (s(q.toSeq), s(p.toSeq))
+      val (sqq, spp, sqp) =
+        (s2(q.toSeq, q.toSeq), s2(p.toSeq, p.toSeq), s2(q.toSeq, p.toSeq))
+      flag -> (sq / n,
+        (sqq - sq * sq / n) / (n - 1),
+        (sqp - sq * sp / n) / (n - 1),
+        (n * sqp - sq * sp) /
+          (math.sqrt(n * sqq - sq * sq) * math.sqrt(n * spp - sp * sp)))
+    }
+    val out = run("q40_stats_moments").collect()
+    out.length shouldBe ref.size
+    out.foreach { r =>
+      val (m, v, cv, cr) = ref(r.getString(0))
+      r.getDouble(2) shouldBe m +- 1e-6
+      r.getDouble(3) shouldBe v +- 1e-6
+      r.getDouble(4) shouldBe math.sqrt(v) +- 1e-6
+      r.getDouble(5) shouldBe cv +- 1e-6
+      r.getDouble(6) shouldBe cr +- 1e-6
+      r.getDouble(6) should (be >= -1.0 and be <= 1.0)
+      r.getDouble(3) should be >= 0.0
+    }
+  }
+
+  test("q40: one partial-agg shuffle carries 6 numbers per group — " +
+      "no window, no second scan") {
+    val p = plan("q40_stats_moments")
+    p.linesIterator.count(_.contains("HashAggregate")) should be >= 2
+    p should include("partial_sum")
+    p should not include "Window"
+    p.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+  }
+
+  // ------------------------------------------------------------- q41
+  test("q41: trailing-7d frame matches a brute-force reference") {
+    val events = graft.sources.Tables.load(spark, TestSpark.sfDir, "events")
+      .select("event_id", "user_id", "ts_ms", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def d6(x: Double) = new JBD(x).setScale(6, RoundingMode.HALF_UP)
+    val week = 7L * 24 * 3600 * 1000
+    val byUser = events.groupBy(_._2)
+    val out = run("q41_range_frame").collect()
+    out.length shouldBe events.length
+    out.foreach { r =>
+      val (id, u, ts) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val frame = byUser(u).filter(e => e._3 >= ts - week && e._3 <= ts)
+      r.getLong(3) shouldBe frame.length.toLong
+      r.getDouble(4) shouldBe
+        frame.map(e => d6(e._4)).reduce(_.add(_)).doubleValue() +- 1e-9
+      id should be >= 0L
+    }
+  }
+
+  test("q41: window partitions on user_id (high-cardinality), never " +
+      "a single-partition window") {
+    val p = plan("q41_range_frame")
+    p should include("Window")
+    p should include("hashpartitioning(user_id")
+    p should not include "SinglePartition"
+  }
+
+  // ------------------------------------------------------------- q42
+  test("q42: sample is deterministic, stratified at the configured " +
+      "rates, and a subset of the corpus") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val a = run("q42_stratified_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val b = run("q42_stratified_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    a shouldBe b // pure key-hash projection: bit-identical on re-run
+    val ids = docs.map(_._1).toSet
+    a.foreach { case (id, _) => ids should contain(id) }
+    // per-stratum empirical rate within binomial noise of the target
+    val rates = Map("en" -> 0.5, "zh" -> 13.0 / 256)
+    val byLang = docs.groupBy(_._2)
+    a.groupBy(_._2).foreach { case (lang, hits) =>
+      val n = byLang(lang).length.toDouble
+      val target = rates.getOrElse(lang, 51.0 / 256)
+      val sd = math.sqrt(target * (1 - target) / n)
+      (hits.length / n) shouldBe target +- (4 * sd + 1 / n)
+    }
+  }
+
+  test("q42: pure map-side filter — zero exchanges before the output " +
+      "order") {
+    // the only allowed exchange is the final presentation orderBy
+    val p = plan("q42_stratified_sample")
+    p.linesIterator.count(_.contains("Exchange")) should be <= 1
+    p should not include "Window"
+    p.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+  }
+
+  // ------------------------------------------------------------- t17
+  test("t17: top-3 terms match the tf·ln(N/df) definition exactly") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toDouble
+    val tf = docs.flatMap { case (id, text) =>
+      text.split(" ").map(w => (id, w))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def score(id: Long, w: String): JBD =
+      new JBD(tf((id, w))).multiply(
+        new JBD(math.log(n / df(w)), MathContext.DECIMAL128)
+          .setScale(9, RoundingMode.HALF_UP))
+    val refTop = docs.map { case (id, text) =>
+      val terms = text.split(" ").distinct
+      id -> terms.map(w => (score(id, w).negate, w)).sorted.take(3)
+        .map { case (negS, w) => (w, negS.negate) }.toSeq
+    }.toMap
+    val out = run("t17_tfidf_keywords").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    out.groupBy(_._1).foreach { case (id, rs) =>
+      val got = rs.sortBy(_._2).map(r => (r._3, r._6)).toSeq
+      val want = refTop(id)
+      got.map(_._1) shouldBe want.map(_._1)
+      got.zip(want).foreach { case ((_, g), (_, w)) =>
+        g shouldBe w.doubleValue() +- 1e-9
+      }
+      rs.foreach { r =>
+        r._4 should be >= 1L // tf
+        r._5 should be >= 1L // df
+      }
+    }
+  }
+
+  test("t17: candidate generation is equi-joins + a broadcast corpus " +
+      "count — no cartesian blowup") {
+    val p = plan("t17_tfidf_keywords")
+    p should not include "CartesianProduct"
+    p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) should be <= 1
+    p should include("hashpartitioning(doc_id") // the top-k window key
+  }
+}
