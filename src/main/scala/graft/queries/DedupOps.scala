@@ -456,8 +456,28 @@ object DedupOps extends QueryGroup {
     * where b=4 holds.
     */
   private val d8TargetBucket = 125
+
+  /** Large-regime occupancy target (engages with the in-stage verify
+    * arm at [[d8InStageMinVecs]]): the recall-preserving rule holds
+    * recall@0.9 ≈ 0.99 at ANY occupancy target (L scales by (1/p*)^Δb
+    * either way), but the CANDIDATE budget is L·occupancy per vector —
+    * monotone in the target. The calibrated 125 spends 24 tables ×
+    * 125 occupancy = 3000 candidates per vector at n = 200k, and the
+    * sf10 probe measured the bucket join's pair enumeration itself as
+    * the wall (477 s for 327M candidates at 200k vectors, BEFORE any
+    * vector arithmetic — per-pair SMJ machinery, not the cosine).
+    * Dropping the target to 16 in the large regime (bits 11 → 14,
+    * L 24 → 38) cuts the budget ~5× (38 × 16 ≈ 600/vector) at the
+    * same preserved recall; the price is 1.6× band rows — linear,
+    * cheap, and measured (band build 3.3 s vs 477 s of enumeration).
+    * Driver SFs (n ≤ 20k) keep the calibrated target — outputs,
+    * recalls, and the committed baselines there are unchanged.
+    */
+  private val d8TargetBucketLarge = 16
   private[graft] def d8BitsFor(n: Long): Int =
-    LshTuning.bitsFor(n, d8TargetBucket, d8Bits)
+    LshTuning.bitsFor(n,
+      if (n >= d8InStageMinVecs) d8TargetBucketLarge else d8TargetBucket,
+      d8Bits)
 
   /** Table count paired to the width by the recall-preserving rule at
     * the PRODUCTION near-dup similarity (c ≥ 0.9 — real embedding
@@ -524,7 +544,15 @@ object DedupOps extends QueryGroup {
     // only formulation whose per-candidate cost stays flat when
     // NOTHING is broadcastable.
     val bCols =
-      (if (inStage) Seq(col("vec_id"), col("embedding"))
+      (if (inStage)
+        // nrm rides the band row so the pair test needs ONE dot, not
+        // three: SQRT(dot(v,v)) is a pure per-row function, and
+        // dot(a,b)/(nrm_a*nrm_b) multiplies the same IEEE values in
+        // the same order as dot/(SQRT(dot aa)*SQRT(dot bb)) — the
+        // hash-exact cosine formula, factored per row
+        Seq(col("vec_id"), col("embedding"),
+          sqrt(VectorFunctions.dot(col("embedding"), col("embedding")))
+            .as("nrm"))
        else Seq(col("vec_id"))) :+
         array((0 until tables).map(t =>
           VectorFunctions.hyperplaneSignature(col("embedding"), bits,
@@ -561,16 +589,25 @@ object DedupOps extends QueryGroup {
       // signatures are pure functions), so tap rows and result pairs
       // coincide exactly.
       graft.sources.VerifyTap(joined, tap, coalesce = false)
+      // The cosine THRESHOLD goes in the join condition EXPLICITLY and
+      // LAST: written as a post-join .filter, Catalyst pushes it into
+      // the join condition PREPENDED — every bucket enumeration then
+      // paid the dot products before the cheap kills ran (measured
+      // 972 s at sf10 vs ~40 s with the kills first; conjunct order is
+      // preserved, so vec_id< drops half the enumerations on a long
+      // compare and first_equal_index drops multi-table duplicates
+      // before any vector arithmetic happens)
+      val pairCos = VectorFunctions.dot(col("a.embedding"),
+        col("b.embedding")) / (col("a.nrm") * col("b.nrm"))
       b.as("a").join(b.as("b").hint("merge"),
           col("a.table") === col("b.table") &&
             col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id") &&
             VectorFunctions.firstEqualIndex(col("a.sigs"), col("b.sigs"))
-              === col("a.table"))
+              === col("a.table") &&
+            pairCos >= cosT)
         .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-          VectorFunctions.cosine(col("a.embedding"), col("b.embedding"))
-            .as("cosine"))
-        .filter(col("cosine") >= cosT)
+          pairCos.as("cosine"))
     } else {
       // small arm: tap the candidates, fetch vectors by equi-join —
       // the embedding table broadcasts here, so the pair side streams
