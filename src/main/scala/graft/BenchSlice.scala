@@ -27,7 +27,9 @@ object BenchSlice {
       // min of N isolated timed runs (Bench's procedure): the host
       // shows intermittent multi-second stalls (BASELINE §noise) that
       // poison any single measurement
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SLICE_REPS", "2").toInt
+      val reps = math.max(1,
+        sys.env.get("SPARK_GRAFT_SLICE_REPS")
+          .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(2))
       val best = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         once()

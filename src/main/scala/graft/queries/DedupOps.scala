@@ -474,10 +474,12 @@ object DedupOps extends QueryGroup {
     * recalls, and the committed baselines there are unchanged.
     */
   private val d8TargetBucketLarge = 16
-  private[graft] def d8BitsFor(n: Long): Int =
+  private[graft] def d8BitsFor(n: Long, largeTuning: Boolean): Int =
     LshTuning.bitsFor(n,
-      if (n >= d8InStageMinVecs) d8TargetBucketLarge else d8TargetBucket,
+      if (largeTuning) d8TargetBucketLarge else d8TargetBucket,
       d8Bits)
+  private[graft] def d8BitsFor(n: Long): Int =
+    d8BitsFor(n, n >= d8InStageMinVecs)
 
   /** Table count paired to the width by the recall-preserving rule at
     * the PRODUCTION near-dup similarity (c ≥ 0.9 — real embedding
@@ -525,16 +527,37 @@ object DedupOps extends QueryGroup {
     * either way (the arms differ only in where the deterministic
     * cosine is evaluated).
     */
-  private val d8InStageMinVecs = 100000L
+  private[graft] val d8InStageMinVecs = 100000L
 
-  private def lshCosinePairs(s: SparkSession, dir: String,
-      tap: String): DataFrame = {
+  /** Verify-arm selector for [[lshCosinePairs]] — `Auto` keys off the
+    * corpus size ([[d8InStageMinVecs]]); `Small`/`InStage` force one
+    * arm regardless of size, which is how DedupConsistencySpec proves
+    * the arms result-identical and how the driver-oracled
+    * `d8i_dedup_embedding_lsh_instage` runs the large-corpus plan
+    * hash-green on a driver SF (the threshold itself sits above every
+    * test corpus by design — it marks where broadcast stops being an
+    * option, not where the semantics change).
+    */
+  private[graft] sealed trait D8Arm
+  private[graft] object D8Arm {
+    case object Auto extends D8Arm
+    case object Small extends D8Arm
+    case object InStage extends D8Arm
+  }
+
+  private[graft] def lshCosinePairs(s: SparkSession, dir: String,
+      tap: String, arm: D8Arm = D8Arm.Auto,
+      largeTuning: Option[Boolean] = None): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val n = e.count()
-    val bits = d8BitsFor(n)
+    val bits = d8BitsFor(n, largeTuning.getOrElse(n >= d8InStageMinVecs))
     val tables = d8TablesFor(bits)
-    val inStage = n >= d8InStageMinVecs
+    val inStage = arm match {
+      case D8Arm.InStage => true
+      case D8Arm.Small   => false
+      case D8Arm.Auto    => n >= d8InStageMinVecs
+    }
     // the large arm's band table CARRIES the embedding: the candidate
     // join's output then has both vectors in-row and the exact-cosine
     // verify runs INSIDE the join's codegen stage — the candidate set
@@ -644,6 +667,26 @@ object DedupOps extends QueryGroup {
     "d8_dedup_embedding_lsh",
     (s, dir) => lshCosinePairs(s, dir, "d8_cand").orderBy("i", "j"),
     Some(s"""WITH ${lshScoredCtes("d8_cand")}
+       |SELECT i, j, cosine FROM scored
+       |WHERE cosine >= $cosT ORDER BY i, j""".stripMargin))
+
+  /** d8 through the FORCED in-stage verify arm — the exact plan that
+    * ships above [[d8InStageMinVecs]] (embedding + norm carried on the
+    * band rows, cosine evaluated inside the bucket join's codegen
+    * stage, candidates never crossing an exchange), driver-oracled on
+    * the same two-stage tap oracle. The auto threshold sits above
+    * every test SF on purpose (it marks the broadcast cliff, not a
+    * semantic boundary), so without this entry the shipping
+    * large-corpus plan would be dead code to the correctness gate;
+    * with it, every round hash-verifies BOTH arms. Output is
+    * row-identical to d8 (DedupConsistencySpec asserts pair-set and
+    * tap equality across the arms, under small AND large tuning).
+    */
+  private val d8i = QueryDef(
+    "d8i_dedup_embedding_lsh_instage",
+    (s, dir) => lshCosinePairs(s, dir, "d8i_cand", D8Arm.InStage)
+      .orderBy("i", "j"),
+    Some(s"""WITH ${lshScoredCtes("d8i_cand")}
        |SELECT i, j, cosine FROM scored
        |WHERE cosine >= $cosT ORDER BY i, j""".stripMargin))
 
@@ -920,5 +963,5 @@ object DedupOps extends QueryGroup {
        |ORDER BY doc_id""".stripMargin))
 
   override val queries: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d8i, d9, d10, d11)
 }

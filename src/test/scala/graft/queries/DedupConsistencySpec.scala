@@ -356,4 +356,59 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     before should be >= 1000 // the corpus really is span-duplicated
     after.toDouble should be <= before * 0.05
   }
+
+  // ------------------------------------------------- d8 arm equality
+  // The shipping large-corpus plan (in-stage verify, auto-engaged only
+  // above d8InStageMinVecs = 100k vectors) must be provably
+  // result-identical to the small arm — under BOTH tuning regimes, so
+  // the wide-bits d8TargetBucketLarge configuration is exercised too.
+  test("d8 forced in-stage arm ≡ small arm: identical pairs, scores, and " +
+      "candidate taps, under small AND large tuning") {
+    import DedupOps.D8Arm
+    for (largeTuning <- Seq(false, true)) {
+      def pairs(arm: DedupOps.D8Arm, tag: String) = DedupOps
+        .lshCosinePairs(spark, TestSpark.sfDir, s"d8t_${tag}_$largeTuning",
+          arm, Some(largeTuning))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val small = pairs(D8Arm.Small, "small")
+      val inStage = pairs(D8Arm.InStage, "instage")
+      withClue(s"largeTuning=$largeTuning: ") {
+        // EXACT Double equality: the in-stage dot/(nrm·nrm) factoring
+        // multiplies the same IEEE values in the same order as the
+        // small arm's cosine — bit-identical, so the driver's
+        // hash-compare holds through either arm
+        inStage shouldBe small
+        small should not be empty
+        def tap(tag: String) = spark.read
+          .parquet(s"${graft.sources.VerifyTap.root}/d8t_${tag}_$largeTuning")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        tap("instage") shouldBe tap("small")
+      }
+    }
+  }
+
+  test("d8 in-stage join condition evaluates cheap kills before the dot " +
+      "product (conjunct-order plan gate)") {
+    // The 24× sf10 speedup (972 s → 40 s) depends on the join
+    // condition running vec_id< and first_equal_index BEFORE the
+    // vector arithmetic. Catalyst preserves conjunct order today; this
+    // gate catches a version bump that silently reorders them.
+    val df = DedupOps.lshCosinePairs(spark, TestSpark.sfDir, "d8t_order",
+      DedupOps.D8Arm.InStage)
+    val conds = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.toString.contains("float_vec_dot")) =>
+        j.condition.get.toString
+    }
+    conds should not be empty
+    conds.foreach { c =>
+      val cheap = c.indexOf("first_equal_index")
+      val dot = c.indexOf("float_vec_dot")
+      withClue(s"condition: $c\n") {
+        cheap should be >= 0
+        dot should be > cheap
+      }
+    }
+  }
 }

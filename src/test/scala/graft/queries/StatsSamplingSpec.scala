@@ -137,7 +137,9 @@ class StatsSamplingSpec extends AnyFunSuite with Matchers {
       .map(r => (r.getLong(0), r.getString(1)))
     val n = docs.length.toDouble
     val tf = docs.flatMap { case (id, text) =>
-      text.split(" ").map(w => (id, w))
+      // limit -1: keep trailing empty tokens, matching both engines'
+      // split/string_split semantics (Java's default limit 0 drops them)
+      text.split(" ", -1).map(w => (id, w))
     }.groupBy(identity).view.mapValues(_.length.toLong).toMap
     val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     def score(id: Long, w: String): JBD =
@@ -145,7 +147,7 @@ class StatsSamplingSpec extends AnyFunSuite with Matchers {
         new JBD(math.log(n / df(w)), MathContext.DECIMAL128)
           .setScale(9, RoundingMode.HALF_UP))
     val refTop = docs.map { case (id, text) =>
-      val terms = text.split(" ").distinct
+      val terms = text.split(" ", -1).distinct
       id -> terms.map(w => (score(id, w).negate, w)).sorted.take(3)
         .map { case (negS, w) => (w, negS.negate) }.toSeq
     }.toMap
