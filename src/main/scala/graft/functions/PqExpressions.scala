@@ -93,8 +93,8 @@ case class PqEncode(vector: Expression, codebook: Expression,
            |${ev.isNull} = $hasNull;""".stripMargin
       s"""
          |int $subDim = $v.numElements() / $m;
-         |if ($v.numElements() % $m != 0
-         |    || (long) $m * $k * $subDim != $cb.numElements()) {
+         |if ($v.numElements() % $m != 0 ||
+         |    (long) $m * $k * $subDim != $cb.numElements()) {
          |  throw new IllegalArgumentException("pq_encode: vector length "
          |    + $v.numElements() + " / codebook length " + $cb.numElements()
          |    + " inconsistent with m=$m, k=$k");

@@ -51,10 +51,34 @@ object SchemaEvolution {
     * for every downstream reader.
     */
   def rewrite(spark: SparkSession, table: String)(
+      f: DataFrame => DataFrame): Unit =
+    rewriteWithLayout(spark, table, bucketSpec(spark, table))(f)
+
+  /** Re-layout a table into `numBuckets` hash buckets on `bucketCols`
+    * (optionally sorted in-bucket) — the warehouse-layout migration
+    * (SURVEY F14/IO7) that makes every downstream equi-join/aggregate
+    * on the bucket keys SHUFFLE-FREE: two tables bucketed the same way
+    * join with zero Exchange, and a groupBy on the keys skips its
+    * exchange, because the parquet scan itself reports
+    * hash-partitioned output. One scan + one write (the floor for any
+    * physical re-layout); at 100 TB this is the once-per-table cost
+    * that removes a per-QUERY re-shuffle of the fact table.
+    * Plan-gated in BucketedLayoutSpec (zero-Exchange join + agg, and
+    * the q4 star-join twin).
+    */
+  def rebucket(spark: SparkSession, table: String, numBuckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(numBuckets > 0 && bucketCols.nonEmpty,
+      "rebucket needs numBuckets > 0 and at least one bucket column")
+    rewriteWithLayout(spark, table,
+      Some((numBuckets, bucketCols, sortCols)))(identity)
+  }
+
+  private def rewriteWithLayout(spark: SparkSession, table: String,
+      buckets: Option[(Int, Seq[String], Seq[String])])(
       f: DataFrame => DataFrame): Unit = {
     val partCols = spark.catalog.listColumns(table).collect()
       .filter(_.isPartition).map(_.name).toSeq
-    val buckets = bucketSpec(spark, table)
     val staging = s"${table}__evolve_staging"
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     val out = f(spark.table(table))
@@ -98,7 +122,7 @@ object SchemaEvolution {
     * catalog API does not expose bucketing, but losing it on rewrite
     * would silently re-introduce shuffles into co-located joins.
     */
-  private[migrate] def bucketSpec(
+  private[graft] def bucketSpec(
       spark: SparkSession, table: String): Option[(Int, Seq[String], Seq[String])] = {
     val desc = spark.sql(s"DESCRIBE EXTENDED $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

@@ -726,8 +726,35 @@ object DedupOps extends QueryGroup {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(f.getAbsolutePath.getBytes("UTF-8"))
       .take(16).map("%02x".format(_)).mkString
-    s"/tmp/graft_state/graft_d9_ledger_${f.getName}_$digest"
+    // `_p` suffix = the prefix-partitioned layout (r12); older
+    // unpartitioned ledger dirs are orphaned, not migrated in place —
+    // a layout change must never reinterpret existing state
+    s"/tmp/graft_state/graft_d9_ledger_${f.getName}_${digest}_p"
   }
+
+  /** Hash-prefix runtime pruning for the ledger scan: the ledger is
+    * laid out as parquet PARTITIONED by the first two hex chars of the
+    * content hash (256 balanced partitions — md5 is uniform), and each
+    * consumer filters it by the DISTINCT prefixes present in its own
+    * batch. The prefix set is ≤ 256 driver-side strings (a
+    * metadata-sized collect, same class as ledger file listings), and
+    * the `isin` lands in the scan's PartitionFilters — so a
+    * steady-state daily batch covering p of the 256 prefixes reads
+    * p/256 of the ledger's bytes AND footers. At a 100 TB corpus the
+    * ledger is ~32 GB of hashes; without the layout every daily batch
+    * re-scanned all of it, with it a targeted re-ingest (one source,
+    * one shard) touches only its slice. Plan-gated in PlanSpec (the
+    * d9 ledger scan shows the pushed prefix PartitionFilters).
+    */
+  private def prunedByPrefix(ledger: DataFrame,
+      hashes: DataFrame): DataFrame =
+    if (!ledger.columns.contains("pfx")) ledger
+    else {
+      val pfxs = hashes
+        .select(substring(col("content_hash"), 1, 2).as("pfx"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      ledger.filter(col("pfx").isin(pfxs: _*))
+    }
 
   /** Bootstrap-or-append the ledger at `path` from this run's derived
     * prior-corpus hashes. Maintenance is O(batch), not O(corpus): after
@@ -745,16 +772,21 @@ object DedupOps extends QueryGroup {
       prior: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def withPfx(df: DataFrame): DataFrame =
+      df.withColumn("pfx", substring(col("content_hash"), 1, 2))
     if (!fs.exists(p))
-      prior.write.mode("overwrite").parquet(path)
+      withPfx(prior).write.partitionBy("pfx").mode("overwrite").parquet(path)
     else {
       // novel hashes only; materialized (batch-sized) before the append
-      // so the write never scans its own destination
+      // so the write never scans its own destination. The ledger side
+      // is prefix-pruned by the incoming hashes — maintenance reads
+      // only the ledger slices this refresh could possibly touch.
       val novel = prior
-        .join(s.read.parquet(path), Seq("content_hash"), "left_anti")
+        .join(prunedByPrefix(s.read.parquet(path), prior)
+          .select("content_hash"), Seq("content_hash"), "left_anti")
         .localCheckpoint()
       if (!novel.isEmpty)
-        novel.write.mode("append").parquet(path)
+        withPfx(novel).write.partitionBy("pfx").mode("append").parquet(path)
     }
   }
 
@@ -763,13 +795,15 @@ object DedupOps extends QueryGroup {
     * parquet and the batch rows only.
     */
   private[graft] def incrementalDedup(batch: DataFrame,
-      ledger: DataFrame): DataFrame =
-    batch
-      .withColumn("content_hash", md5(col("text")))
-      .join(ledger.select("content_hash"), Seq("content_hash"), "left_anti")
+      ledger: DataFrame): DataFrame = {
+    val hashed = batch.withColumn("content_hash", md5(col("text")))
+    hashed
+      .join(prunedByPrefix(ledger, hashed).select("content_hash"),
+        Seq("content_hash"), "left_anti")
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
+  }
 
   private val d9 = QueryDef(
     "d9_dedup_incremental",

@@ -76,4 +76,32 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` works directly. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** One-time warehouse-layout step (SURVEY IO7): persist `name` from
+    * `dir` as a CATALOG table hash-bucketed on `keys` (optionally
+    * sorted in-bucket). After it, an equi-join between two tables
+    * bucketed the same way — or a groupBy on the keys — plans with
+    * ZERO Exchange: the parquet scan itself reports the hash
+    * distribution, so Catalyst drops the shuffle (plan-gated in
+    * BucketedLayoutSpec). This is the once-per-table cost that, at
+    * 100 TB, replaces a per-QUERY re-shuffle of the fact table; the
+    * matching layout MIGRATION for tables already in the catalog is
+    * [[graft.migrate.SchemaEvolution.rebucket]].
+    *
+    * @return the catalog table name (`<name>_by_<keys>_b<numBuckets>` —
+    *         key-qualified so distinct layouts of one table coexist)
+    */
+  def registerBucketed(spark: SparkSession, dir: String, name: String,
+      numBuckets: Int, keys: Seq[String],
+      sortCols: Seq[String] = Nil): String = {
+    require(numBuckets > 0 && keys.nonEmpty,
+      "registerBucketed needs numBuckets > 0 and at least one key")
+    val table = s"${name}_by_${keys.mkString("_")}_b$numBuckets"
+    var w = load(spark, dir, name).write.format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+    table
+  }
 }

@@ -183,4 +183,45 @@ class NativeExpressionPropertySpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       HyperplaneSignature(e, 64, 1)
   }
+
+  test("every native expression COMPILES under whole-stage codegen — " +
+      "no silent interpreter fallback") {
+    // Janino failures don't fail queries — Spark logs a WARN and falls
+    // back to interpreted projection, silently evicting the expression
+    // from codegen (pq_encode shipped that way for a round: a
+    // margin-stripped '||' in its template). Calling the generator
+    // DIRECTLY makes the fallback a test failure. Both element-null
+    // variants compile, covering the null-scan and fast-loop templates.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types._
+    def floats(nullable: Boolean) =
+      BoundReference(0, ArrayType(FloatType, nullable), nullable = true)
+    def floats1(nullable: Boolean) =
+      BoundReference(1, ArrayType(FloatType, nullable), nullable = true)
+    def longs(nullable: Boolean) =
+      BoundReference(0, ArrayType(LongType, nullable), nullable = true)
+    def longs1(nullable: Boolean) =
+      BoundReference(1, ArrayType(LongType, nullable), nullable = true)
+    val doubles = BoundReference(1, ArrayType(DoubleType, false), false)
+    val str = BoundReference(0, StringType, nullable = true)
+    for (n <- Seq(true, false)) {
+      val exprs = Seq(
+        KnownNonNullElements(floats(n)),
+        FloatVecDot(floats(n), floats1(n)),
+        HyperplaneSignature(floats(n), 8, 0xd8),
+        SortedLongIntersectCount(longs(n), longs1(n)),
+        FirstEqualIndex(longs(n), longs1(n)),
+        RollingHash(str, 7L, 31L, 1000003L),
+        WordGramHashes(str, 3, distinctSorted = true),
+        WordGramHashes(str, 3, distinctSorted = false),
+        PqEncode(floats(n), doubles, 4, 16))
+      exprs.foreach { e =>
+        withClue(s"${e.getClass.getSimpleName} (elemNullable=$n): ") {
+          noException should be thrownBy
+            GenerateUnsafeProjection.generate(Seq(e))
+        }
+      }
+    }
+  }
 }

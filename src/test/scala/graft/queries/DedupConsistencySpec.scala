@@ -259,9 +259,12 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
       spark, TestSpark.sfDir).collect()
     runD9() // bootstrap (or steady-state, if an earlier test ledgered)
     val dir = new java.io.File(DedupOps.d9LedgerPath(TestSpark.sfDir))
-    def snapshot() = dir.listFiles()
+    // the ledger is hash-prefix partitioned (pfx=XX subdirs) — walk it
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    def snapshot() = walk(dir)
       .filter(_.getName.startsWith("part-"))
-      .map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+      .map(f => (f.getPath, f.lastModified, f.length)).sortBy(_._1)
     val before = snapshot()
     before.size should be > 0
     runD9() // steady state: every incoming hash is already present

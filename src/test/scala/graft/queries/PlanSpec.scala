@@ -71,6 +71,15 @@ class PlanSpec extends AnyFunSuite with Matchers {
     // today's batch is the only documents scan, with the source pushed
     p should include("EqualTo(source,src0)")
     p.linesIterator.count(_.contains("Scan parquet")) shouldBe 2
+    // runtime prefix pruning: the ledger scan carries the batch-derived
+    // hash-prefix set as PARTITION filters — at a 100 TB corpus this is
+    // what keeps a targeted re-ingest from re-scanning the whole ~32 GB
+    // hash ledger (file listing AND bytes prune to the touched slices)
+    val ledgerScan = p.linesIterator
+      .find(l => l.contains("graft_d9_ledger")).get
+    val pruned = ledgerScan.contains("PartitionFilters: [pfx#") &&
+      (ledgerScan.contains(" IN ") || ledgerScan.contains("INSET"))
+    withClue(ledgerScan) { pruned shouldBe true }
   }
 
   test("t8/p1: no per-source window wall; offsets join broadcasts") {
