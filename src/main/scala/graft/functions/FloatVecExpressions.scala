@@ -140,11 +140,16 @@ case class FloatVecDot(left: Expression, right: Expression)
            |  $hasNull = $hasNull || $a.isNullAt($i) || $b.isNullAt($i);
            |}
            |${ev.isNull} = $hasNull;""".stripMargin
+      // when the expression is non-nullable, ev.isNull is an UNDECLARED
+      // name inside nullSafeCodeGen's result code — referencing it made
+      // Janino reject the class and the whole stage silently fell back
+      // to interpreted projection (caught by the width-compile gate)
+      val resNull = if (nullable) s"${ev.isNull}" else "false"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |$nullScan
-         |if (!${ev.isNull}) {
+         |if (!$resNull) {
          |  for (int $i = 0; $i < $n; $i++) {
          |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
@@ -239,11 +244,13 @@ case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
            |  $hasNull = $hasNull || $a.isNullAt($i);
            |}
            |${ev.isNull} = $hasNull;""".stripMargin
+      // non-nullable ⇒ ev.isNull is undeclared here (see FloatVecDot)
+      val resNull = if (nullable) s"${ev.isNull}" else "false"
       s"""
          |int $n = $a.numElements();
          |long $sig = 0L;
          |$nullScan
-         |if (!${ev.isNull}) {
+         |if (!$resNull) {
          |  double[] $acc = new double[$bits];
          |  for (int $i = 0; $i < $n; $i++) {
          |    double $v = (double) $a.getFloat($i);

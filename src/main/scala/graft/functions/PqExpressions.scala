@@ -91,6 +91,8 @@ case class PqEncode(vector: Expression, codebook: Expression,
            |  $hasNull = $hasNull || $v.isNullAt($i);
            |}
            |${ev.isNull} = $hasNull;""".stripMargin
+      // non-nullable ⇒ ev.isNull is undeclared here (see FloatVecDot)
+      val resNull = if (nullable) s"${ev.isNull}" else "false"
       s"""
          |int $subDim = $v.numElements() / $m;
          |if ($v.numElements() % $m != 0 ||
@@ -101,7 +103,7 @@ case class PqEncode(vector: Expression, codebook: Expression,
          |}
          |int[] $out = new int[$m];
          |$nullScan
-         |if (!${ev.isNull}) {
+         |if (!$resNull) {
          |  for (int $s = 0; $s < $m; $s++) {
          |    double $bestD = Double.MAX_VALUE;
          |    int $bestC = -1;

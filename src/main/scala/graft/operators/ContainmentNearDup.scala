@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Directional set-CONTAINMENT self-join: all ordered pairs (i, j) with
+  * C(i→j) = |Sᵢ ∩ Sⱼ| / |Sᵢ| ≥ t — the subset-duplicate detector.
+  * Jaccard (symmetric) misses the quote/boilerplate-wrapper case a
+  * training corpus is full of: a short document wholly embedded in a
+  * long one has containment 1.0 but Jaccard |A|/|B| → 0, so no
+  * symmetric threshold finds it. The prefix-filter bound survives the
+  * asymmetry one-sided: under ANY global token order, C(i→j) ≥ t
+  * implies the first |Sᵢ| − ⌈t·|Sᵢ|⌉ + 1 tokens of the CONTAINED side
+  * intersect Sⱼ (missing all of them leaves at most ⌈t·|Sᵢ|⌉ − 1
+  * shared), so candidate generation equi-joins i's rare prefix against
+  * j's FULL token list — never all-pairs, and never a length filter
+  * (any giant document may contain a small one; that asymmetric
+  * freedom is the point).
+  *
+  * Scale shape mirrors [[JaccardNearDup]]: unique-set armor (mass
+  * duplicates verify once per SET pair, members recovered after),
+  * ScratchCache'd shingle tables, the df-ordered rare-token prefix +
+  * sort-merge hints engaged together above
+  * [[JaccardNearDup.dfOrderMinDocs]], exact verification via the
+  * native sorted-merge intersect count. The container-side token list
+  * is corpus-sized by necessity — containment cannot prefix-restrict
+  * the side being searched — which is the same table d2's verify stage
+  * already materializes.
+  *
+  * @param toks (id, tokens) — tokens must be SORTED distinct longs
+  *             (hash tokens first; see DedupOps.shingled)
+  * @return (i, j, shared, containment): i ≠ j, C(i→j) ≥ t; both
+  *         directions reported when both hold
+  */
+object ContainmentNearDup {
+
+  /** [[pairs]] with the ordering + join-hint armor auto-selected from
+    * corpus size (same switch point as the Jaccard twin).
+    */
+  def pairsAuto(toks: DataFrame, idCol: String, toksCol: String,
+      t: Double, nDocs: Long): DataFrame = {
+    val large = nDocs >= JaccardNearDup.dfOrderMinDocs
+    pairs(toks, idCol, toksCol, t, dfOrdered = large, noBroadcast = large)
+  }
+
+  def pairs(toks: DataFrame, idCol: String, toksCol: String,
+      t: Double, dfOrdered: Boolean = false,
+      noBroadcast: Boolean = false): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"containment threshold in (0,1], got $t")
+    def nb(df: DataFrame): DataFrame =
+      if (noBroadcast) df.hint("merge") else df
+    val members = ScratchCache.scratch(
+      toks.select(col(idCol).as("doc_id"), col(toksCol).as("sh"))
+        .withColumn("n", size(col("sh"))))
+    // unique shingle sets (dup-heavy corpora would otherwise verify a
+    // mass-duplicate group m² times); row pairs recovered at the end
+    val sets = ScratchCache.scratch(members.groupBy("sh", "n")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "sh", "n"))
+    val prefLen = (col("n") - ceil(col("n") * t) + 1).cast("int")
+
+    val aPrefix =
+      if (!dfOrdered)
+        sets.select(col("doc_id"), col("n"),
+          explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
+      else {
+        // rare-token prefix for the contained side (bound holds under
+        // any global order; df asc keeps candidate buckets smallest)
+        val tok = sets.select(col("doc_id"), col("n"),
+          explode(col("sh")).as("tok"))
+        val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("tok"))
+        tok.join(nb(df), "tok")
+          .withColumn("pos", row_number().over(w))
+          .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
+          .select("doc_id", "n", "tok")
+      }
+    // container side: FULL token lists (no prefix, no length filter)
+    val bTok = sets.select(col("doc_id").as("j"), explode(col("sh")).as("tok"))
+
+    val cand = aPrefix.as("a").join(nb(bTok).as("b"),
+      col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.j"))
+      .select(col("a.doc_id").as("i"), col("b.j").as("j"))
+    val setPairs = cand
+      .join(nb(sets.select(col("doc_id").as("i"), col("sh").as("sha"),
+        col("n").as("na"))), "i")
+      .join(nb(sets.select(col("doc_id").as("j"), col("sh").as("shb"))), "j")
+      .withColumn("shared", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.SortedLongIntersectCount(
+          org.apache.spark.sql.GraftBridge.expression(col("sha")),
+          org.apache.spark.sql.GraftBridge.expression(col("shb")))))
+      .withColumn("containment",
+        col("shared").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= t)
+      .select(col("i"), col("j"),
+        col("shared").cast(LongType).as("shared"), col("containment"))
+      .dropDuplicates("i", "j")
+
+    // expand SET pairs to ordered ROW pairs, keeping direction (members
+    // of group i are the contained docs); identical-set groups of m ≥ 2
+    // members additionally contribute all m·(m−1) ordered pairs at
+    // containment exactly 1.0
+    val gid = members.join(
+        nb(sets.select(col("sh"), col("doc_id").as("gid"))), Seq("sh"))
+      .select(col("doc_id"), col("gid"), col("n"))
+    val cross = setPairs
+      .join(gid.select(col("gid").as("i"), col("doc_id").as("ia")), "i")
+      .join(gid.select(col("gid").as("j"), col("doc_id").as("ib")), "j")
+      .select(col("ia").as("i"), col("ib").as("j"),
+        col("shared"), col("containment"))
+    val within = gid.as("x").join(nb(gid.as("y")),
+      col("x.gid") === col("y.gid") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.n").cast(LongType).as("shared"),
+        lit(1.0).as("containment"))
+    cross.unionByName(within)
+  }
+}

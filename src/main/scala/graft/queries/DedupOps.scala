@@ -580,7 +580,14 @@ object DedupOps extends QueryGroup {
         array((0 until tables).map(t =>
           VectorFunctions.hyperplaneSignature(col("embedding"), bits,
             0xd8 + t)): _*).as("sigs")
-    val b = e.select(bCols: _*)
+    // BARRIER between the signature build and the explode: under a
+    // Generate the optimizer re-inlines the computed sigs array into
+    // the per-OUTPUT-row loop, re-running all L hyperplane passes L
+    // times per vector (the §7 r4 HOF-array gotcha, measured here as
+    // 84 s vs 0.8 s for the sf1 band build at L=38 — the r12 sf10
+    // probe's d8 wall). The persisted table is n rows × (id, vector,
+    // norm, L longs) — ~115 MB at 200k vectors, DISK_ONLY scratch.
+    val b = graft.operators.ScratchCache.scratch(e.select(bCols: _*))
       .select(col("*"), posexplode(col("sigs")))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
@@ -726,32 +733,37 @@ object DedupOps extends QueryGroup {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(f.getAbsolutePath.getBytes("UTF-8"))
       .take(16).map("%02x".format(_)).mkString
-    // `_p` suffix = the prefix-partitioned layout (r12); older
-    // unpartitioned ledger dirs are orphaned, not migrated in place —
-    // a layout change must never reinterpret existing state
-    s"/tmp/graft_state/graft_d9_ledger_${f.getName}_${digest}_p"
+    // `_p1` suffix = the 16-way prefix-partitioned layout (r12); older
+    // layouts' dirs are orphaned, not migrated in place — a layout
+    // change must never reinterpret existing state
+    s"/tmp/graft_state/graft_d9_ledger_${f.getName}_${digest}_p1"
   }
 
   /** Hash-prefix runtime pruning for the ledger scan: the ledger is
-    * laid out as parquet PARTITIONED by the first two hex chars of the
-    * content hash (256 balanced partitions — md5 is uniform), and each
+    * laid out as parquet PARTITIONED by the first hex char of the
+    * content hash (16 balanced partitions — md5 is uniform), and each
     * consumer filters it by the DISTINCT prefixes present in its own
-    * batch. The prefix set is ≤ 256 driver-side strings (a
+    * batch. The prefix set is ≤ 16 driver-side strings (a
     * metadata-sized collect, same class as ledger file listings), and
     * the `isin` lands in the scan's PartitionFilters — so a
-    * steady-state daily batch covering p of the 256 prefixes reads
-    * p/256 of the ledger's bytes AND footers. At a 100 TB corpus the
+    * steady-state daily batch covering p of the 16 prefixes reads
+    * p/16 of the ledger's bytes AND footers. At a 100 TB corpus the
     * ledger is ~32 GB of hashes; without the layout every daily batch
     * re-scanned all of it, with it a targeted re-ingest (one source,
-    * one shard) touches only its slice. Plan-gated in PlanSpec (the
-    * d9 ledger scan shows the pushed prefix PartitionFilters).
+    * one shard) touches only its ~2 GB slice. 16 over 256: the
+    * partition-dir LISTING is a per-run fixed cost paid at EVERY
+    * corpus size (256 dirs measured ~+2 s/run on the sf1 d9 — the
+    * layout tax dwarfing the query), while 16 dirs list for free and
+    * a 2 GB pruned slice is already seconds on a cluster. Plan-gated
+    * in PlanSpec (the d9 ledger scan shows the pushed prefix
+    * PartitionFilters).
     */
   private def prunedByPrefix(ledger: DataFrame,
       hashes: DataFrame): DataFrame =
     if (!ledger.columns.contains("pfx")) ledger
     else {
       val pfxs = hashes
-        .select(substring(col("content_hash"), 1, 2).as("pfx"))
+        .select(substring(col("content_hash"), 1, 1).as("pfx"))
         .distinct().collect().map(_.getString(0)).toSeq
       ledger.filter(col("pfx").isin(pfxs: _*))
     }
@@ -772,8 +784,16 @@ object DedupOps extends QueryGroup {
       prior: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // repartition ON pfx before the partitioned write: without it every
+    // writing task holds rows of ~all 256 prefixes and emits a file per
+    // (task × prefix) — 32 tasks × 256 dirs = 8k files from one
+    // bootstrap, and the steady-state scan pays the listing/footers.
+    // Clustered, each prefix dir gets as many files as tasks that hash
+    // to it (~1): ≤256 files total, ~125 MB each at the 32 GB ledger a
+    // 100 TB corpus implies.
     def withPfx(df: DataFrame): DataFrame =
-      df.withColumn("pfx", substring(col("content_hash"), 1, 2))
+      df.withColumn("pfx", substring(col("content_hash"), 1, 1))
+        .repartition(col("pfx"))
     if (!fs.exists(p))
       withPfx(prior).write.partitionBy("pfx").mode("overwrite").parquet(path)
     else {
@@ -996,6 +1016,35 @@ object DedupOps extends QueryGroup {
        |FROM w LEFT JOIN exc_count e USING(doc_id) LEFT JOIN rm USING(doc_id)
        |ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------------------------------- D12
+  // Directional CONTAINMENT dedup (|A∩B|/|A| ≥ t): the subset-duplicate
+  // case — a short document wholly quoted/wrapped inside a long one —
+  // that symmetric Jaccard (d2) structurally misses (containment 1.0,
+  // Jaccard |A|/|B| → 0). One-sided prefix filtering keeps candidate
+  // generation an equi-join (contained side's rare prefix × container's
+  // full token list — the container side admits no prefix or length
+  // restriction, by design); exact verification via the native
+  // sorted-merge intersect; same unique-set / df-ordered / merge-hint
+  // armor as d2, auto-keyed by corpus size. See
+  // operators/ContainmentNearDup.
+  private val containT = 0.9
+  private val d12 = QueryDef(
+    "d12_containment_dedup",
+    (s, dir) => graft.operators.ContainmentNearDup.pairsAuto(
+      shingled(s, dir), "doc_id", "sh", containT,
+      CorpusStats.nDocs(s, dir)).orderBy("i", "j"),
+    Some(s"""WITH $pairCtes,
+       |opairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+       |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i, j, shared,
+       |  CAST(shared AS DOUBLE) / CAST(ca.n AS DOUBLE) AS containment
+       |FROM opairs JOIN cnt ca ON ca.doc_id = i
+       |WHERE CAST(shared AS DOUBLE) / CAST(ca.n AS DOUBLE) >= $containT
+       |ORDER BY i, j""".stripMargin))
+
   override val queries: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d8i, d9, d10, d11)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d8i, d9, d10, d11, d12)
 }

@@ -148,10 +148,16 @@ object SimilarityOps extends QueryGroup {
       val lshBits = s2Bits(n)
       val lshTables = s2Tables(n)
       def buckets(df: DataFrame, idCol: String): DataFrame =
-        df.select(Seq(col("vec_id").as(idCol), col("embedding")) ++
-          (0 until lshTables).map(t =>
-            hyperplaneSignature(col("embedding"), lshBits, 0x5eed + t)
-              .as(s"h$t")): _*)
+        // BARRIER before the explode (the d8 discipline): collapsed
+        // into the Generate's stage, the L signature loops form one
+        // generated method past the JIT's compile threshold and the
+        // whole stage drops to the bytecode interpreter — the sf10
+        // probe measured ~100× on the d8 twin of this shape
+        graft.operators.ScratchCache.scratch(
+          df.select(Seq(col("vec_id").as(idCol), col("embedding")) ++
+            (0 until lshTables).map(t =>
+              hyperplaneSignature(col("embedding"), lshBits, 0x5eed + t)
+                .as(s"h$t")): _*))
           .select(col(idCol), col("embedding"),
             posexplode(array((0 until lshTables).map(t => col(s"h$t")): _*)))
           .toDF(idCol, "embedding", "table", "bucket")

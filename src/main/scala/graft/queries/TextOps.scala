@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.sources.Tables
 
@@ -843,7 +843,79 @@ object TextOps extends QueryGroup {
        |SELECT doc_id, rk, w, tf, df, CAST(score_d AS DOUBLE) AS score
        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
 
+  // --------------------------------------------------------------- T18
+  // Corpus-health diagnostics per language: token/vocabulary counts,
+  // hapax fraction, type-token ratio, and the Zipf rank-frequency
+  // log-log slope (a natural corpus sits near −1; scraped boilerplate
+  // or synthetic spam shows up as a flat or cliffed curve — the
+  // corpus-level quality gate next to t2's per-doc score).
+  //
+  // Scale shape: ONE corpus-sized partial-agg pass (lang × word counts);
+  // everything after — the rank window, the regression sums — runs on
+  // the VOCABULARY-bounded frequency table (t13's model-table shape:
+  // orders of magnitude under the corpus at any size), so the per-lang
+  // window is model-sized work, never a corpus funnel. Cross-engine
+  // exactness is the q40 discipline: ln(rank)/ln(freq) quantize to
+  // DECIMAL(18,9), the regression sums are EXACT decimal sums of exact
+  // decimal products (order-independent), and the final slope/ratios
+  // are identical IEEE expressions over those sums, rounded to the
+  // 1e-6 grid that absorbs the decimal→double cast's >2⁵³ ulp.
+  private val t18 = QueryDef(
+    "t18_corpus_zipf",
+    (s, dir) => {
+      val freq = docs(s, dir)
+        .select(col("lang"), explode(words(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val byFreq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("c").desc, col("w"))
+      val ranked = freq.withColumn("rk", row_number().over(byFreq))
+        .select(col("lang"), col("c"),
+          log(col("rk").cast(DoubleType)).cast(DecimalType(18, 9)).as("x"),
+          log(col("c").cast(DoubleType)).cast(DecimalType(18, 9)).as("y"))
+      val sums = ranked.groupBy("lang").agg(
+        count(lit(1)).as("vocab"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      def d(c: String) = col(c).cast(DoubleType)
+      val dn = col("vocab").cast(DoubleType)
+      sums.select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"),
+          round(dn / d("n_tokens"), 6).as("ttr"),
+          round(d("hapax") / dn, 6).as("hapax_frac"),
+          round((dn * d("sxy") - d("sx") * d("sy")) /
+            (dn * d("sxx") - d("sx") * d("sx")), 6).as("zipf_slope"))
+        .orderBy("lang")
+    },
+    Some("""WITH freq AS (
+       |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM
+       |    (SELECT lang, unnest(string_split(text,' ')) AS w FROM documents)
+       |  GROUP BY lang, w
+       |), ranked AS (
+       |  SELECT lang, c,
+       |    CAST(ln(CAST(ROW_NUMBER() OVER
+       |      (PARTITION BY lang ORDER BY c DESC, w) AS DOUBLE))
+       |      AS DECIMAL(18,9)) AS x,
+       |    CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,9)) AS y
+       |  FROM freq
+       |), sums AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+       |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+       |  FROM ranked GROUP BY lang)
+       |SELECT lang, n_tokens, vocab, hapax,
+       |  round(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       |  round(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
+       |    AS hapax_frac,
+       |  round((CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (CAST(vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+       |FROM sums ORDER BY lang""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17)
+      t16, t17, t18)
 }

@@ -195,21 +195,28 @@ class NativeExpressionPropertySpec extends AnyFunSuite with Matchers {
     import org.apache.spark.sql.catalyst.expressions.BoundReference
     import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
     import org.apache.spark.sql.types._
-    def floats(nullable: Boolean) =
-      BoundReference(0, ArrayType(FloatType, nullable), nullable = true)
-    def floats1(nullable: Boolean) =
-      BoundReference(1, ArrayType(FloatType, nullable), nullable = true)
-    def longs(nullable: Boolean) =
-      BoundReference(0, ArrayType(LongType, nullable), nullable = true)
-    def longs1(nullable: Boolean) =
-      BoundReference(1, ArrayType(LongType, nullable), nullable = true)
-    val doubles = BoundReference(1, ArrayType(DoubleType, false), false)
-    val str = BoundReference(0, StringType, nullable = true)
-    for (n <- Seq(true, false)) {
+    // BOTH axes must vary: element nullability picks the null-scan vs
+    // fast-loop template, and CHILD nullability decides whether
+    // nullSafeCodeGen ever declares ev.isNull — a template referencing
+    // it on a non-nullable child (e.g. a KnownNonNullElements-asserted
+    // scan output or a literal codebook) is the exact shape that sent
+    // the d8/s2 signature stages to the interpreter for two rounds
+    for (n <- Seq(true, false); cn <- Seq(true, false)) {
+      def floats(nullable: Boolean) =
+        BoundReference(0, ArrayType(FloatType, nullable), nullable = cn)
+      def floats1(nullable: Boolean) =
+        BoundReference(1, ArrayType(FloatType, nullable), nullable = cn)
+      def longs(nullable: Boolean) =
+        BoundReference(0, ArrayType(LongType, nullable), nullable = cn)
+      def longs1(nullable: Boolean) =
+        BoundReference(1, ArrayType(LongType, nullable), nullable = cn)
+      val doubles = BoundReference(1, ArrayType(DoubleType, false), false)
+      val str = BoundReference(0, StringType, nullable = cn)
       val exprs = Seq(
         KnownNonNullElements(floats(n)),
         FloatVecDot(floats(n), floats1(n)),
         HyperplaneSignature(floats(n), 8, 0xd8),
+        HyperplaneSignature(floats(n), 14, 0xd8),
         SortedLongIntersectCount(longs(n), longs1(n)),
         FirstEqualIndex(longs(n), longs1(n)),
         RollingHash(str, 7L, 31L, 1000003L),
@@ -217,7 +224,8 @@ class NativeExpressionPropertySpec extends AnyFunSuite with Matchers {
         WordGramHashes(str, 3, distinctSorted = false),
         PqEncode(floats(n), doubles, 4, 16))
       exprs.foreach { e =>
-        withClue(s"${e.getClass.getSimpleName} (elemNullable=$n): ") {
+        withClue(s"${e.getClass.getSimpleName} (elemNullable=$n, " +
+            s"childNullable=$cn): ") {
           noException should be thrownBy
             GenerateUnsafeProjection.generate(Seq(e))
         }

@@ -286,6 +286,38 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     collectD9(TestSpark.sfDir) shouldBe before
   }
 
+  test("d12 containment pairs equal the brute-force directional " +
+      "reference; containment is genuinely asymmetric") {
+    // split with limit -1: Spark's split/DuckDB's string_split keep
+    // trailing empty tokens; Java's default split drops them
+    val raw = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sets = raw.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val ref = (for {
+      (i, si) <- sets; (j, sj) <- sets if i != j
+      inter = (si & sj).size
+      if inter.toDouble / si.size >= 0.9
+    } yield (i, j) -> ((inter.toLong, inter.toDouble / si.size))).toMap
+    val out = run("d12_containment_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    out.keySet shouldBe ref.keySet
+    ref.foreach { case (k, (sh, c)) =>
+      withClue(s"pair $k: ") {
+        out(k)._1 shouldBe sh
+        out(k)._2 shouldBe c +- 1e-12
+      }
+    }
+    // the case Jaccard can't see: at least one pair where A is inside B
+    // but not vice versa
+    val oneWay = out.keySet.filter { case (i, j) => !out.contains((j, i)) }
+    oneWay should not be empty
+  }
+
   test("d7 keeps exactly one document per cluster (keeper set)") {
     val kept = run("d7_dedup_apply").collect().map(_.getLong(0)).toSet
     val cluster = run("d6_dedup_clusters").select("doc_id", "cluster")

@@ -175,4 +175,52 @@ class StatsSamplingSpec extends AnyFunSuite with Matchers {
     p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) should be <= 1
     p should include("hashpartitioning(doc_id") // the top-k window key
   }
+
+  test("t18: zipf/type-token stats match an exact single-node reference") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def q9(x: Double) = new JBD(x).setScale(9, RoundingMode.HALF_UP)
+    val ref = docs.groupBy(_._1).map { case (lang, ds) =>
+      val freq = ds.flatMap(_._2.split(" ", -1))
+        .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      val vocab = freq.size.toLong
+      val nTokens = freq.values.sum
+      val hapax = freq.values.count(_ == 1L).toLong
+      // rank under (count desc, word asc) — the engines' window order
+      val ranked = freq.toSeq.sortBy { case (w, c) => (-c, w) }.zipWithIndex
+      val xs = ranked.map { case (_, i) => q9(math.log((i + 1).toDouble)) }
+      val ys = ranked.map { case ((_, c), _) => q9(math.log(c.toDouble)) }
+      def s(z: Seq[JBD]) = z.reduce(_.add(_)).doubleValue()
+      def s2(a: Seq[JBD], b: Seq[JBD]) = a.zip(b)
+        .map { case (p, q) => p.multiply(q) }.reduce(_.add(_)).doubleValue()
+      val (sx, sy, sxy, sxx) = (s(xs), s(ys), s2(xs, ys), s2(xs, xs))
+      val n = vocab.toDouble
+      lang -> ((nTokens, vocab, hapax, vocab.toDouble / nTokens,
+        hapax.toDouble / n, (n * sxy - sx * sy) / (n * sxx - sx * sx)))
+    }
+    val out = run("t18_corpus_zipf").collect()
+    out.length shouldBe ref.size
+    out.foreach { r =>
+      val (nt, v, h, ttr, hf, slope) = ref(r.getString(0))
+      withClue(s"lang ${r.getString(0)}: ") {
+        r.getLong(1) shouldBe nt
+        r.getLong(2) shouldBe v
+        r.getLong(3) shouldBe h
+        r.getDouble(4) shouldBe ttr +- 1e-6
+        r.getDouble(5) shouldBe hf +- 1e-6
+        r.getDouble(6) shouldBe slope +- 1e-6
+        // a natural-ish corpus sits on a falling rank-frequency curve
+        r.getDouble(6) should be < 0.0
+      }
+    }
+  }
+
+  test("t18: one corpus scan; windows and regression run on the " +
+      "vocabulary-bounded frequency table") {
+    val p = plan("t18_corpus_zipf")
+    // exactly one documents scan — everything downstream is model-sized
+    p.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+    p should not include "CartesianProduct"
+  }
 }

@@ -509,4 +509,61 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       withClue(s"qid $qid: ") { got(qid) shouldBe top }
     }
   }
+
+  test("ST5 recovery: buffered join state survives a kill + restart") {
+    // The interval join's state is the BUFFERED unmatched rows of both
+    // sides; the property a production attribution pipeline leans on is
+    // that a right event arriving AFTER a crash still joins a left
+    // event buffered BEFORE it. Kill with (a) an already-emitted pair
+    // (must not re-emit) and (b) a view buffered but unmatched; the
+    // matching buy arrives only after the restart.
+    import spark.implicits._
+    val views = MemoryStream[(Long, Timestamp)](spark)
+    val buys = MemoryStream[(Long, Timestamp)](spark)
+    val out = StreamOps.intervalJoin(
+      views.toDF.toDF("user", "vts"), "vts", "5 seconds",
+      buys.toDF.toDF("user", "bts"), "bts", "5 seconds",
+      key = "user", within = "10 seconds")
+    val ckpt = checkpointDir()
+    val buf = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+    def start() = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val rows = df
+          .select(col("user"), col("vts").cast("long"),
+            col("bts").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        buf.synchronized { buf ++= rows }; ()
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      // user 2's pair matches and EMITS pre-kill; user 1's view buffers
+      views.addData((1L, ts(100)), (2L, ts(100)))
+      buys.addData((2L, ts(103)))
+      q1.processAllAvailable()
+      buf.synchronized(buf.toSet) shouldBe Set((2L, 100L, 103L))
+    } finally q1.stop()
+    // the crux arrives while the query is DOWN: joins 1's buffered view
+    buys.addData((1L, ts(105)))
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // post-restart pairs still join; out-of-interval buys still don't
+      views.addData((3L, ts(200)))
+      buys.addData((3L, ts(205)), (1L, ts(150)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    buf.synchronized(buf.toSet) shouldBe Set(
+      (2L, 100L, 103L),  // emitted once, pre-kill
+      (1L, 100L, 105L),  // pre-kill view ⋈ post-restart buy (recovered)
+      (3L, 200L, 205L))  // fully post-restart
+    // exactly once: nothing re-emitted across the restart
+    buf.synchronized(buf.size) shouldBe 3
+  }
 }
