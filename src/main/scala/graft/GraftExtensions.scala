@@ -90,7 +90,16 @@ object GraftExtensions {
         "first_equal_index(a, b) - first index where two bigint arrays " +
           "hold equal values, -1 if none (multi-table LSH dedup filter)"),
       (children: Seq[Expression]) =>
-        graft.functions.FirstEqualIndex(children(0), children(1))))
+        graft.functions.FirstEqualIndex(children(0), children(1))),
+    (FunctionIdentifier("mg_topk"),
+      info("mg_topk",
+        "mg_topk(item, k) - Misra-Gries heavy-hitter sketch: the <= k-1 " +
+          "survivors as array<struct<item,est>>; every item with " +
+          "frequency > n/k is guaranteed present"),
+      (children: Seq[Expression]) => {
+        val k = intLit(children(1), "mg_topk: k")
+        graft.functions.MisraGriesTopK(children(0), k).toAggregateExpression()
+      }))
 
   private def lit(e: Expression, what: String): Any = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
