@@ -318,6 +318,34 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     oneWay should not be empty
   }
 
+  test("d13 incremental near-dup equals the brute-force cross-set " +
+      "reference; re-runs are stable (ledger idempotent)") {
+    val raw = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(t: String) = t.split(" ", -1).sliding(3)
+      .filter(_.length == 3).map(_.mkString(" ")).toSet
+    val batch = raw.filter(_._2 == "src0").map(r => r._1 -> shingles(r._3))
+    val prior = raw.filter(_._2 != "src0").map(r => r._1 -> shingles(r._3))
+    val ref = (for {
+      (i, si) <- batch if si.nonEmpty
+      (j, sj) <- prior if sj.nonEmpty
+      inter = (si & sj).size
+      jac = inter.toDouble / (si.size + sj.size - inter)
+      if jac >= 0.8
+    } yield (i, j) -> jac).toMap
+    def got() = run("d13_incremental_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val out = got()
+    out.keySet shouldBe ref.keySet
+    ref.foreach { case (k, jac) =>
+      withClue(s"pair $k: ") { out(k) shouldBe jac +- 1e-12 }
+    }
+    // idempotent maintenance: a second daily run over the same corpus
+    // appends nothing and returns the same pairs
+    got() shouldBe out
+  }
+
   test("d7 keeps exactly one document per cluster (keeper set)") {
     val kept = run("d7_dedup_apply").collect().map(_.getLong(0)).toSet
     val cluster = run("d6_dedup_clusters").select("doc_id", "cluster")

@@ -82,6 +82,25 @@ class PlanSpec extends AnyFunSuite with Matchers {
     withClue(ledgerScan) { pruned shouldBe true }
   }
 
+  test("d13: near-dup ingest probes the persisted band index; the " +
+      "corpus is never re-shingled") {
+    val p = plan("d13_incremental_neardup")
+    // the probe join reads the band-index PARQUET (stored shingle sets
+    // + band keys), not a prior-corpus re-derivation...
+    p should include("graft_d13_ledger")
+    p.linesIterator.count(_.contains("graft_d13_ledger")) shouldBe 1
+    // ...and every documents scan is the BATCH (source pushed): daily
+    // cost is O(batch) regardless of the standing corpus behind the
+    // ledger (minhashIndex reads its input twice — shingles + sketch)
+    p should include("EqualTo(source,src0)")
+    p.linesIterator.count(l => l.contains("Scan parquet") &&
+      l.contains("documents")) should be <= 2
+    p.linesIterator.filter(l => l.contains("Scan parquet") &&
+        l.contains("documents"))
+      .foreach(l => withClue(l) {
+        l should include("EqualTo(source,src0)") })
+  }
+
   test("t8/p1: no per-source window wall; offsets join broadcasts") {
     // exact mixture sampling must NOT rank via row_number() OVER
     // (PARTITION BY source): ~10 sources ⇒ each source's whole corpus
