@@ -101,4 +101,85 @@ object HammingNearDup {
         lit(0L).as("hamming"))
     cross.unionByName(within)
   }
+
+  /** [[pairs]] over 128-bit signatures carried as two longs — the WIDE
+    * arm that keeps hamming near-dup LINEAR past the 64-bit scheme's
+    * candidate floor. Candidates are Θ(n²·nBlocks·(width+1)/2^width)
+    * and the 64-bit signature caps width at 64/(⌊maxHam/2⌋+1) — 16
+    * bits at maxHam = 7, a 2¹⁶ key space that any ≥10⁶-doc corpus
+    * outgrows quadratically (BASELINE §sf10's d4 row is that shape
+    * emerging). Doubling the SIGNATURE doubles the block width at the
+    * same threshold: maxHam = 7 over 128 bits gives 4 blocks of 32 —
+    * a 2³² key space, linear to ~10⁹ docs. The detector is
+    * deliberately TIGHTER per bit (7/128 vs 7/64) — the production
+    * trade (cf. Manku et al. 2007: 3/64 at 8·10⁹ pages): true
+    * duplicates sit at hamming ~0 at any width, while the wider
+    * signature sheds the borderline noise a generous 64-bit threshold
+    * admits. Same two-level radius-1 ball blocking, same exact
+    * verification, same unique-signature dup-group armor.
+    *
+    * @param hiCol high 64 bits (bits 64–127); `loCol` bits 0–63
+    * @return (i, j, hamming) with i < j, hamming ≤ maxHam over all 128
+    */
+  def pairsWide(sigs: DataFrame, idCol: String, hiCol: String,
+      loCol: String, maxHam: Int): DataFrame = {
+    require(maxHam >= 0 && maxHam < 128,
+      s"maxHam must be in [0,128), got $maxHam")
+    val nBlocks = maxHam / 2 + 1
+    val width = (128 + nBlocks - 1) / nBlocks
+    require(width <= 63, s"maxHam $maxHam gives width $width > 63")
+    val ballRadius = maxHam / nBlocks
+    val members = sigs.select(col(idCol).as("id"),
+      col(hiCol).as("hi"), col(loCol).as("lo"))
+    val uniq = members.select(col("hi"), col("lo")).distinct()
+    def mask(w: Int) = lit(if (w >= 64) -1L else (1L << w) - 1)
+    // block b covers bits [b·width, b·width + w) of the lo‖hi
+    // concatenation; a block straddling the 64-bit seam combines a
+    // lo suffix with a shifted hi prefix
+    val blockVals = array((0 until nBlocks).map { b =>
+      val start = b * width
+      val w = math.min(width, 128 - start)
+      if (start >= 64)
+        shiftrightunsigned(col("hi"), start - 64).bitwiseAND(mask(w))
+      else if (start + w <= 64)
+        shiftrightunsigned(col("lo"), start).bitwiseAND(mask(w))
+      else {
+        val loBits = 64 - start
+        shiftrightunsigned(col("lo"), start)
+          .bitwiseOR(shiftleft(
+            col("hi").bitwiseAND(mask(start + w - 64)), loBits))
+      }
+    }: _*)
+    val plain = uniq.select(col("hi"), col("lo"), posexplode(blockVals))
+      .toDF("hi", "lo", "block", "v")
+    val probe =
+      if (ballRadius == 0) plain
+      else plain.select(col("hi"), col("lo"), col("block"),
+        explode(array(col("v") +: (0 until width).map(bit =>
+          col("v").bitwiseXOR(lit(1L << bit))): _*)).as("v"))
+    val ham = hamming64(col("ha"), col("hb")) +
+      hamming64(col("la"), col("lb"))
+    val sigPairs = probe.as("a").join(plain.as("b"),
+      col("a.block") === col("b.block") && col("a.v") === col("b.v") &&
+        (col("a.hi") < col("b.hi") ||
+          (col("a.hi") === col("b.hi") && col("a.lo") < col("b.lo"))))
+      .select(col("a.hi").as("ha"), col("a.lo").as("la"),
+        col("b.hi").as("hb"), col("b.lo").as("lb"))
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHam)
+      .dropDuplicates("ha", "la", "hb", "lb")
+    val cross = sigPairs
+      .join(members.select(col("hi").as("ha"), col("lo").as("la"),
+        col("id").as("ia")), Seq("ha", "la"))
+      .join(members.select(col("hi").as("hb"), col("lo").as("lb"),
+        col("id").as("ib")), Seq("hb", "lb"))
+      .select(least(col("ia"), col("ib")).as("i"),
+        greatest(col("ia"), col("ib")).as("j"), col("hamming"))
+    val within = members.as("x").join(members.as("y"),
+      col("x.hi") === col("y.hi") && col("x.lo") === col("y.lo") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("i"), col("y.id").as("j"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
+  }
 }

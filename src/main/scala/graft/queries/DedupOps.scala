@@ -282,6 +282,38 @@ object DedupOps extends QueryGroup {
     counts.select(col("doc_id"), sig.as("sig"))
   }
 
+  /** 128-bit SimHash signatures carried as two longs (`hi`, `lo`): the
+    * same packed-lane vote aggregation as [[simhashSigs]], run over two
+    * INDEPENDENT per-shingle hashes in the SAME single pass (one
+    * explode, one partial-agg groupBy — 32 packed sums instead of 16).
+    * Feeds d14's wide near-dup arm. `lo` is exactly [[simhashSigs]]'s
+    * 64-bit signature (same hash, same votes — spec-asserted) EXTENDED
+    * by 64 seeded-hash bits in `hi`: the wide signature refines the
+    * narrow one rather than replacing it.
+    */
+  private[graft] def simhashSigs128(s: SparkSession,
+      dir: String): DataFrame = {
+    val tok = graft.operators.ScratchCache.scratch(shingled(s, dir))
+      .select(col("doc_id"), explode(col("sh")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"),
+        xxhash64(lit(1000003L), col("t")).as("h2"))
+    def packed(hc: Column, pfx: String) = (0 until 16).map { g =>
+      sum((0 until 4).map { j =>
+        val bit = shiftrightunsigned(hc, 4 * g + j).bitwiseAND(lit(1L))
+        if (j == 0) bit else shiftleft(bit, 16 * j)
+      }.reduce(_ + _)).as(s"$pfx$g")
+    }
+    val counts = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        (packed(col("h"), "p") ++ packed(col("h2"), "q")): _*)
+    def sig(pfx: String) = (0 until 64).map { b =>
+      val c = shiftrightunsigned(col(s"$pfx${b / 4}"), 16 * (b % 4))
+        .bitwiseAND(lit(0xffffL))
+      when(c * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    counts.select(col("doc_id"), sig("q").as("hi"), sig("p").as("lo"))
+  }
+
   private val d4 = QueryDef(
     "d4_dedup_simhash",
     (s, dir) => {
@@ -298,6 +330,38 @@ object DedupOps extends QueryGroup {
        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $shMaxHam
+       |ORDER BY i, j""".stripMargin))
+
+  // --------------------------------------------------------------- D14
+  // SimHash near-dup at CORPUS scale: the wide-signature arm that keeps
+  // hamming dedup linear past d4's candidate floor. d4's 64-bit scheme
+  // caps the pigeonhole block at 16 bits (maxHam = 7), a 2¹⁶ key space
+  // any ≥10⁶-doc corpus outgrows quadratically — BASELINE §sf10
+  // measures that shape emerging (13.6× on 10× data at 500k docs).
+  // d14 runs hamming ≤ 7 over a 128-bit signature: 4 blocks of 32 bits
+  // (2³² keys — linear to ~10⁹ docs) at a deliberately TIGHTER per-bit
+  // rate, the production trade (Manku et al. 2007 ran 3/64 at 8·10⁹
+  // pages). Same tap-based oracle as d4: DuckDB brute-forces the
+  // 128-bit popcount pairing over the tapped signatures.
+  private val shWideMaxHam = 7
+  private val d14 = QueryDef(
+    "d14_dedup_simhash_wide",
+    (s, dir) => {
+      val sig = graft.sources.VerifyTap(simhashSigs128(s, dir), "d14_sigs")
+      graft.operators.HammingNearDup
+        .pairsWide(sig, "doc_id", "hi", "lo", shWideMaxHam)
+        .orderBy("i", "j")
+    },
+    Some(s"""WITH sigs AS (
+       |  SELECT doc_id, hi, lo
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/d14_sigs/*.parquet')
+       |)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+       |    AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+       |  <= $shWideMaxHam
        |ORDER BY i, j""".stripMargin))
 
   // ---------------------------------------------------------------- D5
@@ -1180,5 +1244,5 @@ object DedupOps extends QueryGroup {
        |ORDER BY i, j""".stripMargin))
 
   override val queries: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d8i, d9, d10, d11, d12, d13)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d8i, d9, d10, d11, d12, d13, d14)
 }

@@ -346,6 +346,31 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     got() shouldBe out
   }
 
+  test("d14 wide simhash: blocking is lossless vs brute force; lo half " +
+      "IS d4's signature; candidate key space is 2^32") {
+    val sigs = graft.queries.DedupOps
+      .simhashSigs128(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force 128-bit hamming pairs == the blocked operator output
+    val ref = (for {
+      (ia, ha, la) <- sigs; (ib, hb, lb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 7
+    } yield (ia, ib) -> d.toLong).toMap
+    val out = run("d14_dedup_simhash_wide").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out shouldBe ref
+    ref should not be empty
+    // the wide signature REFINES the narrow one: its lo 64 bits equal
+    // d4's signature bit for bit (same hash, same votes)
+    val d4sigs = graft.queries.DedupOps
+      .simhashSigs(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs.foreach { case (id, _, lo) => lo shouldBe d4sigs(id) }
+    // and the hi half genuinely adds information (not a copy)
+    sigs.count { case (_, hi, lo) => hi != lo } should be > (sigs.length / 2)
+  }
+
   test("d7 keeps exactly one document per cluster (keeper set)") {
     val kept = run("d7_dedup_apply").collect().map(_.getLong(0)).toSet
     val cluster = run("d6_dedup_clusters").select("doc_id", "cluster")
