@@ -132,9 +132,9 @@ object DedupOps extends QueryGroup {
   // aggregates (the same trick as simhashSigs): partial-agg friendly
   // and no boxed HOF folds — the per-row `array_min(transform(...))`
   // formulation stays available as HashFunctions.minhashSignature.
-  private val mhK = 64
-  private val mhBands = 16
-  private val mhRows = 4
+  private[graft] val mhK = 64
+  private[graft] val mhBands = 16
+  private[graft] val mhRows = 4
   private val d3 = QueryDef(
     "d3_dedup_minhash_lsh",
     (s, dir) => {

@@ -348,6 +348,42 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("ST10 streaming near-dup matching equals batch d13 across " +
+      "micro-batches") {
+    import spark.implicits._
+    val all = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+    // the standing corpus' band index (d13's ledger schema), static
+    val ledger = graft.queries.DedupOps.minhashIndex(
+      all.filter(col("source") =!= "src0").select("doc_id", "text"))
+      .localCheckpoint()
+    val batchDocs = all.filter(col("source") === "src0")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)](spark)
+    val out = StreamOps.nearDupMatches(
+      in.toDF.toDF("doc_id", "text"), ledger, "text", t = 0.8)
+    val q = out.writeStream.format("memory").queryName("st10")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = batchDocs.splitAt(batchDocs.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("st10").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val expect = graft.SparkEntry.queries("d13_incremental_neardup")(
+          spark, TestSpark.sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      got.keySet shouldBe expect.keySet
+      expect.foreach { case (k, jac) =>
+        withClue(s"pair $k: ") { got(k) shouldBe jac +- 1e-12 }
+      }
+      // stateless by construction: no keyed state, no watermark — the
+      // query's progress reports zero state rows
+      val p = q.lastProgress
+      Option(p.stateOperators).map(_.length).getOrElse(0) shouldBe 0
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------ recovery
   // Restart-recovery gates: kill the query between (and once, BEFORE)
   // commits and restart from the checkpoint; output must equal the
