@@ -54,6 +54,54 @@ object LedgerScaleBench {
     timeDedup(p1x, "batch_vs_1x_corpus_ledger")
     timeDedup(p10x, "warmup_10x")
     timeDedup(p10x, "batch_vs_10x_corpus_ledger")
+
+    // the same question for d13's NEAR-dup ingest: a fixed batch probed
+    // against the band-index ledger of a 1× and a 10× standing corpus.
+    // The probe is a band-key equi-join (batch side broadcastable), so
+    // the index scan grows with the corpus but the join work is
+    // O(batch candidates) — the number at stake is how flat that holds.
+    def ndLedgerOf(dir: String): String = {
+      val prior = Tables.load(spark, dir, "documents")
+        .filter(col("source") =!= "src0").select("doc_id", "text")
+      val path = DedupOps.d13LedgerPath(dir)
+      DedupOps.refreshNearDupLedger(spark, path, prior)
+      path
+    }
+    val batchIdx = DedupOps.minhashIndex(
+      batch.select("doc_id", "text")).localCheckpoint()
+    def timeNearDup(path: String, label: String): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val lBands = spark.read.parquet(path)
+        .select(col("doc_id").as("j"), col("sh").as("shb"),
+          col("n").as("nb"), col("keys").as("keysB"),
+          posexplode(col("keys")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val bBands = batchIdx
+        .select(col("doc_id").as("i"), col("sh").as("sha"),
+          col("n").as("na"), col("keys").as("keysA"),
+          posexplode(col("keys")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      bBands.as("a").join(lBands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            graft.functions.VectorFunctions.firstEqualIndex(
+              col("a.keysA"), col("b.keysB")) === col("a.band"))
+        .withColumn("shared", org.apache.spark.sql.GraftBridge.column(
+          graft.functions.SortedLongIntersectCount(
+            org.apache.spark.sql.GraftBridge.expression(col("sha")),
+            org.apache.spark.sql.GraftBridge.expression(col("shb")))))
+        .withColumn("jaccard", col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"))
+        .filter(col("jaccard") >= 0.8)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val n1x = ndLedgerOf(small)
+    val n10x = ndLedgerOf(big)
+    timeNearDup(n1x, "neardup_warmup_1x")
+    timeNearDup(n1x, "neardup_batch_vs_1x_corpus_index")
+    timeNearDup(n10x, "neardup_warmup_10x")
+    timeNearDup(n10x, "neardup_batch_vs_10x_corpus_index")
     spark.stop()
   }
 }
