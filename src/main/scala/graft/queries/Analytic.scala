@@ -857,8 +857,53 @@ object Analytic extends QueryGroup {
       |        ELSE '33' END)
       |ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------------------------------- Q43
+  // EXACT per-group quantiles at scale — the complement of q37's
+  // bound-checked sketches when the answer must be exact (billing
+  // tiers, SLA cutoffs). The naive exact plans both die at 100 TB:
+  // `percentile()` buffers every group member in one aggregation
+  // buffer, and a per-group sort window funnels each group through one
+  // reducer (these groups are corpus-sized — 3 return flags over all
+  // of lineitem). Instead the values are globally ordered by
+  // (group, value) via GlobalOrder.withGroupedRank — range partition +
+  // per-partition offsets, no single reducer, no per-group buffer —
+  // and each quantile is the row at 1-based rank ⌈q·n⌉ — the
+  // percentile_disc convention DuckDB's quantile_disc implements
+  // (VERIFIED at n where it diverges from the ⌊q·(n−1)⌋+1 variant:
+  // both give identical p25/p50 at the driver SFs, only ⌈q·n⌉ matches
+  // p75). Rank targets use exact arithmetic (k·n+3 for k/4 quantiles
+  // is exact in double far past 2⁵³/3 rows, and the cast truncates =
+  // floors for positives, so (k·n+3) div 4 = ⌈k·n/4⌉); the selected
+  // values are untouched passthrough doubles, so the match is
+  // bit-exact.
+  private val q43 = QueryDef(
+    "q43_exact_quantiles",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val ranked = graft.operators.GlobalOrder.withGroupedRank(
+        l, Seq("l_returnflag"), Seq(col("v")), "rk", "n")
+      def target(k: Int) =
+        ((col("n") * lit(k) + lit(3)) / lit(4)).cast("long")
+      ranked
+        .filter(col("rk") === target(1) || col("rk") === target(2) ||
+          col("rk") === target(3))
+        .groupBy("l_returnflag")
+        .agg(max(col("n")).as("n_rows"),
+          max(when(col("rk") === target(1), col("v"))).as("p25"),
+          max(when(col("rk") === target(2), col("v"))).as("p50"),
+          max(when(col("rk") === target(3), col("v"))).as("p75"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  quantile_disc(l_extendedprice, 0.25) AS p25,
+      |  quantile_disc(l_extendedprice, 0.5) AS p50,
+      |  quantile_disc(l_extendedprice, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
       q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-      q42)
+      q42, q43)
 }

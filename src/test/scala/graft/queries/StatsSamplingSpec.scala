@@ -216,6 +216,39 @@ class StatsSamplingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q43: exact quantiles match a single-node sorted reference") {
+    val rows = graft.sources.Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val ref = rows.groupBy(_._1).map { case (flag, rs) =>
+      val v = rs.map(_._2).sorted
+      val n = v.length
+      def q(k: Int) = v((((n.toLong * k + 3) / 4) - 1).toInt) // ⌈q·n⌉, 0-based
+      flag -> ((n.toLong, q(1), q(2), q(3)))
+    }
+    val out = run("q43_exact_quantiles").collect()
+    out.length shouldBe ref.size
+    out.foreach { r =>
+      val (n, p25, p50, p75) = ref(r.getString(0))
+      withClue(s"flag ${r.getString(0)}: ") {
+        r.getLong(1) shouldBe n
+        r.getDouble(2) shouldBe p25 // bit-exact: passthrough values
+        r.getDouble(3) shouldBe p50
+        r.getDouble(4) shouldBe p75
+        p25 should be <= p50
+        p50 should be <= p75
+      }
+    }
+  }
+
+  test("q43: no per-group window funnel and no whole-group aggregation " +
+      "buffer — the rank comes from the range-partitioned global order") {
+    val p = plan("q43_exact_quantiles")
+    p should not include "Window"              // no per-group sort window
+    p should not include "percentile"          // no buffering aggregate
+    p.linesIterator.count(_.contains("Exchange rangepartitioning")) should be >= 1
+  }
+
   test("t18: one corpus scan; windows and regression run on the " +
       "vocabulary-bounded frequency table") {
     val p = plan("t18_corpus_zipf")
