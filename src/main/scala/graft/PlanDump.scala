@@ -8,7 +8,9 @@ object PlanDump {
         "t6_decontaminate", "t8_mixture_sample",
         "p1_training_corpus", "d3_dedup_minhash_lsh", "d4_dedup_simhash",
         "d8_dedup_embedding_lsh", "d9_dedup_incremental",
-        "d11_span_dedup", "s5_ann_pq").foreach { n =>
+        "d11_span_dedup", "s5_ann_pq",
+        "d13_incremental_neardup", "d14_dedup_simhash_wide",
+        "q43_exact_quantiles").foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
