@@ -72,27 +72,7 @@ object LedgerScaleBench {
     def timeNearDup(path: String, label: String): Unit = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val lBands = spark.read.parquet(path)
-        .select(col("doc_id").as("j"), col("sh").as("shb"),
-          col("n").as("nb"), col("keys").as("keysB"),
-          posexplode(col("keys")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-      val bBands = batchIdx
-        .select(col("doc_id").as("i"), col("sh").as("sha"),
-          col("n").as("na"), col("keys").as("keysA"),
-          posexplode(col("keys")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-      bBands.as("a").join(lBands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            graft.functions.VectorFunctions.firstEqualIndex(
-              col("a.keysA"), col("b.keysB")) === col("a.band"))
-        .withColumn("shared", org.apache.spark.sql.GraftBridge.column(
-          graft.functions.SortedLongIntersectCount(
-            org.apache.spark.sql.GraftBridge.expression(col("sha")),
-            org.apache.spark.sql.GraftBridge.expression(col("shb")))))
-        .withColumn("jaccard", col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared")).cast("double"))
-        .filter(col("jaccard") >= 0.8)
+      DedupOps.nearDupProbe(batchIdx, spark.read.parquet(path))
         .write.format("noop").mode("overwrite").save()
       println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }

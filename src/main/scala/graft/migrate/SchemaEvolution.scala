@@ -70,6 +70,16 @@ object SchemaEvolution {
       bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
     require(numBuckets > 0 && bucketCols.nonEmpty,
       "rebucket needs numBuckets > 0 and at least one bucket column")
+    // fail LOUDLY on a column typo: rewriteWithLayout's forall guard is
+    // right for rewrite() (a transform may legitimately drop a
+    // previously-bucketed column) but here a silent skip would swap in
+    // an UNBUCKETED table and every downstream "shuffle-free" join
+    // would quietly regrow its Exchange
+    val cols = spark.table(table).columns.toSet
+    val missing = (bucketCols ++ sortCols).filterNot(cols)
+    require(missing.isEmpty,
+      s"rebucket: column(s) ${missing.mkString(", ")} not in $table " +
+        s"(has ${cols.mkString(", ")})")
     rewriteWithLayout(spark, table,
       Some((numBuckets, bucketCols, sortCols)))(identity)
   }

@@ -111,9 +111,13 @@ object ContainmentNearDup {
       .join(gid.select(col("gid").as("j"), col("doc_id").as("ib")), "j")
       .select(col("ia").as("i"), col("ib").as("j"),
         col("shared"), col("containment"))
+    // identical NON-EMPTY sets are containment 1.0 by identity; empty
+    // sets stay excluded — containment |A∩B|/|A| is 0/0-undefined for
+    // an empty A, the oracle's shared-token join never surfaces them,
+    // and the Jaccard twin carries the same guard
     val within = gid.as("x").join(nb(gid.as("y")),
       col("x.gid") === col("y.gid") &&
-        col("x.doc_id") =!= col("y.doc_id"))
+        col("x.doc_id") =!= col("y.doc_id") && col("x.n") > 0)
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
         col("x.n").cast(LongType).as("shared"),
         lit(1.0).as("containment"))

@@ -125,9 +125,12 @@ object HammingNearDup {
       loCol: String, maxHam: Int): DataFrame = {
     require(maxHam >= 0 && maxHam < 128,
       s"maxHam must be in [0,128), got $maxHam")
-    val nBlocks = maxHam / 2 + 1
+    // floor of 2 blocks so maxHam ≤ 3 stays expressible (width 64 = the
+    // plain hi/lo split; pigeonhole still holds: ≤ maxHam errors over
+    // nBlocks blocks leave the min block with ≤ ⌊maxHam/nBlocks⌋ ≤ 1)
+    val nBlocks = math.max(2, maxHam / 2 + 1)
     val width = (128 + nBlocks - 1) / nBlocks
-    require(width <= 63, s"maxHam $maxHam gives width $width > 63")
+    require(width <= 64, s"maxHam $maxHam gives width $width > 64")
     val ballRadius = maxHam / nBlocks
     val members = sigs.select(col(idCol).as("id"),
       col(hiCol).as("hi"), col(loCol).as("lo"))

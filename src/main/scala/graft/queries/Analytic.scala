@@ -880,9 +880,15 @@ object Analytic extends QueryGroup {
     "q43_exact_quantiles",
     (s, dir) => {
       val l = t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+      // unique tiebreak after the value: GlobalOrder's documented
+      // total-order contract (tied ranks must not renumber on cache
+      // eviction + recompute); the selected VALUES are tie-invariant
+      // either way, the contract is about rank identity
       val ranked = graft.operators.GlobalOrder.withGroupedRank(
-        l, Seq("l_returnflag"), Seq(col("v")), "rk", "n")
+        l, Seq("l_returnflag"),
+        Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "rk", "n")
       def target(k: Int) =
         ((col("n") * lit(k) + lit(3)) / lit(4)).cast("long")
       ranked

@@ -865,9 +865,14 @@ object DedupOps extends QueryGroup {
       // so the write never scans its own destination. The ledger side
       // is prefix-pruned by the incoming hashes — maintenance reads
       // only the ledger slices this refresh could possibly touch.
+      // maintenance reads the FULL ledger: pruning it by the prior
+      // side's prefixes would re-execute the corpus-sized prior
+      // pipeline a second time (driver collect) to derive a set that a
+      // full prior covers anyway — the prune belongs on the QUERY path
+      // (incrementalDedup), where the batch is small and already built
       val novel = prior
-        .join(prunedByPrefix(s.read.parquet(path), prior)
-          .select("content_hash"), Seq("content_hash"), "left_anti")
+        .join(s.read.parquet(path).select("content_hash"),
+          Seq("content_hash"), "left_anti")
         .localCheckpoint()
       if (!novel.isEmpty)
         withPfx(novel).write.partitionBy("pfx").mode("append").parquet(path)
@@ -1132,12 +1137,17 @@ object DedupOps extends QueryGroup {
     * cannot near-dup).
     */
   private[graft] def minhashIndex(d: DataFrame): DataFrame = {
-    val sh = d
+    // scratch the shingle frame: it feeds BOTH the explode-derived
+    // signature branch and the final join — unscratched, WordGramHashes
+    // runs twice over the input (corpus-sized at the d13 ledger
+    // bootstrap), the same re-evaluation gotcha every other shingle
+    // consumer barriers against
+    val sh = graft.operators.ScratchCache.scratch(d
       .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
         graft.functions.WordGramHashes(
           org.apache.spark.sql.GraftBridge.expression(col("text")),
           3, distinctSorted = true)).as("sh"))
-      .withColumn("n", size(col("sh")))
+      .withColumn("n", size(col("sh"))))
     val sig = sh.select(col("doc_id"), explode(col("sh")).as("h"))
       .groupBy("doc_id")
       .agg(min(xxhash64(lit(0), col("h"))).as("m0"),
@@ -1177,6 +1187,44 @@ object DedupOps extends QueryGroup {
     }
   }
 
+  /** The d13 band probe: batch index rows against a ledger-index frame
+    * (either side in the [[minhashIndex]] schema) — band equi-join +
+    * first-collision filter + exact sorted-merge Jaccard at
+    * [[jaccardT]]. One definition, shared by the d13 QueryDef and
+    * `LedgerScaleBench`'s flat-growth measurement, so the bench can
+    * never drift from the operator it claims to time.
+    */
+  private[graft] def nearDupProbe(batchIdx: DataFrame,
+      ledger: DataFrame): DataFrame = {
+    val bBands = batchIdx
+      .select(col("doc_id").as("i"), col("sh").as("sha"),
+        col("n").as("na"), col("keys").as("keysA"),
+        posexplode(col("keys")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    // ledger side reads STORED arrays — explode costs nothing extra
+    val lBands = ledger
+      .select(col("doc_id").as("j"), col("sh").as("shb"),
+        col("n").as("nb"), col("keys").as("keysB"),
+        posexplode(col("keys")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    // first-collision filter (the d3/d8 discipline): a pair sharing
+    // k bands leaves the probe join once, at its first shared band
+    val shared = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.SortedLongIntersectCount(
+        org.apache.spark.sql.GraftBridge.expression(col("sha")),
+        org.apache.spark.sql.GraftBridge.expression(col("shb"))))
+    bBands.as("a").join(lBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          graft.functions.VectorFunctions.firstEqualIndex(
+            col("a.keysA"), col("b.keysB")) === col("a.band"))
+      .withColumn("shared", shared)
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= jaccardT)
+      .select(col("i"), col("j"),
+        col("shared").cast(LongType).as("shared"), col("jaccard"))
+  }
+
   private val d13 = QueryDef(
     "d13_incremental_neardup",
     (s, dir) => {
@@ -1190,34 +1238,7 @@ object DedupOps extends QueryGroup {
       val batchIdx = graft.operators.ScratchCache.scratch(
         minhashIndex(all.filter(col("source") === "src0")
           .select("doc_id", "text")))
-      val bBands = batchIdx
-        .select(col("doc_id").as("i"), col("sh").as("sha"),
-          col("n").as("na"), col("keys").as("keysA"),
-          posexplode(col("keys")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-      // ledger side reads STORED arrays — explode costs nothing extra
-      val lBands = s.read.parquet(path)
-        .select(col("doc_id").as("j"), col("sh").as("shb"),
-          col("n").as("nb"), col("keys").as("keysB"),
-          posexplode(col("keys")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-      // first-collision filter (the d3/d8 discipline): a pair sharing
-      // k bands leaves the probe join once, at its first shared band
-      val shared = org.apache.spark.sql.GraftBridge.column(
-        graft.functions.SortedLongIntersectCount(
-          org.apache.spark.sql.GraftBridge.expression(col("sha")),
-          org.apache.spark.sql.GraftBridge.expression(col("shb"))))
-      bBands.as("a").join(lBands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            graft.functions.VectorFunctions.firstEqualIndex(
-              col("a.keysA"), col("b.keysB")) === col("a.band"))
-        .withColumn("shared", shared)
-        .withColumn("jaccard", col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared")).cast("double"))
-        .filter(col("jaccard") >= jaccardT)
-        .select(col("i"), col("j"),
-          col("shared").cast(LongType).as("shared"), col("jaccard"))
-        .orderBy("i", "j")
+      nearDupProbe(batchIdx, s.read.parquet(path)).orderBy("i", "j")
     },
     Some(s"""WITH sh2 AS (
        |  SELECT doc_id, source,

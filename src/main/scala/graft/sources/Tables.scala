@@ -88,15 +88,18 @@ object Tables {
     * matching layout MIGRATION for tables already in the catalog is
     * [[graft.migrate.SchemaEvolution.rebucket]].
     *
-    * @return the catalog table name (`<name>_by_<keys>_b<numBuckets>` —
-    *         key-qualified so distinct layouts of one table coexist)
+    * @return the catalog table name
+    *         (`<name>_by_<keys>_b<numBuckets>[_s<sortCols>]` — key- AND
+    *         sort-qualified so distinct layouts of one table coexist)
     */
   def registerBucketed(spark: SparkSession, dir: String, name: String,
       numBuckets: Int, keys: Seq[String],
       sortCols: Seq[String] = Nil): String = {
     require(numBuckets > 0 && keys.nonEmpty,
       "registerBucketed needs numBuckets > 0 and at least one key")
-    val table = s"${name}_by_${keys.mkString("_")}_b$numBuckets"
+    val sortTag =
+      if (sortCols.isEmpty) "" else s"_s${sortCols.mkString("_")}"
+    val table = s"${name}_by_${keys.mkString("_")}_b$numBuckets$sortTag"
     var w = load(spark, dir, name).write.format("parquet")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)

@@ -89,12 +89,14 @@ class PlanSpec extends AnyFunSuite with Matchers {
     // + band keys), not a prior-corpus re-derivation...
     p should include("graft_d13_ledger")
     p.linesIterator.count(_.contains("graft_d13_ledger")) shouldBe 1
-    // ...and every documents scan is the BATCH (source pushed): daily
+    // ...and EVERY documents scan is the BATCH (source pushed): daily
     // cost is O(batch) regardless of the standing corpus behind the
-    // ledger (minhashIndex reads its input twice — shingles + sketch)
+    // ledger. No scan count: the batch index sits behind nested
+    // ScratchCache relations whose printed plans repeat their child
+    // scan a cache-state-dependent number of times — the invariant is
+    // that no documents read is ever UNfiltered (that would be the
+    // corpus being re-shingled)
     p should include("EqualTo(source,src0)")
-    p.linesIterator.count(l => l.contains("Scan parquet") &&
-      l.contains("documents")) should be <= 2
     p.linesIterator.filter(l => l.contains("Scan parquet") &&
         l.contains("documents"))
       .foreach(l => withClue(l) {
