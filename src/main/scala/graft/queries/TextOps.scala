@@ -915,7 +915,75 @@ object TextOps extends QueryGroup {
        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
        |FROM sums ORDER BY lang""".stripMargin))
 
+  // --------------------------------------------------------------- T19
+  // Source-drift detection: cosine similarity between every pair of
+  // sources' unigram COUNT profiles — the corpus-snapshot comparator
+  // (a feed that shifted topic/language/generator shows up as its
+  // row's similarity dropping against every stable source; the same
+  // statistic compares a new crawl snapshot to the standing corpus).
+  //
+  // Scale shape: ONE corpus-sized partial-agg pass (source × word
+  // counts); everything after — the profile self-join on the word key,
+  // the norms — runs on the VOCABULARY-bounded frequency table
+  // (sources × vocab rows; the t13/t18 model-table shape). Source
+  // count is small by nature (feeds, not documents), so the S² pair
+  // output is tiny.
+  //
+  // Cross-engine exactness without any quantization discipline: dot
+  // products and norms are EXACT BIGINT sums of count products; the
+  // final cosine is one identical IEEE expression over exact integers
+  // on both engines, rounded to the 1e-6 grid only to absorb the
+  // >2⁵³-cast ulp (q40's argument).
+  private val t19 = QueryDef(
+    "t19_source_drift",
+    (s, dir) => {
+      val freq = docs(s, dir)
+        .select(col("source"), explode(words(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val norms = freq.groupBy("source")
+        .agg(sum(col("c") * col("c")).as("nn"))
+      val dots = freq.as("a").join(freq.as("b"),
+          col("a.w") === col("b.w") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(sum(col("a.c") * col("b.c")).as("dot"),
+          count(lit(1)).as("shared_words"))
+      dots
+        .join(norms.select(col("source").as("src_a"), col("nn").as("na")),
+          "src_a")
+        .join(norms.select(col("source").as("src_b"), col("nn").as("nb")),
+          "src_b")
+        .select(col("src_a"), col("src_b"), col("shared_words"),
+          round(col("dot").cast(DoubleType) /
+            (sqrt(col("na").cast(DoubleType)) *
+              sqrt(col("nb").cast(DoubleType))), 6).as("cos_sim"))
+        .orderBy("src_a", "src_b")
+    },
+    Some("""WITH freq AS (
+       |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM
+       |    (SELECT source, unnest(string_split(text,' ')) AS w
+       |     FROM documents)
+       |  GROUP BY source, w
+       |), norms AS (
+       |  SELECT source, CAST(SUM(c*c) AS BIGINT) AS nn
+       |  FROM freq GROUP BY source
+       |), dots AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(SUM(a.c*b.c) AS BIGINT) AS dot,
+       |    CAST(COUNT(*) AS BIGINT) AS shared_words
+       |  FROM freq a JOIN freq b
+       |    ON a.w = b.w AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, shared_words,
+       |  round(CAST(dot AS DOUBLE) /
+       |    (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6)
+       |    AS cos_sim
+       |FROM dots
+       |JOIN norms na ON na.source = src_a
+       |JOIN norms nb ON nb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18)
+      t16, t17, t18, t19)
 }

@@ -249,6 +249,39 @@ class StatsSamplingSpec extends AnyFunSuite with Matchers {
     p.linesIterator.count(_.contains("Exchange rangepartitioning")) should be >= 1
   }
 
+  test("t19: source-profile cosines match an exact single-node " +
+      "reference; self-similarity structure is sane") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val freq = docs.flatMap { case (src, t) =>
+      t.split(" ", -1).map(w => (src, w))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val bySrc = freq.groupBy(_._1._1)
+      .map { case (s, m) => s -> m.map { case ((_, w), c) => w -> c } }
+    def cos(a: Map[String, Long], b: Map[String, Long]): (Long, Double) = {
+      val shared = a.keySet & b.keySet
+      val dot = shared.toSeq.map(w => a(w) * b(w)).sum
+      val na = math.sqrt(a.values.map(c => c * c).sum.toDouble)
+      val nb = math.sqrt(b.values.map(c => c * c).sum.toDouble)
+      (shared.size.toLong, dot.toDouble / (na * nb))
+    }
+    val out = run("t19_source_drift").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val pairs = for (a <- srcs; b <- srcs if a < b) yield (a, b)
+    out.keySet shouldBe pairs.toSet
+    pairs.foreach { case (a, b) =>
+      val (sw, c) = cos(bySrc(a), bySrc(b))
+      withClue(s"($a,$b): ") {
+        out((a, b))._1 shouldBe sw
+        out((a, b))._2 shouldBe c +- 1e-6
+        out((a, b))._2 should (be >= 0.0 and be <= 1.0)
+      }
+    }
+  }
+
   test("t18: one corpus scan; windows and regression run on the " +
       "vocabulary-bounded frequency table") {
     val p = plan("t18_corpus_zipf")
