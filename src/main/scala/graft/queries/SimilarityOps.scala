@@ -140,42 +140,85 @@ object SimilarityOps extends QueryGroup {
        |)
        |SELECT qid, rank, vec_id AS neighbor_id, cosine
        |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+  /** The shared s2/s7 LSH candidate stage: occupancy-keyed hyperplane
+    * buckets on both sides, query side broadcast, candidates
+    * materialized under `tap` so each consumer gets its own
+    * hash-verifiable two-stage oracle.
+    */
+  private def lshQueryCandidates(s: SparkSession, dir: String,
+      tap: String): DataFrame = {
+    val e = emb(s, dir)
+    val n = e.count()
+    val lshBits = s2Bits(n)
+    val lshTables = s2Tables(n)
+    def buckets(df: DataFrame, idCol: String): DataFrame =
+      // BARRIER before the explode (the d8 discipline): collapsed
+      // into the Generate's stage, the L signature loops form one
+      // generated method past the JIT's compile threshold and the
+      // whole stage drops to the bytecode interpreter — the sf10
+      // probe measured ~100× on the d8 twin of this shape
+      graft.operators.ScratchCache.scratch(
+        df.select(Seq(col("vec_id").as(idCol), col("embedding")) ++
+          (0 until lshTables).map(t =>
+            hyperplaneSignature(col("embedding"), lshBits, 0x5eed + t)
+              .as(s"h$t")): _*))
+        .select(col(idCol), col("embedding"),
+          posexplode(array((0 until lshTables).map(t => col(s"h$t")): _*)))
+        .toDF(idCol, "embedding", "table", "bucket")
+    val dataB = buckets(e, "vec_id")
+    val queryB = buckets(e.filter(col("vec_id") < NQ), "qid")
+      .withColumnRenamed("embedding", "qe")
+    graft.sources.VerifyTap(
+      dataB.join(broadcast(queryB), Seq("table", "bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("qe"), col("embedding"))
+        .dropDuplicates("qid", "vec_id"),
+      tap)
+  }
+
   private val s2 = QueryDef(
     "s2_ann_lsh",
     (s, dir) => {
-      val e = emb(s, dir)
-      val n = e.count()
-      val lshBits = s2Bits(n)
-      val lshTables = s2Tables(n)
-      def buckets(df: DataFrame, idCol: String): DataFrame =
-        // BARRIER before the explode (the d8 discipline): collapsed
-        // into the Generate's stage, the L signature loops form one
-        // generated method past the JIT's compile threshold and the
-        // whole stage drops to the bytecode interpreter — the sf10
-        // probe measured ~100× on the d8 twin of this shape
-        graft.operators.ScratchCache.scratch(
-          df.select(Seq(col("vec_id").as(idCol), col("embedding")) ++
-            (0 until lshTables).map(t =>
-              hyperplaneSignature(col("embedding"), lshBits, 0x5eed + t)
-                .as(s"h$t")): _*))
-          .select(col(idCol), col("embedding"),
-            posexplode(array((0 until lshTables).map(t => col(s"h$t")): _*)))
-          .toDF(idCol, "embedding", "table", "bucket")
-      val dataB = buckets(e, "vec_id")
-      val queryB = buckets(e.filter(col("vec_id") < NQ), "qid")
-        .withColumnRenamed("embedding", "qe")
-      val cand = graft.sources.VerifyTap(
-        dataB.join(broadcast(queryB), Seq("table", "bucket"))
-          .filter(col("qid") =!= col("vec_id"))
-          .select(col("qid"), col("vec_id"), col("qe"), col("embedding"))
-          .dropDuplicates("qid", "vec_id"),
-        "s2_cand")
-      val scored = cand
+      val scored = lshQueryCandidates(s, dir, "s2_cand")
         .withColumn("cosine", cosine(col("qe"), col("embedding")))
         .select("qid", "vec_id", "cosine")
       topKAgg(scored)
     },
     Some(rerankOracle("s2_cand")))
+
+  // ---------------------------------------------------------------- S7
+  // RANGE search — the other retrieval mode next to top-k: ALL
+  // neighbors with cosine ≥ r per query, however many there are (dedup
+  // thresholds, "everything semantically equivalent to this span",
+  // policy matching — places where a fixed k silently truncates). Same
+  // occupancy-keyed LSH candidate stage as s2 (bounded candidates per
+  // query at any corpus size); the threshold filter replaces the
+  // bounded-heap rank, so the output needs NO per-query aggregation at
+  // all — a pure map-side filter over the candidate stream, even more
+  // shuffle-free than top-k. Oracle: DuckDB re-scores the tapped
+  // candidates with the s1-exact fold and applies the same ≥ filter.
+  private val rangeR = 0.3
+  private val s7 = QueryDef(
+    "s7_ann_range_search",
+    (s, dir) =>
+      lshQueryCandidates(s, dir, "s7_cand")
+        .withColumn("cosine", cosine(col("qe"), col("embedding")))
+        .filter(col("cosine") >= rangeR)
+        .select(col("qid"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .orderBy("qid", "neighbor_id"),
+    Some(s"""WITH cand AS (
+       |  SELECT qid, vec_id, qe, embedding
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/s7_cand/*.parquet')
+       |), scored AS (
+       |  SELECT qid, vec_id,
+       |    list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)
+       |    / ( sqrt(list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(qe[i]::DOUBLE) for i in range(1, len(qe)+1)]), (x,y) -> x+y))
+       |      * sqrt(list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)) ) AS cosine
+       |  FROM cand
+       |)
+       |SELECT qid, vec_id AS neighbor_id, cosine
+       |FROM scored WHERE cosine >= $rangeR
+       |ORDER BY qid, neighbor_id""".stripMargin))
 
   // ---------------------------------------------------------------- S3
   // IVF with a SIZE-KEYED index: cells ≈ √n (floored at the calibrated
@@ -469,5 +512,5 @@ object SimilarityOps extends QueryGroup {
     },
     Some(rerankOracle("s6_cand")))
 
-  override val queries: Seq[QueryDef] = Seq(s1, s2, s3, s4, s5, s6)
+  override val queries: Seq[QueryDef] = Seq(s1, s2, s3, s4, s5, s6, s7)
 }
