@@ -371,6 +371,24 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     sigs.count { case (_, hi, lo) => hi != lo } should be > (sigs.length / 2)
   }
 
+  test("containment: documents with empty shingle sets are never " +
+      "reported as duplicates (0/0 guard)") {
+    // two sub-3-word docs share an EMPTY 3-gram set; containment
+    // |A∩B|/|A| is 0/0-undefined there and the DuckDB oracle's
+    // shared-token join never surfaces such pairs — the within-group
+    // expansion must not either (regression test for the r12 review
+    // fix; the symmetric Jaccard twin has carried this guard since r6)
+    import spark.implicits._
+    val toks = Seq(
+      (1L, Array(10L, 20L, 30L)), (2L, Array(10L, 20L, 30L)),
+      (3L, Array.empty[Long]), (4L, Array.empty[Long]))
+      .toDF("doc_id", "sh")
+    val out = graft.operators.ContainmentNearDup
+      .pairs(toks, "doc_id", "sh", 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out shouldBe Set((1L, 2L), (2L, 1L)) // both directions, no (3,4)
+  }
+
   test("d7 keeps exactly one document per cluster (keeper set)") {
     val kept = run("d7_dedup_apply").collect().map(_.getLong(0)).toSet
     val cluster = run("d6_dedup_clusters").select("doc_id", "cluster")
