@@ -253,7 +253,11 @@ object DedupOps extends QueryGroup {
     * bit b set ⟺ sum(±1) > 0 ⟺ 2·c_b > n, so the bits are identical
     * to the unpacked formulation (spec-asserted). Lanes cannot carry
     * while a document has < 65 536 shingles — orders of magnitude above
-    * any real document's shingle count. The aggregation buffer shrinks
+    * any real document's shingle count — and the builder GUARDS the
+    * assumption: a doc at or past 2¹⁶ shingles raises instead of
+    * silently corrupting neighboring lanes (the guard is threaded into
+    * the vote derivation so the optimizer cannot prune it; one
+    * comparison per doc). The aggregation buffer shrinks
     * 65 → 17 slots, which is what the shuffle and the partial-agg
     * update loop pay for. ~1.6× at sf0.1.
     */
@@ -274,6 +278,7 @@ object DedupOps extends QueryGroup {
     }
     val counts = tok.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), packedAggs: _*)
+      .withColumn("n", laneGuard(col("n"), col("doc_id")))
     val sig = (0 until 64).map { b =>
       val c = shiftrightunsigned(col(s"p${b / 4}"), 16 * (b % 4))
         .bitwiseAND(lit(0xffffL))
@@ -281,6 +286,20 @@ object DedupOps extends QueryGroup {
     }.reduce(_.bitwiseOR(_))
     counts.select(col("doc_id"), sig.as("sig"))
   }
+
+  /** Loud failure for the packed-lane builders' documented limit: a
+    * document with ≥ 2¹⁶ shingles would carry a 16-bit vote lane into
+    * its neighbor and corrupt BOTH signature halves silently — and the
+    * tap-based oracles verify pairing over the (already corrupted)
+    * signatures, so the hash gate could never catch it. Threading the
+    * guard through `n` (which every vote comparison reads) keeps the
+    * optimizer from pruning it; cost is one comparison per document.
+    */
+  private[graft] def laneGuard(n: Column, docId: Column): Column =
+    when(n < lit(65536L), n).otherwise(raise_error(concat(
+      lit("simhash packed-lane overflow: doc "), docId.cast("string"),
+      lit(" has "), n.cast("string"),
+      lit(" shingles >= 65536 — votes would corrupt adjacent lanes"))))
 
   /** 128-bit SimHash signatures carried as two longs (`hi`, `lo`): the
     * same packed-lane vote aggregation as [[simhashSigs]], run over two
@@ -306,6 +325,10 @@ object DedupOps extends QueryGroup {
     val counts = tok.groupBy("doc_id")
       .agg(count(lit(1)).as("n"),
         (packed(col("h"), "p") ++ packed(col("h2"), "q")): _*)
+      // same packed-lane overflow guard as [[simhashSigs]] (see
+      // [[laneGuard]]): d14's oracle taps these signatures, so a lane
+      // carry would ship hash-green — fail loudly instead
+      .withColumn("n", laneGuard(col("n"), col("doc_id")))
     def sig(pfx: String) = (0 until 64).map { b =>
       val c = shiftrightunsigned(col(s"$pfx${b / 4}"), 16 * (b % 4))
         .bitwiseAND(lit(0xffffL))
@@ -862,9 +885,7 @@ object DedupOps extends QueryGroup {
       withPfx(prior).write.partitionBy("pfx").mode("overwrite").parquet(path)
     else {
       // novel hashes only; materialized (batch-sized) before the append
-      // so the write never scans its own destination. The ledger side
-      // is prefix-pruned by the incoming hashes — maintenance reads
-      // only the ledger slices this refresh could possibly touch.
+      // so the write never scans its own destination.
       // maintenance reads the FULL ledger: pruning it by the prior
       // side's prefixes would re-execute the corpus-sized prior
       // pipeline a second time (driver collect) to derive a set that a
@@ -1130,6 +1151,17 @@ object DedupOps extends QueryGroup {
   // surfaced pair set coincides with the exact cross-set truth
   // (per-pair miss ~2·10⁻⁴ at J = 0.8) and the oracle is a full
   // DuckDB recompute over the source split.
+  //
+  // DIAGNOSIS NOTE (applies to ST10's spec too): the oracle is exact
+  // brute-force Jaccard while the operator surfaces LSH collisions, so
+  // a true pair at J slightly above 0.8 that misses all 16 bands
+  // (~2·10⁻⁴ per qualifying pair; DuckDB cannot re-derive the xxhash64
+  // band keys to be band-aware) would show up as a hash/row mismatch
+  // with the Spark side MISSING exactly one near-threshold pair. If a
+  // future d13 failure has that precise shape — row counts off by ~1,
+  // the absent pair's recomputed Jaccard in [0.80, 0.82) — it is the
+  // documented LSH-miss probability materializing on regenerated data,
+  // not an operator bug; any other shape is a real defect.
 
   /** (doc_id, sh, n, keys): the per-doc MinHash band index of a
     * (doc_id, text) frame — the schema the d13 ledger persists.

@@ -371,6 +371,26 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     sigs.count { case (_, hi, lo) => hi != lo } should be > (sigs.length / 2)
   }
 
+  test("simhash packed-lane guard: a ≥ 2^16-shingle document raises " +
+      "loudly instead of silently corrupting vote lanes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // under the limit: passthrough, no error
+    val ok = Seq((1L, 65535L), (2L, 10L)).toDF("doc_id", "n")
+      .select(graft.queries.DedupOps.laneGuard(col("n"), col("doc_id"))
+        .as("n")).collect().map(_.getLong(0)).sorted
+    ok shouldBe Array(10L, 65535L)
+    // at the limit: the tap-based oracles verify pairing over already
+    // corrupted signatures, so overflow MUST fail the job, not ship
+    val ex = intercept[Exception] {
+      Seq((7L, 65536L)).toDF("doc_id", "n")
+        .select(graft.queries.DedupOps.laneGuard(col("n"), col("doc_id"))
+          .as("n")).collect()
+    }
+    ex.getMessage should include("packed-lane overflow")
+    ex.getMessage should include("7")
+  }
+
   test("containment: documents with empty shingle sets are never " +
       "reported as duplicates (0/0 guard)") {
     // two sub-3-word docs share an EMPTY 3-gram set; containment
