@@ -36,8 +36,9 @@ object SkewBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scenario = args.headOption.getOrElse("all")
-    require(Set("all", "join", "jaccard", "lm", "pairs")(scenario),
-      s"unknown scenario '$scenario' (expected all | join | jaccard | lm | pairs)")
+    require(Set("all", "join", "jaccard", "lm", "pairs", "simhash")(scenario),
+      s"unknown scenario '$scenario' " +
+        "(expected all | join | jaccard | lm | pairs | simhash)")
     val spark = GraftSession.local(32, "graft-skew-bench")
 
     def sink(df: DataFrame): Unit =
@@ -186,6 +187,36 @@ object SkewBench {
     time("pairs_window_arm_2")(lev(false))
     time("pairs_rank_arm_2")(lev(true))
     spark.catalog.clearCache()
+    }
+
+    // ------------------------------- d4 simhash blocking arms, head-to-head
+    // Locates the switch point for HammingNearDup.pairsWideAuto
+    // (wideBlockMinItems): narrow lo-64 blocking (2¹⁶ keys, half the
+    // probe explode) vs wide 4×32-bit blocking (2³² keys). Both arms are
+    // result-equal by spec; this times the candidate+verify join alone —
+    // signatures are computed once from the SF dir's REAL documents
+    // (synthetic uniform-random signatures would flatter the narrow arm:
+    // real simhash bits are vote-correlated, so real corpora collide far
+    // more per 16-bit key). Optional second arg keeps 1-in-k docs by id
+    // hash, so one sf10 dir yields the 500k/250k/125k corpus line.
+    if (scenario == "simhash") {
+    val keep = args.lift(1).map(_.toInt).getOrElse(1)
+    val sigs = graft.queries.DedupOps.simhashSigs128(spark, sfDir)
+      .filter(pmod(xxhash64(col("doc_id")), lit(keep)) === 0)
+    sigs.cache().write.format("noop").mode("overwrite").save()
+    println(s"[skew] simhash_n ${sigs.count()}")
+    import graft.operators.HammingNearDup
+    def arm(wide: Boolean): Unit = sink(
+      if (wide) HammingNearDup.pairsWide(sigs, "doc_id", "hi", "lo", 7)
+      else HammingNearDup
+        .pairsWideNarrowBlocked(sigs, "doc_id", "hi", "lo", 7))
+    arm(true) // warm codegen untimed
+    time("simhash_narrow_arm")(arm(false))
+    time("simhash_wide_arm")(arm(true))
+    time("simhash_narrow_arm_2")(arm(false))
+    time("simhash_wide_arm_2")(arm(true))
+    spark.catalog.clearCache()
+    graft.operators.ScratchCache.releaseAll()
     }
 
     spark.stop()

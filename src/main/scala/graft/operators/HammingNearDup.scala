@@ -31,7 +31,10 @@ import graft.functions.HashFunctions.hamming64
   * sides) + one shuffle on the block key; candidate volume is bounded
   * by bucket collisions, and a hot bucket (e.g. an all-zero block from
   * short inputs) can be salted or dropped like any skewed join key.
-  * Used by d4 (text simhash) and MM3 (binary pHash).
+  * [[pairs]] (64-bit) backs MM3's binary pHash; d4's text simhash runs
+  * the 128-bit [[pairsWide]] (measured fastest at every corpus size —
+  * BASELINE §skew), with [[pairsWideNarrowBlocked]] as d14's oracled
+  * comparison arm.
   */
 object HammingNearDup {
 
@@ -122,14 +125,49 @@ object HammingNearDup {
     * @return (i, j, hamming) with i < j, hamming ≤ maxHam over all 128
     */
   def pairsWide(sigs: DataFrame, idCol: String, hiCol: String,
-      loCol: String, maxHam: Int): DataFrame = {
+      loCol: String, maxHam: Int): DataFrame =
+    pairsWideImpl(sigs, idCol, hiCol, loCol, maxHam, blockSpan = 128)
+
+  /** [[pairsWide]]'s NARROW-BLOCKED comparison arm: same 128-bit
+    * hamming semantics and exact verification, but pigeonhole blocks
+    * are cut from the LOW 64 bits only. Losslessness is one
+    * inequality: hamming₁₂₈(a,b) ≤ maxHam ⇒ hamming₆₄(lo_a,lo_b) ≤
+    * maxHam (the lo half's differing bits are a subset of all
+    * differing bits), so the 64-bit pigeonhole over lo already
+    * surfaces every qualifying pair — spec-proven equal to the
+    * wide-blocked arm AND to brute force.
+    *
+    * NOT the shipping arm at any corpus size. The r13 hypothesis was a
+    * size-keyed switch (16-bit keys mean HALF the probe explode — 4×17
+    * vs 4×33 ball keys per row — cheaper while bucket collisions are
+    * rare), but the head-to-head on real signatures falsified it: real
+    * simhash bits are vote-correlated, so a 2¹⁶ key space is collision
+    * -dense even at 5k docs (arms tie, 1.4 s both) and the candidate
+    * volume grows as n²·nBlocks·(width+1)/2^w past it (500k docs:
+    * 13.3 s vs wide's 9.1 s; full 6-point table in BASELINE §skew).
+    * Kept as the measured reference arm (SkewBench `simhash`) and the
+    * d14 oracle twin that holds both candidate generators under the
+    * driver hash gate.
+    */
+  def pairsWideNarrowBlocked(sigs: DataFrame, idCol: String,
+      hiCol: String, loCol: String, maxHam: Int): DataFrame =
+    pairsWideImpl(sigs, idCol, hiCol, loCol, maxHam, blockSpan = 64)
+
+  private def pairsWideImpl(sigs: DataFrame, idCol: String, hiCol: String,
+      loCol: String, maxHam: Int, blockSpan: Int): DataFrame = {
     require(maxHam >= 0 && maxHam < 128,
       s"maxHam must be in [0,128), got $maxHam")
+    require(blockSpan == 64 || blockSpan == 128,
+      s"blockSpan must be 64 or 128, got $blockSpan")
+    // narrow blocking pigeonholes within lo, which is only valid while
+    // maxHam errors over ALL 128 bits still bound the lo half's errors
+    require(blockSpan == 128 || maxHam < 64,
+      s"narrow blocking needs maxHam < 64, got $maxHam")
     // floor of 2 blocks so maxHam ≤ 3 stays expressible (width 64 = the
     // plain hi/lo split; pigeonhole still holds: ≤ maxHam errors over
     // nBlocks blocks leave the min block with ≤ ⌊maxHam/nBlocks⌋ ≤ 1)
     val nBlocks = math.max(2, maxHam / 2 + 1)
-    val width = (128 + nBlocks - 1) / nBlocks
+    val width = (blockSpan + nBlocks - 1) / nBlocks
     require(width <= 64, s"maxHam $maxHam gives width $width > 64")
     val ballRadius = maxHam / nBlocks
     val members = sigs.select(col(idCol).as("id"),
@@ -137,11 +175,12 @@ object HammingNearDup {
     val uniq = members.select(col("hi"), col("lo")).distinct()
     def mask(w: Int) = lit(if (w >= 64) -1L else (1L << w) - 1)
     // block b covers bits [b·width, b·width + w) of the lo‖hi
-    // concatenation; a block straddling the 64-bit seam combines a
-    // lo suffix with a shifted hi prefix
+    // concatenation (of lo alone when blockSpan = 64); a block
+    // straddling the 64-bit seam combines a lo suffix with a shifted
+    // hi prefix
     val blockVals = array((0 until nBlocks).map { b =>
       val start = b * width
-      val w = math.min(width, 128 - start)
+      val w = math.min(width, blockSpan - start)
       if (start >= 64)
         shiftrightunsigned(col("hi"), start - 64).bitwiseAND(mask(w))
       else if (start + w <= 64)

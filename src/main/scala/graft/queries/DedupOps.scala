@@ -228,23 +228,31 @@ object DedupOps extends QueryGroup {
        |ORDER BY i, j""".stripMargin))
 
   // ---------------------------------------------------------------- D4
-  // SimHash over the shingle set; candidate generation + hamming verify
-  // delegate to [[graft.operators.HammingNearDup]] (pigeonhole blocking:
-  // hamming ≤ 7 ⇒ at least one of the 8 8-bit blocks matches exactly, so
-  // candidates come from an equi-join on (block, value)).
+  // SimHash near-dup: hamming ≤ 7 over the 128-bit signature,
+  // candidates via [[graft.operators.HammingNearDup.pairsWide]] —
+  // 4×32-bit pigeonhole blocking (2³² keys, linear to ~10⁹ docs),
+  // clearing r12's measured 64-bit-block-space quadratic (BASELINE
+  // §sf10: 13.6× on 10× data). A SIZE-KEYED arm switch to lo-64
+  // 16-bit-key blocking (the q36/t13/d2/d8 discipline) was the r13
+  // hypothesis for small corpora — half the probe explode while
+  // collisions are rare — and the head-to-head measurement FALSIFIED
+  // it: on real vote-correlated signatures the 2¹⁶ key space is dense
+  // at every size, and the wide arm ties at 5k docs and wins at every
+  // larger point (BASELINE §skew, 6 sizes 5k→500k). So d4 ships wide
+  // blocking unconditionally; d14 below keeps the narrow-blocked
+  // comparison arm driver-oracled every round (the d8/d8i twin
+  // pattern), so both candidate generators stay under the hash gate.
   //
   // Two-stage oracle: the signatures (Spark xxhash64 — no DuckDB twin)
   // are materialized via [[graft.sources.VerifyTap]]; DuckDB then
-  // brute-forces ALL-PAIRS hamming over them, which checks the pigeonhole
+  // brute-forces ALL-PAIRS 128-bit hamming over them, which checks the
   // blocking's losslessness claim (every pair ≤ maxHam found, none
   // beyond) on real data, not just the property spec.
   //
-  // The signature is computed by explode + 64 codegen'd conditional sums
-  // (partial-agg friendly) rather than 64 HOF folds per row — identical
+  // The signature is computed by explode + packed codegen'd vote sums
+  // (partial-agg friendly) rather than HOF folds per row — identical
   // bits to HashFunctions.simhash64 (same word hash, same vote rule),
   // but the hot loop stays in whole-stage codegen. ~5× at sf0.1.
-  private val shBlocks = 8
-  private val shMaxHam = shBlocks - 1
 
   /** (doc_id, sig) via the distributed vote formulation, with PACKED
     * bit counters: 16 sum aggregates, each packing four 16-bit lanes
@@ -337,42 +345,46 @@ object DedupOps extends QueryGroup {
     counts.select(col("doc_id"), sig("q").as("hi"), sig("p").as("lo"))
   }
 
+  private val shWideMaxHam = 7
   private val d4 = QueryDef(
     "d4_dedup_simhash",
     (s, dir) => {
-      val sig = graft.sources.VerifyTap(simhashSigs(s, dir), "d4_sigs")
+      val sig = graft.sources.VerifyTap(simhashSigs128(s, dir), "d4_sigs")
       graft.operators.HammingNearDup
-        .pairs(sig, "doc_id", "sig", shMaxHam)
+        .pairsWide(sig, "doc_id", "hi", "lo", shWideMaxHam)
         .orderBy("i", "j")
     },
     Some(s"""WITH sigs AS (
-       |  SELECT doc_id, sig
+       |  SELECT doc_id, hi, lo
        |  FROM read_parquet('${graft.sources.VerifyTap.root}/d4_sigs/*.parquet')
        |)
        |SELECT a.doc_id AS i, b.doc_id AS j,
-       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+       |    AS BIGINT) AS hamming
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sig, b.sig)) <= $shMaxHam
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+       |  <= $shWideMaxHam
        |ORDER BY i, j""".stripMargin))
 
   // --------------------------------------------------------------- D14
-  // SimHash near-dup at CORPUS scale: the wide-signature arm that keeps
-  // hamming dedup linear past d4's candidate floor. d4's 64-bit scheme
-  // caps the pigeonhole block at 16 bits (maxHam = 7), a 2¹⁶ key space
-  // any ≥10⁶-doc corpus outgrows quadratically — BASELINE §sf10
-  // measures that shape emerging (13.6× on 10× data at 500k docs).
-  // d14 runs hamming ≤ 7 over a 128-bit signature: 4 blocks of 32 bits
-  // (2³² keys — linear to ~10⁹ docs) at a deliberately TIGHTER per-bit
-  // rate, the production trade (Manku et al. 2007 ran 3/64 at 8·10⁹
-  // pages). Same tap-based oracle as d4: DuckDB brute-forces the
-  // 128-bit popcount pairing over the tapped signatures.
-  private val shWideMaxHam = 7
+  // d4's FORCED NARROW-BLOCKED comparison arm, driver-oracled every
+  // round (the d8/d8i twin pattern — d4 ships wide 4×32-bit blocking
+  // at every size per the r13 measurement, so this twin keeps the
+  // other candidate generator under the hash gate). Same wide-SIGNATURE
+  // semantics — hamming ≤ 7 over the 128-bit simhash, the production
+  // per-bit rate (Manku et al. 2007 ran 3/64 at 8·10⁹ pages) — but
+  // pigeonhole blocks cut from the lo 64 bits only (2¹⁶ keys; lossless
+  // because hamming₁₂₈ ≤ 7 bounds the lo half's hamming — the subset
+  // inequality HammingNearDupSpec proves against brute force). Same
+  // tap-based oracle as d4: DuckDB brute-forces the 128-bit popcount
+  // pairing over the tapped signatures — and since both arms are exact
+  // over the same signatures, d4 ≡ d14 row for row.
   private val d14 = QueryDef(
     "d14_dedup_simhash_wide",
     (s, dir) => {
       val sig = graft.sources.VerifyTap(simhashSigs128(s, dir), "d14_sigs")
       graft.operators.HammingNearDup
-        .pairsWide(sig, "doc_id", "hi", "lo", shWideMaxHam)
+        .pairsWideNarrowBlocked(sig, "doc_id", "hi", "lo", shWideMaxHam)
         .orderBy("i", "j")
     },
     Some(s"""WITH sigs AS (

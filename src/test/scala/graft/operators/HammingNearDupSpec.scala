@@ -45,6 +45,53 @@ class HammingNearDupSpec extends AnyFunSuite with Matchers {
     pairsOf(sigs, 0) shouldBe Set((1L, 2L, 0L))
   }
 
+  test("wide pairs: narrow-blocked and wide-blocked arms are both " +
+      "lossless vs 128-bit brute force across thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1913)
+    val sigs = (1L to 250L).map { i =>
+      // clusters around two base patterns with 0–3 bit flips spread
+      // across BOTH halves (exercises lo-only blocking's losslessness
+      // when some differing bits live in hi), plus background noise
+      val (bh, bl) = i % 5 match {
+        case 0 | 1 => (0x1234567890ABCDEFL, 0x0F0F0F0F0F0F0F0FL)
+        case 2     => (0x5555555555555555L, 0xAAAAAAAAAAAAAAAAL)
+        case _     => (rnd.nextLong(), rnd.nextLong())
+      }
+      val flips = rnd.nextInt(4)
+      var (h, l) = (bh, bl)
+      (0 until flips).foreach { _ =>
+        val b = rnd.nextInt(128)
+        if (b >= 64) h ^= 1L << (b - 64) else l ^= 1L << b
+      }
+      (i, h, l)
+    }
+    val df = sigs.toDF("id", "hi", "lo")
+    for (maxHam <- Seq(0, 3, 7)) {
+      val brute = (for {
+        (i, hi, li) <- sigs; (j, hj, lj) <- sigs if i < j
+        d = java.lang.Long.bitCount(hi ^ hj) + java.lang.Long.bitCount(li ^ lj)
+        if d <= maxHam
+      } yield (i, j, d.toLong)).toSet
+      def got(f: org.apache.spark.sql.DataFrame) = f.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      withClue(s"maxHam=$maxHam: ") {
+        got(HammingNearDup
+          .pairsWideNarrowBlocked(df, "id", "hi", "lo", maxHam)) shouldBe brute
+        got(HammingNearDup
+          .pairsWide(df, "id", "hi", "lo", maxHam)) shouldBe brute
+      }
+    }
+  }
+
+  test("narrow blocking rejects thresholds the lo-half pigeonhole " +
+      "cannot guarantee") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 0L)).toDF("id", "hi", "lo")
+    an[IllegalArgumentException] should be thrownBy
+      HammingNearDup.pairsWideNarrowBlocked(df, "id", "hi", "lo", 64)
+  }
+
   test("mass-duplicate groups: lossless vs brute force, dup-heavy corpus") {
     // the shape a dedup corpus actually has: most rows sit in large
     // identical-signature groups (candidate generation must run over

@@ -371,6 +371,32 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     sigs.count { case (_, hi, lo) => hi != lo } should be > (sigs.length / 2)
   }
 
+  test("d4/d14 simhash arms: narrow-blocked ≡ wide-blocked ≡ brute " +
+      "force on real signatures") {
+    import graft.operators.HammingNearDup
+    val sigDf = graft.queries.DedupOps.simhashSigs128(spark, TestSpark.sfDir)
+    val sigs = sigDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force 128-bit reference
+    val ref = (for {
+      (ia, ha, la) <- sigs; (ib, hb, lb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 7
+    } yield (ia, ib) -> d.toLong).toMap
+    def arms(f: => org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val narrow = arms(HammingNearDup
+      .pairsWideNarrowBlocked(sigDf, "doc_id", "hi", "lo", 7))
+    val wide = arms(HammingNearDup
+      .pairsWide(sigDf, "doc_id", "hi", "lo", 7))
+    narrow shouldBe ref
+    wide shouldBe ref
+    ref should not be empty
+    // d4 ships the wide arm, d14 the narrow twin — both ARE this set
+    arms(run("d4_dedup_simhash")) shouldBe ref
+    arms(run("d14_dedup_simhash_wide")) shouldBe ref
+  }
+
   test("simhash packed-lane guard: a ≥ 2^16-shingle document raises " +
       "loudly instead of silently corrupting vote lanes") {
     import org.apache.spark.sql.functions._
