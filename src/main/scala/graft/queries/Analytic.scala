@@ -864,18 +864,20 @@ object Analytic extends QueryGroup {
   // `percentile()` buffers every group member in one aggregation
   // buffer, and a per-group sort window funnels each group through one
   // reducer (these groups are corpus-sized — 3 return flags over all
-  // of lineitem). Instead the values are globally ordered by
-  // (group, value) via GlobalOrder.withGroupedRank — range partition +
-  // per-partition offsets, no single reducer, no per-group buffer —
-  // and each quantile is the row at 1-based rank ⌈q·n⌉ — the
-  // percentile_disc convention DuckDB's quantile_disc implements
-  // (VERIFIED at n where it diverges from the ⌊q·(n−1)⌋+1 variant:
-  // both give identical p25/p50 at the driver SFs, only ⌈q·n⌉ matches
-  // p75). Rank targets use exact arithmetic (k·n+3 for k/4 quantiles
-  // is exact in double far past 2⁵³/3 rows, and the cast truncates =
-  // floors for positives, so (k·n+3) div 4 = ⌈k·n/4⌉); the selected
-  // values are untouched passthrough doubles, so the match is
-  // bit-exact.
+  // of lineitem). r12's plan ranked EVERYTHING via GlobalOrder — exact,
+  // no reducer wall, but a corpus-wide range shuffle + sort just to
+  // read off 3 rows per group (BASELINE §sf10: 8.7× on 10× data — the
+  // sort was the job). r13 replaces it with SKETCH-NARROWED exact
+  // selection ([[graft.operators.SketchNarrowedQuantiles]]): q37's GK
+  // sketch bounds each target rank ⌈q·n⌉ to a value band, one
+  // partial-agg scan counts rows below the band exactly, and only the
+  // band rows (~0.16% of the corpus) pay the range sort — three scans,
+  // none of which shuffles more than a few rows per group plus the
+  // band slice. Quantile ranks follow the percentile_disc convention
+  // DuckDB's quantile_disc implements (⌈q·n⌉, VERIFIED at n where it
+  // diverges from the ⌊q·(n−1)⌋+1 variant); selected values are
+  // untouched passthrough doubles, so the match is bit-exact — the
+  // sketch narrows, never answers.
   private val q43 = QueryDef(
     "q43_exact_quantiles",
     (s, dir) => {
@@ -886,19 +888,10 @@ object Analytic extends QueryGroup {
       // total-order contract (tied ranks must not renumber on cache
       // eviction + recompute); the selected VALUES are tie-invariant
       // either way, the contract is about rank identity
-      val ranked = graft.operators.GlobalOrder.withGroupedRank(
-        l, Seq("l_returnflag"),
-        Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "rk", "n")
-      def target(k: Int) =
-        ((col("n") * lit(k) + lit(3)) / lit(4)).cast("long")
-      ranked
-        .filter(col("rk") === target(1) || col("rk") === target(2) ||
-          col("rk") === target(3))
-        .groupBy("l_returnflag")
-        .agg(max(col("n")).as("n_rows"),
-          max(when(col("rk") === target(1), col("v"))).as("p25"),
-          max(when(col("rk") === target(2), col("v"))).as("p50"),
-          max(when(col("rk") === target(3), col("v"))).as("p75"))
+      graft.operators.SketchNarrowedQuantiles.perGroup(
+        l, "l_returnflag", "v",
+        Seq(("p25", 1), ("p50", 2), ("p75", 3)), den = 4,
+        tiebreak = Seq(col("l_orderkey"), col("l_linenumber")))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,

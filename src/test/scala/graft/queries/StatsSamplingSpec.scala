@@ -241,12 +241,50 @@ class StatsSamplingSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("q43: no per-group window funnel and no whole-group aggregation " +
-      "buffer — the rank comes from the range-partitioned global order") {
+  test("q43: no per-group window funnel, no whole-group aggregation " +
+      "buffer, and the range sort ranks only the sketch-narrowed band") {
     val p = plan("q43_exact_quantiles")
     p should not include "Window"              // no per-group sort window
-    p should not include "percentile"          // no buffering aggregate
-    p.linesIterator.count(_.contains("Exchange rangepartitioning")) should be >= 1
+    // no EXACT percentile (unbounded per-group buffer); the GK sketch
+    // (approx_percentile, bounded buffer) is the point of the plan
+    p.linesIterator.filterNot(_.contains("percentile_approx"))
+      .count(_.contains("percentile")) shouldBe 0
+    p should include ("percentile_approx")
+    // the bands/below sides broadcast back onto the ranked band slice —
+    // the narrowing itself never shuffles the corpus
+    p.linesIterator.count(_.contains("BroadcastExchange")) should be >= 2
+    // the corpus-sized side reaches GlobalOrder's range sort only AFTER
+    // the band-tag explode: the slice subplan (below the RDD boundary
+    // the final plan cuts at) filters + explodes in-band tags with the
+    // bands broadcast onto the scan — no corpus-wide exchange anywhere
+    val slice = graft.operators.SketchNarrowedQuantiles
+      .bandSliceForTest(
+        graft.sources.Tables.load(spark, TestSpark.sfDir, "lineitem")
+          .select(org.apache.spark.sql.functions.col("l_returnflag"),
+            org.apache.spark.sql.functions.col("l_extendedprice").as("v")),
+        "l_returnflag", "v", Seq(("p25", 1), ("p50", 2), ("p75", 3)),
+        den = 4)
+      .queryExecution.executedPlan.toString
+    slice should include ("Generate explode")  // the band-tag explode
+    slice should include ("BroadcastExchange") // bands broadcast to scan
+    slice should not include "Exchange rangepartitioning"
+    slice should not include "Window"
+  }
+
+  test("q43: the band slice entering the exact rank is a vanishing " +
+      "fraction of the corpus (the sketch does the narrowing)") {
+    val l = graft.sources.Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_extendedprice").as("v"))
+    val n = l.count()
+    val bandRows = graft.operators.SketchNarrowedQuantiles
+      .bandSliceForTest(l, "l_returnflag", "v",
+        Seq(("p25", 1), ("p50", 2), ("p75", 3)), den = 4)
+      .count()
+    // 3 bands × 2·margin/accuracy each = ≤ 0.48% of rows, plus slack
+    // for tiny driver corpora where the sketch keeps everything exact
+    assert(bandRows <= math.max(60L, (n * 0.02).toLong),
+      s"band slice $bandRows of $n rows — the sketch is not narrowing")
   }
 
   test("t19: source-profile cosines match an exact single-node " +
