@@ -21,6 +21,7 @@ import graft.sources.Tables
 object LedgerScaleBench {
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("compact")) { compactScenario(small); return }
     val big = args.headOption.getOrElse("/tmp/graft_sf1")
     val spark = GraftSession.local(32, "graft-ledger-scale")
 
@@ -82,6 +83,53 @@ object LedgerScaleBench {
     timeNearDup(n1x, "neardup_batch_vs_1x_corpus_index")
     timeNearDup(n10x, "neardup_warmup_10x")
     timeNearDup(n10x, "neardup_batch_vs_10x_corpus_index")
+    spark.stop()
+  }
+
+  /** The small-file tax of a long append chain, and what compaction
+    * buys back: the SAME ledger content behind 100 daily-append
+    * fragments vs bin-packed (`DedupOps.compactLedger`), timed on the
+    * exact daily ingest plan (d9's ledger anti-join). Run:
+    * `sbt "runMain graft.LedgerScaleBench compact"`; recorded in
+    * BASELINE §sf1 (d9 ledger growth).
+    */
+  private def compactScenario(sfDir: String): Unit = {
+    val spark = GraftSession.local(32, "graft-ledger-compact")
+    val appends = 100
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ledger_compact").toString
+    val path = s"$root/ledger_p1"
+    val hashes = Tables.load(spark, sfDir, "documents")
+      .filter(col("source") =!= "src0")
+      .select(md5(col("text")).as("content_hash")).distinct()
+      .withColumn("b", pmod(xxhash64(col("content_hash")), lit(appends)))
+      .localCheckpoint()
+    (0 until appends).foreach { i =>
+      DedupOps.refreshLedger(spark, path,
+        hashes.filter(col("b") === i).select("content_hash"))
+    }
+    def files() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).count(_.getName.startsWith("part-"))
+    }
+    val batch = Tables.load(spark, sfDir, "documents")
+      .filter(col("source") === "src0")
+    def timeDedup(label: String): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      DedupOps.incrementalDedup(batch, spark.read.parquet(path))
+        .write.format("noop").mode("overwrite").save()
+      println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        s" (${files()} files)")
+    }
+    timeDedup("compact_warmup")
+    timeDedup("ingest_vs_100_append_chain")
+    val t0 = System.nanoTime()
+    DedupOps.compactLedger(spark, path)
+    println(f"[ledger] compaction_itself ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    timeDedup("ingest_vs_compacted_warmup")
+    timeDedup("ingest_vs_compacted")
     spark.stop()
   }
 }

@@ -1231,6 +1231,64 @@ object DedupOps extends QueryGroup {
     }
   }
 
+  /** Bin-pack an append-only ledger (d9's or d13's) back to ~one file
+    * per partition. The append-only maintenance discipline is right for
+    * ingest cost — nothing corpus-sized is ever rewritten — but each
+    * batch leaves one file fragment per partition it touches, and
+    * after a year of daily runs every ledger read pays a listing +
+    * parquet-footer tax of ~365 fragments per partition (measured in
+    * LedgerScaleBench `compact`). Compaction is the periodic
+    * counterpart: ONE scan + one write (the floor for a physical
+    * re-layout, the F14 rebucket economics), preserving the layout the
+    * readers depend on — a `pfx`-partitioned ledger keeps its 16
+    * partition dirs and therefore its pruned-scan PartitionFilters, an
+    * unpartitioned ledger packs to ⌈bytes/128 MB⌉ files.
+    *
+    * Crash-safe by rename-aside (the SchemaEvolution swap, on raw
+    * paths): the compacted copy is fully written to a staging dir
+    * first, the live dir is renamed ASIDE (not deleted) before staging
+    * takes its name, and the backup is dropped only after the swap —
+    * at every instant the full ledger exists under some path, and a
+    * crash leaves either the original intact (possibly under
+    * `__compact_backup`, restored on the next call) or the swap
+    * complete. Content is untouched — read-equivalence is spec-gated.
+    */
+  private[graft] def compactLedger(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(path + "__compact_backup")
+    // finish a crashed predecessor: staging is always safe to discard
+    // (the live dir was intact when it was being written); a leftover
+    // backup with no live dir means the crash hit between the renames
+    if (!fs.exists(p) && fs.exists(backup))
+      require(fs.rename(backup, p), s"could not restore $backup to $path")
+    require(fs.exists(p), s"no ledger at $path")
+    val staging = new org.apache.hadoop.fs.Path(path + "__compact_staging")
+    fs.delete(staging, true)
+    val df = s.read.parquet(path)
+    if (df.columns.contains("pfx"))
+      // same write shape as refreshLedger's bootstrap: repartition ON
+      // pfx so each of the 16 partition dirs gets exactly one task's
+      // single file, keeping the pruned-read layout bit-compatible
+      df.repartition(col("pfx")).write.partitionBy("pfx")
+        .mode("overwrite").parquet(staging.toString)
+    else {
+      val bytes = fs.getContentSummary(p).getLength
+      val nFiles = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20))
+      df.repartition(nFiles.toInt).write
+        .mode("overwrite").parquet(staging.toString)
+    }
+    fs.delete(backup, true)
+    require(fs.rename(p, backup), s"could not move $path aside")
+    try require(fs.rename(staging, p), s"could not promote $staging")
+    catch {
+      case e: Throwable =>
+        fs.rename(backup, p)
+        throw e
+    }
+    fs.delete(backup, true)
+  }
+
   /** The d13 band probe: batch index rows against a ledger-index frame
     * (either side in the [[minhashIndex]] schema) — band equi-join +
     * first-collision filter + exact sorted-merge Jaccard at

@@ -271,6 +271,74 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     snapshot() shouldBe before
   }
 
+  test("ledger compaction: a many-append chain bin-packs to one file " +
+      "per partition, read-equivalent, layout + crash recovery intact") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    val path = s"$root/ledger_p1"
+    // 12 disjoint hash batches appended one by one — the d9 shape
+    // (pfx-partitioned), each append leaving file fragments behind
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir,
+        "documents")
+      .select(md5(col("text")).as("content_hash")).distinct()
+      .withColumn("b", pmod(xxhash64(col("content_hash")), lit(12)))
+      .localCheckpoint()
+    (0 until 12).foreach { i =>
+      DedupOps.refreshLedger(spark, path,
+        docs.filter(col("b") === i).select("content_hash"))
+    }
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    def filesPerPfx() = walk(new java.io.File(path))
+      .filter(_.getName.startsWith("part-"))
+      .groupBy(_.getParentFile.getName).map { case (d, fs) =>
+        d -> fs.size }
+    filesPerPfx().keys.foreach(_ should startWith ("pfx="))
+    filesPerPfx().values.max should be > 1 // the append-chain tax
+    def snapshot() = spark.read.parquet(path)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val before = snapshot()
+    before.length should be > 0
+    // stale staging from a crashed predecessor must not break anything
+    new java.io.File(path + "__compact_staging").mkdirs()
+    DedupOps.compactLedger(spark, path)
+    snapshot() shouldBe before                  // read-equivalent
+    filesPerPfx().values.max shouldBe 1         // bin-packed
+    filesPerPfx().keys.foreach(_ should startWith ("pfx=")) // layout kept
+    new java.io.File(path + "__compact_backup").exists() shouldBe false
+    // appends keep working on the compacted ledger (steady-state no-op)
+    DedupOps.refreshLedger(spark, path, docs.select("content_hash"))
+    snapshot() shouldBe before
+    // crash window recovery: live dir gone, backup present (the state
+    // between the two renames) — the next compaction restores it
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__compact_backup"))
+    DedupOps.compactLedger(spark, path)
+    snapshot() shouldBe before
+
+    // the d13 shape (unpartitioned band index): packs to few files
+    val ndPath = s"$root/ndledger"
+    val d = graft.sources.Tables.load(spark, TestSpark.sfDir,
+      "documents").select("doc_id", "text")
+      .withColumn("b", pmod(xxhash64(col("doc_id")), lit(6)))
+    (0 until 6).foreach { i =>
+      DedupOps.refreshNearDupLedger(spark, ndPath,
+        d.filter(col("b") === i).drop("b"))
+    }
+    def ndFiles() = walk(new java.io.File(ndPath))
+      .count(_.getName.startsWith("part-"))
+    val ndBefore = spark.read.parquet(ndPath)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    ndFiles() should be > 1
+    DedupOps.compactLedger(spark, ndPath)
+    spark.read.parquet(ndPath)
+      .collect().map(_.toSeq).sortBy(_.toString) shouldBe ndBefore
+    ndFiles() shouldBe 1 // well under 128 MB → one packed file
+  }
+
   test("d9 ledgers are keyed per SF dir: no cross-SF contamination") {
     // A global ledger would MERGE sf0.001 hashes into the sf0.01 ledger
     // when the driver verifies both SFs in one round, while the oracle
