@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.LongType
   * shared), so candidate generation equi-joins i's rare prefix against
   * j's FULL token list — never all-pairs, and never a length filter
   * (any giant document may contain a small one; that asymmetric
-  * freedom is the point).
+  * freedom is the point). On top of the prefix bound, a PPJoin+-style
+  * POSITIONAL filter (Xiao et al. 2008, applied one-sided) prunes each
+  * candidate occurrence whose token positions already cap the overlap
+  * below ⌈t·|Sᵢ|⌉ — losslessness argument at the filter site.
   *
   * Scale shape mirrors [[JaccardNearDup]]: unique-set armor (mass
   * duplicates verify once per SET pair, members recovered after),
@@ -61,13 +64,20 @@ object ContainmentNearDup {
       .select("doc_id", "sh", "n"))
     val prefLen = (col("n") - ceil(col("n") * t) + 1).cast("int")
 
-    val aPrefix =
+    // both sides carry each token's 1-based POSITION under a shared
+    // global token order (hash order by default, (df, tok) when
+    // df-ordered) — it feeds the PPJoin-style positional filter below.
+    // The df-ordered build is SHARED by both sides, so the container
+    // side reuses the one tok⋈df window pass instead of re-exploding
+    // (the per-doc window ranks a doc's own tokens — bounded by set
+    // size, never a corpus funnel).
+    val posTok = ScratchCache.scratch(
       if (!dfOrdered)
         sets.select(col("doc_id"), col("n"),
-          explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
+          posexplode(col("sh")).as(Seq("pos0", "tok")))
+          .select(col("doc_id"), col("n"), col("tok"),
+            (col("pos0") + 1).as("pos"))
       else {
-        // rare-token prefix for the contained side (bound holds under
-        // any global order; df asc keeps candidate buckets smallest)
         val tok = sets.select(col("doc_id"), col("n"),
           explode(col("sh")).as("tok"))
         val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -75,14 +85,33 @@ object ContainmentNearDup {
           .orderBy(col("df"), col("tok"))
         tok.join(nb(df), "tok")
           .withColumn("pos", row_number().over(w))
-          .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
-          .select("doc_id", "n", "tok")
-      }
-    // container side: FULL token lists (no prefix, no length filter)
-    val bTok = sets.select(col("doc_id").as("j"), explode(col("sh")).as("tok"))
+          .select("doc_id", "n", "tok", "pos")
+      })
+    // rare-token prefix for the contained side (bound holds under any
+    // global order; df asc keeps candidate buckets smallest)
+    val aPrefix = posTok.filter(col("pos") <= prefLen)
+    // container side: FULL token lists (no prefix, no length filter —
+    // any giant document may contain a small one)
+    val bTok = posTok.select(col("doc_id").as("j"), col("n").as("nb"),
+      col("tok"), col("pos").as("posb"))
 
+    // POSITIONAL filter (PPJoin+'s bound, one-sided): a shared token at
+    // positions (pos, posb) caps the overlap at 1 + min(n − pos,
+    // nb − posb) — everything else shareable sits in BOTH suffixes.
+    // Lossless for the pair set: take a qualifying pair's FIRST shared
+    // token under the global order — it lies inside the contained
+    // side's prefix (some prefix token is shared, and the first shared
+    // token orders at or before it) and ALL |A∩B| shared tokens sit at
+    // or after it in both sorted lists, so that occurrence's cap is
+    // ≥ |A∩B| ≥ ⌈t·n⌉ and the occurrence survives. Kills candidates
+    // BEFORE the verify join fetches full token arrays — the d12
+    // container-side growth §sf10 measured (10.7×) was exactly these
+    // doomed pairs riding into the intersect stage.
     val cand = aPrefix.as("a").join(nb(bTok).as("b"),
       col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.j"))
+      .filter(lit(1) +
+        least(col("a.n") - col("a.pos"), col("nb") - col("posb")) >=
+        ceil(col("a.n") * t))
       .select(col("a.doc_id").as("i"), col("b.j").as("j"))
     val setPairs = cand
       .join(nb(sets.select(col("doc_id").as("i"), col("sh").as("sha"),

@@ -485,6 +485,42 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     ex.getMessage should include("7")
   }
 
+  test("containment positional filter is lossless under BOTH token " +
+      "orders (forced arms vs brute force, subset-heavy corpus)") {
+    // the shape the positional bound must survive: many near-subset
+    // pairs right at the threshold, heavy token reuse (small token
+    // universe → dense candidate buckets), plus identical-set groups
+    import spark.implicits._
+    val rnd = new scala.util.Random(1312)
+    val universe = (1L to 60L).map(_ * 7919L)
+    val rows = (1L to 120L).map { id =>
+      val base = rnd.nextInt(universe.size)
+      val len = 3 + rnd.nextInt(12)
+      val s = (0 until len)
+        .map(k => universe((base + k * (1 + rnd.nextInt(3))) % universe.size))
+        .toSet.toArray.sorted
+      (id, s)
+    } ++ Seq((200L, Array(7919L, 15838L, 23757L)),
+      (201L, Array(7919L, 15838L, 23757L))) // identical-set group
+    val toks = rows.toDF("doc_id", "sh")
+    val t = 0.9
+    val ref = (for {
+      (i, si0) <- rows; (j, sj0) <- rows if i != j
+      si = si0.toSet; sj = sj0.toSet if si.nonEmpty
+      inter = (si & sj).size
+      if inter.toDouble / si.size >= t
+    } yield (i, j) -> inter.toLong).toMap
+    for (dfOrdered <- Seq(false, true)) {
+      val got = graft.operators.ContainmentNearDup
+        .pairs(toks, "doc_id", "sh", t, dfOrdered = dfOrdered,
+          noBroadcast = dfOrdered)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      withClue(s"dfOrdered=$dfOrdered: ") { got shouldBe ref }
+    }
+    ref.nonEmpty shouldBe true
+  }
+
   test("containment: documents with empty shingle sets are never " +
       "reported as duplicates (0/0 guard)") {
     // two sub-3-word docs share an EMPTY 3-gram set; containment
