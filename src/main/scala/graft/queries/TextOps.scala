@@ -102,29 +102,39 @@ object TextOps extends QueryGroup {
   // Gopher-style quality ratios: word count, mean word length, stopword
   // ratio → linear score + bucket. Pure per-row arithmetic (IEEE-double
   // identical across engines — no aggregation-order sensitivity).
+
+  /** t2's scoring projection over a (doc_id, `textCol`) frame — a pure
+    * per-row select, so it is equally a valid STREAMING stage:
+    * StreamOps.scrubAndScore (ST11) applies this exact projection per
+    * micro-batch, and the spec holds the two faces equal.
+    */
+  private[graft] def qualityColumns(textCol: String): Seq[Column] = {
+    val w = words(col(textCol))
+    val nWords = size(w).cast(LongType)
+    val nStop = hitCount(w, Seq("the", "a", "of"))
+    val alpha = length(regexp_replace(col(textCol), " ", ""))
+      .cast(LongType)
+    val stopRatio = nStop.cast("double") / nWords.cast("double")
+    val meanLen = alpha.cast("double") / nWords.cast("double")
+    val score = stopRatio * lit(0.5) + meanLen * lit(0.1)
+    Seq(
+      nWords.as("n_words"),
+      nStop.as("n_stopwords"),
+      stopRatio.as("stopword_ratio"),
+      meanLen.as("mean_word_len"),
+      score.as("quality_score"),
+      when(nWords < 20, "too_short")
+        .when(stopRatio > 0.15, "boilerplate")
+        .otherwise("ok").as("quality_bucket"))
+  }
+
+  private[graft] def qualityProjection(df: DataFrame,
+      textCol: String = "text"): DataFrame =
+    df.select(col("doc_id") +: qualityColumns(textCol): _*)
+
   private val t2 = QueryDef(
     "t2_quality_score",
-    (s, dir) => {
-      val w = words(col("text"))
-      val nWords = size(w).cast(LongType)
-      val nStop = hitCount(w, Seq("the", "a", "of"))
-      val alpha = length(regexp_replace(col("text"), " ", ""))
-        .cast(LongType)
-      val stopRatio = nStop.cast("double") / nWords.cast("double")
-      val meanLen = alpha.cast("double") / nWords.cast("double")
-      val score = stopRatio * lit(0.5) + meanLen * lit(0.1)
-      docs(s, dir).select(
-        col("doc_id"),
-        nWords.as("n_words"),
-        nStop.as("n_stopwords"),
-        stopRatio.as("stopword_ratio"),
-        meanLen.as("mean_word_len"),
-        score.as("quality_score"),
-        when(nWords < 20, "too_short")
-          .when(stopRatio > 0.15, "boilerplate")
-          .otherwise("ok").as("quality_bucket"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => qualityProjection(docs(s, dir)).orderBy("doc_id"),
     Some(s"""SELECT doc_id, n_words, n_stopwords,
        |  CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
        |  CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
@@ -686,6 +696,23 @@ object TextOps extends QueryGroup {
   private val piiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val piiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   private val piiIp = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** t15's scrub projection over a (doc_id, `textCol`) frame: per-doc
+    * match counts + the redacted text. Pure per-row regexp select —
+    * equally a valid STREAMING stage: StreamOps.scrubAndScore (ST11)
+    * applies this exact projection per micro-batch, and the spec holds
+    * the two faces equal.
+    */
+  private[graft] def redactPiiProjection(df: DataFrame,
+      textCol: String = "text"): DataFrame = df.select(col("doc_id"),
+    regexp_count(col(textCol), lit(piiEmail)).cast(LongType).as("n_email"),
+    regexp_count(col(textCol), lit(piiPhone)).cast(LongType).as("n_phone"),
+    regexp_count(col(textCol), lit(piiIp)).cast(LongType).as("n_ip"),
+    regexp_replace(regexp_replace(regexp_replace(col(textCol),
+        lit(piiEmail), lit("<EMAIL>")),
+      lit(piiPhone), lit("<PHONE>")),
+      lit(piiIp), lit("<IP>")).as("clean_text"))
+
   private val t15 = QueryDef(
     "t15_redact_pii",
     (s, dir) => {
@@ -701,15 +728,7 @@ object TextOps extends QueryGroup {
           concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
             lit("."), pmod(expr("doc_id div 256"), lit(256)).cast("string"),
             lit(".7"))).otherwise(lit(""))).as("text"))
-      injected.select(col("doc_id"),
-        regexp_count(col("text"), lit(piiEmail)).cast(LongType).as("n_email"),
-        regexp_count(col("text"), lit(piiPhone)).cast(LongType).as("n_phone"),
-        regexp_count(col("text"), lit(piiIp)).cast(LongType).as("n_ip"),
-        regexp_replace(regexp_replace(regexp_replace(col("text"),
-            lit(piiEmail), lit("<EMAIL>")),
-          lit(piiPhone), lit("<PHONE>")),
-          lit(piiIp), lit("<IP>")).as("clean_text"))
-        .orderBy("doc_id")
+      redactPiiProjection(injected).orderBy("doc_id")
     },
     Some(s"""WITH inj AS (SELECT doc_id, text ||
        |  CASE WHEN doc_id % 7 = 0

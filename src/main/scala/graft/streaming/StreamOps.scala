@@ -388,4 +388,30 @@ object StreamOps {
       .filter(col("jaccard") >= t)
       .select(col("i"), col("j"), col("jaccard"))
   }
+
+  // --------------------------------------------------------------- ST11
+  /** Streaming ingest scrub — the t15 + t2 face of a live pipeline:
+    * each arriving document is PII-redacted (emails/phones/IPs →
+    * placeholder tokens, with match counts) and quality-scored — on
+    * its REDACTED text, the order a production scrub runs (score what
+    * you would train on). Both stages are the BATCH projections
+    * themselves (TextOps.redactPiiProjection / qualityProjection,
+    * shared code, not copies), which is the point: the scrub is pure
+    * per-row regexp + arithmetic, so it needs no watermark, no state,
+    * no shuffle — valid in append mode at any trigger, per-trigger
+    * cost O(micro-batch). The spec holds each micro-batched output row
+    * equal to the batch t15/t2 composition over the same documents.
+    *
+    * @param docs streaming frame with `doc_id` and `textCol`
+    * @return streaming (doc_id, n_email, n_phone, n_ip, clean_text,
+    *         n_words, n_stopwords, stopword_ratio, mean_word_len,
+    *         quality_score, quality_bucket)
+    */
+  def scrubAndScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scrubbed = graft.queries.TextOps.redactPiiProjection(docs, textCol)
+    // quality columns APPEND to the scrubbed projection (a join of the
+    // two faces would be a stream-stream self-join — state for nothing)
+    scrubbed.select(scrubbed.columns.map(col) ++
+      graft.queries.TextOps.qualityColumns("clean_text"): _*)
+  }
 }

@@ -384,6 +384,55 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("ST11 streaming scrub+score equals the batch t15/t2 projections " +
+      "across micro-batches, including planted PII") {
+    import spark.implicits._
+    // the t15 planting scheme, driver-side: deterministic PII appended
+    // to real corpus text so the regexes have true positives to find
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir,
+        "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val planted = r.getString(1) +
+          (if (id % 7 == 0) s" reach u$id@mail.example.com" else "") +
+          (if (id % 11 == 0) f" call 415-555-${id % 10000}%04d" else "") +
+          (if (id % 13 == 0) s" from 10.${id % 256}.${(id / 256) % 256}.7"
+           else "")
+        (id, planted)
+      }
+    val in = MemoryStream[(Long, String)](spark)
+    val out = StreamOps.scrubAndScore(in.toDF.toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("st11")
+      .outputMode("append").start()
+    try {
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      val got = spark.table("st11").collect()
+        .map(r => r.getLong(0) -> r.toSeq).toMap
+      // batch face: the same shared projections over the same frame
+      val batchIn = docs.toSeq.toDF("doc_id", "text")
+      val expect = StreamOps.scrubAndScore(batchIn).collect()
+        .map(r => r.getLong(0) -> r.toSeq).toMap
+      got.keySet shouldBe expect.keySet
+      expect.foreach { case (id, row) =>
+        withClue(s"doc $id: ") { got(id) shouldBe row }
+      }
+      // the plants were actually found and redacted
+      val hits = spark.table("st11")
+        .filter(col("n_email") + col("n_phone") + col("n_ip") > 0)
+      hits.count() should be > 0L
+      hits.filter(col("clean_text").rlike("mail\\.example\\.com"))
+        .count() shouldBe 0L
+      // stateless map-side: no keyed state, no watermark
+      Option(q.lastProgress.stateOperators)
+        .map(_.length).getOrElse(0) shouldBe 0
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------ recovery
   // Restart-recovery gates: kill the query between (and once, BEFORE)
   // commits and restart from the checkpoint; output must equal the
