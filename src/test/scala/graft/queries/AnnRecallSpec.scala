@@ -47,6 +47,50 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("S8 incremental ANN: ledger idempotent, incremental assignment " +
+      "equals from-scratch against stored centroids, recall sane") {
+    val path = SimilarityOps.s8LedgerPath(TestSpark.sfDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    rm(new java.io.File(path)) // cold start: bootstrap + append run
+    def runS8() = SparkEntry.queries("s8_ann_incremental")(
+      spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val first = runS8()
+    first.size should be > 0
+    // idempotence: steady state appends nothing and repeats the output
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    def snapshot() = walk(new java.io.File(path))
+      .filter(_.getName.startsWith("part-"))
+      .map(f => (f.getPath, f.lastModified, f.length)).sortBy(_._1)
+    val files = snapshot()
+    runS8() shouldBe first
+    snapshot() shouldBe files
+    // incremental ≡ from-scratch: every stored assignment equals a
+    // fresh assignNearest against the STORED centroids — the appended
+    // batch rows included (assignment to fixed centroids is
+    // deterministic, so the append path cannot drift)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val e = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val fresh = SimilarityOps.assignNearest(e, cents)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = spark.read.parquet(s"$path/assign")
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    stored shouldBe fresh
+    // the index covers the whole corpus exactly once
+    stored.size shouldBe e.count()
+    // probing the stored index retrieves real neighbors
+    val exact = neighborSets("s1_ann_bruteforce")
+    val inc = neighborSets("s8_ann_incremental")
+    val r = recall(inc, exact)
+    info(f"S8 recall@10 at sf0.001 = $r%.3f")
+    r should be >= 0.5
+  }
+
   test("IVF recall@10 vs brute force beats its scan fraction") {
     // 500 vectors → 23 cells of ~22 is below the quantizer's regime;
     // the floor here only guards against a broken bucketing.

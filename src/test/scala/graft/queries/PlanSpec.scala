@@ -103,6 +103,26 @@ class PlanSpec extends AnyFunSuite with Matchers {
         l should include("EqualTo(source,src0)") })
   }
 
+  test("s8: queries probe the persisted IVF ledger; the corpus is " +
+      "never re-assigned or rescanned") {
+    // gate the PRE-TAP candidate plan — the stage that touches storage
+    // (the VerifyTap above it materializes candidates, so the query's
+    // own post-tap plan shows only the tap read)
+    val p = graft.queries.SimilarityOps
+      .s8Candidates(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    // the candidate join reads the stored assignments + centroids —
+    // the ledger parquet, not an in-query re-derivation
+    p should include("graft_s8_ivf")
+    p.linesIterator.count(l => l.contains("Scan parquet") &&
+      l.contains("graft_s8_ivf")) should be >= 2 // centroids + assign
+    // and the only embeddings read is the pushed NQ query filter
+    p.linesIterator.filter(l => l.contains("Scan parquet") &&
+        l.contains("embeddings"))
+      .foreach(l => withClue(l) {
+        l should include("LessThan(vec_id,8)") })
+  }
+
   test("t8/p1: no per-source window wall; offsets join broadcasts") {
     // exact mixture sampling must NOT rank via row_number() OVER
     // (PARTITION BY source): ~10 sources ⇒ each source's whole corpus
