@@ -22,6 +22,9 @@ object LedgerScaleBench {
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("compact")) { compactScenario(small); return }
+    if (args.headOption.contains("s8")) {
+      s8Scenario(small, args.lift(1).getOrElse("/tmp/graft_sf1")); return
+    }
     val big = args.headOption.getOrElse("/tmp/graft_sf1")
     val spark = GraftSession.local(32, "graft-ledger-scale")
 
@@ -83,6 +86,73 @@ object LedgerScaleBench {
     timeNearDup(n1x, "neardup_batch_vs_1x_corpus_index")
     timeNearDup(n10x, "neardup_warmup_10x")
     timeNearDup(n10x, "neardup_batch_vs_10x_corpus_index")
+    spark.stop()
+  }
+
+  /** s8's flatness evidence, same question as d9/d13's: do the two
+    * daily plans stay ~flat while the standing index behind the ledger
+    * grows 10×?
+    *
+    *  - QUERY: a fixed NQ-query batch probed against the persisted IVF
+    *    index of a 1× (sf0.1) and a 10× (ScaleUp sf1) corpus. The _p2
+    *    layout reads only the probed cid partitions, so the bytes per
+    *    query grow at nprobe/cells (~√n) rate, not corpus rate — the
+    *    number at stake is how flat that holds.
+    *  - MAINTENANCE: the same fixed batch's novel-id anti-join against
+    *    the slim id-only sidecar. Read-only by construction: ScaleUp
+    *    replica 0 keeps original vec_ids, so the small batch is fully
+    *    indexed in BOTH ledgers, novel is empty, nothing appends. The
+    *    sidecar read grows with the corpus but carries 8-byte ids, not
+    *    embeddings.
+    *
+    * Run after ScaleUp: `sbt "runMain graft.LedgerScaleBench s8"`;
+    * recorded in BASELINE.md §sf1 (s8 ledger growth).
+    */
+  private def s8Scenario(small: String, big: String): Unit = {
+    val spark = GraftSession.local(32, "graft-s8-ledger-scale")
+    import graft.queries.SimilarityOps
+    def ledgerOf(dir: String): String = {
+      val e = Tables.load(spark, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val path = SimilarityOps.s8LedgerPath(dir)
+      SimilarityOps.refreshIvfLedger(spark, path,
+        e.filter(pmod(col("vec_id"), lit(8)) =!= 5))
+      SimilarityOps.refreshIvfLedger(spark, path, e)
+      path
+    }
+    val p1x = ledgerOf(small)
+    val p10x = ledgerOf(big)
+    // the fixed daily QUERY batch: the small dir's 8 query vectors
+    // (s8's NQ rule), present in both corpora
+    val q = Tables.load(spark, small, "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") < 8)
+      .localCheckpoint()
+    def timeQuery(path: String, label: String): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SimilarityOps.s8Probe(spark, path, q)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    timeQuery(p1x, "s8_query_warmup_1x")
+    timeQuery(p1x, "s8_query_vs_1x_index")
+    timeQuery(p10x, "s8_query_warmup_10x")
+    timeQuery(p10x, "s8_query_vs_10x_index")
+    // the fixed MAINTENANCE batch: the small corpus's embeddings
+    val batch = Tables.load(spark, small, "embeddings")
+      .select("vec_id", "embedding")
+    def timeMaint(path: String, label: String): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      batch.join(SimilarityOps.s8Ids(spark, path),
+          Seq("vec_id"), "left_anti")
+        .write.format("noop").mode("overwrite").save()
+      println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    timeMaint(p1x, "s8_maint_warmup_1x")
+    timeMaint(p1x, "s8_maint_batch_vs_1x_index")
+    timeMaint(p10x, "s8_maint_warmup_10x")
+    timeMaint(p10x, "s8_maint_batch_vs_10x_index")
     spark.stop()
   }
 

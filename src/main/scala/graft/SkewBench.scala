@@ -190,8 +190,10 @@ object SkewBench {
     }
 
     // ------------------------------- d4 simhash blocking arms, head-to-head
-    // Locates the switch point for HammingNearDup.pairsWideAuto
-    // (wideBlockMinItems): narrow lo-64 blocking (2¹⁶ keys, half the
+    // The measurement that justified shipping the wide arm
+    // UNCONDITIONALLY (the r13 d4/d14 decision — the hypothesized
+    // size-keyed switch was falsified; no crossover at any corpus
+    // size): narrow lo-64 blocking (2¹⁶ keys, half the
     // probe explode) vs wide 4×32-bit blocking (2³² keys). Both arms are
     // result-equal by spec; this times the candidate+verify join alone —
     // signatures are computed once from the SF dir's REAL documents

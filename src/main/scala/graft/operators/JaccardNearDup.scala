@@ -94,10 +94,16 @@ object JaccardNearDup {
       .select("doc_id", "sh", "n"))
     val prefLen = (col("n") - ceil(col("n") * t) + 1).cast("int")
 
+    // each prefix token carries its 1-based POSITION under the global
+    // token order (the array's own sort by default, (df, tok) when
+    // df-ordered) — it feeds the PPJoin+ positional filter below
     val prefix =
       if (!dfOrdered)
         sh.select(col("doc_id"), col("n"),
-          explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
+          posexplode(slice(col("sh"), lit(1), prefLen))
+            .as(Seq("pos0", "tok")))
+          .select(col("doc_id"), col("n"), col("tok"),
+            (col("pos0") + 1).as("pos"))
       else {
         // re-rank each doc's tokens by (global df asc, tok) and keep the
         // prefix of RAREST tokens — same lossless bound, smallest buckets
@@ -110,15 +116,34 @@ object JaccardNearDup {
         tok.join(nb(df), "tok")
           .withColumn("pos", row_number().over(w))
           .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
-          .select("doc_id", "n", "tok")
+          .select("doc_id", "n", "tok", "pos")
       }
 
+    // POSITIONAL filter (PPJoin+'s bound, symmetric form — Xiao et al.
+    // 2008 §3.2, the same bound d12 carries one-sided): a shared token
+    // at positions (pa, pb) caps the overlap at c = 1 + min(n_a − pa,
+    // n_b − pb) — every other shareable token sits in BOTH suffixes —
+    // and J ≥ t needs overlap·(1+t) ≥ t·(n_a + n_b), so a candidate
+    // occurrence with c·(1+t) < t·(n_a + n_b) cannot qualify. Lossless
+    // for the pair set: take a qualifying pair's FIRST shared token
+    // under the global order — it sits inside BOTH prefixes (J ≥ t and
+    // the length filter give overlap ≥ t·n_a and ≥ t·n_b, so a later
+    // first-share would leave too few suffix tokens on that side), and
+    // all overlap shared tokens sit at-or-after it in both sorted
+    // lists, so that occurrence's cap is ≥ overlap and it survives.
+    // The 1e-9 slack makes float rounding one-sided: it can only ADMIT
+    // a boundary candidate (exact verification kills it), never drop
+    // one. Kills doomed candidates BEFORE the verify join fetches full
+    // token arrays — at sf10 those rides were d2's dominant cost.
     val cand = prefix.as("a").join(nb(prefix.as("b")).as("b"),
       col("a.tok") === col("b.tok") &&
         col("a.doc_id") < col("b.doc_id") &&
         // length filter: J ≥ t ⇒ t·|y| ≤ |x| (and symmetric)
         col("a.n") >= col("b.n") * t &&
-        col("b.n") >= col("a.n") * t)
+        col("b.n") >= col("a.n") * t &&
+        (lit(1) + least(col("a.n") - col("a.pos"),
+          col("b.n") - col("b.pos"))) * (1.0 + t) >=
+          (col("a.n") + col("b.n")) * t - 1e-9)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
     // duplicate candidates (several shared prefix tokens) are verified
     // redundantly and deduped AFTER the ≥t filter, where rows are few

@@ -37,6 +37,24 @@ import org.apache.spark.sql.functions._
   * `assert_true` rather than returning a wrong or missing quantile;
   * the containment proof makes that unreachable, the guard makes the
   * claim falsifiable in production.
+  *
+  * The bands frame is PINNED (`localCheckpoint`) before anything
+  * consumes it. This is a correctness requirement, not a cache hint:
+  * GK summary merge is shuffle-fetch-order dependent, and the final
+  * plan and [[GlobalOrder]]'s rank job (severed at `zipWithIndex`) are
+  * separate executions — unpinned, each could see a DIFFERENT [lo, hi]
+  * per band, so `below` would be counted against one boundary while
+  * band membership is tagged against another, and the target row would
+  * sit at global rank below₂ + (t − below₁) ≠ t: a silently wrong
+  * "exact" quantile invisible to the missing-rank guard. Pinning the
+  * group-grain sketch output (a few rows) makes every consumer read
+  * identical bands and removes the repeated GK corpus scans.
+  *
+  * NULLs in `vCol` are dropped up front, and `n` counts only non-null
+  * rows — matching `percentile_disc`/DuckDB `quantile_disc` semantics.
+  * Without the filter the target ranks ⌈q·n⌉ would be computed over an
+  * n larger than the ranked population (the sketch, the `v < lo`
+  * below-count, and band tagging all ignore NULLs).
   */
 object SketchNarrowedQuantiles {
 
@@ -66,16 +84,23 @@ object SketchNarrowedQuantiles {
       k > 0 && k < den }, s"quantile numerators must sit in (0, $den)")
     val g = col(groupCol)
     val v = col(vCol)
+    // NULL contract (object doc): rank over the non-null population
+    // only, so ⌈k·n/den⌉ targets the population the scans actually see
+    val base = df.filter(v.isNotNull)
 
     // -- scan 1: GK sketch + exact n per group → value bands ---------
     // plus the 1-based exact target ranks ⌈k·n/den⌉ in pure LONG
     // arithmetic (`div` is integral division — Column./ would go
-    // through double): k·n + den − 1 floored by den = ceiling division
-    val bands = bandsOf(df, groupCol, vCol, quantiles, den, accuracy)
+    // through double): k·n + den − 1 floored by den = ceiling division.
+    // localCheckpoint PINS the sketch output (object doc: GK merge is
+    // fetch-order dependent; the rank job and the final plan are
+    // separate executions and must see the SAME [lo, hi] per band)
+    val bands = bandsOf(base, groupCol, vCol, quantiles, den, accuracy)
       .select(col("*") +: quantiles.map { case (name, k) =>
         expr(s"(n * $k + ${den - 1}) div $den").as(s"t_$name")
       }: _*)
-    val joined = df.join(broadcast(bands), groupCol)
+      .localCheckpoint()
+    val joined = base.join(broadcast(bands), groupCol)
 
     // -- scan 2: exact global-rank offset of each band ---------------
     // rows strictly below lo_i sit at global ranks 1..below_i, so the
@@ -113,7 +138,9 @@ object SketchNarrowedQuantiles {
     // violation means the sketch contract broke, and silence would
     // ship a wrong or missing answer). The left join from the bands'
     // group list also catches a group whose EVERY band missed.
-    bands.select(g).join(picked, Seq(groupCol), "left")
+    // both sides are group-grain; the checkpointed bands side has no
+    // stats, so the broadcast must be explicit
+    bands.select(g).join(broadcast(picked), Seq(groupCol), "left")
       .filter(assert_true(
         (col("n_rows") +: quantiles.map { case (name, _) => col(name) })
           .map(_.isNotNull).reduce(_ && _),
@@ -154,14 +181,26 @@ object SketchNarrowedQuantiles {
       explode(filter(tags, t => t.isNotNull)).as("qk"): _*)
   }
 
+  /** Test hook: the UNPINNED scan-1 plan (GK sketch + count partial
+    * agg) — the localCheckpoint in [[perGroup]] makes this invisible
+    * in the final plan, so the plan gate inspects it here.
+    */
+  private[graft] def bandsPlanForTest(df: DataFrame, groupCol: String,
+      vCol: String, quantiles: Seq[(String, Int)], den: Int,
+      accuracy: Int = 5000): DataFrame =
+    bandsOf(df.filter(col(vCol).isNotNull), groupCol, vCol, quantiles,
+      den, accuracy)
+
   /** Test hook: the band slice alone (row-per-band-membership), for
     * asserting the sketch actually narrows — see StatsSamplingSpec.
     */
   private[graft] def bandSliceForTest(df: DataFrame, groupCol: String,
       vCol: String, quantiles: Seq[(String, Int)], den: Int,
       accuracy: Int = 5000): DataFrame = {
-    val bands = bandsOf(df, groupCol, vCol, quantiles, den, accuracy)
-    tagBandRows(df.join(broadcast(bands), groupCol), groupCol, vCol,
+    val base = df.filter(col(vCol).isNotNull)
+    val bands = bandsOf(base, groupCol, vCol, quantiles, den, accuracy)
+      .localCheckpoint()
+    tagBandRows(base.join(broadcast(bands), groupCol), groupCol, vCol,
       quantiles.size, Nil)
   }
 }

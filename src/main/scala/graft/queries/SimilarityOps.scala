@@ -530,55 +530,207 @@ object SimilarityOps extends QueryGroup {
   // similarity search, the op a daily embedding pipeline actually
   // runs: today's vectors join a PERSISTED IVF index without
   // retraining the quantizer or touching the standing corpus, and the
-  // daily queries probe the stored index. The ledger is two parquet
-  // dirs: `centroids` (cid, cv — trained ONCE at bootstrap over the
-  // then-standing corpus, s3's seed+Lloyd machinery; retraining is a
-  // scheduled offline job, the production trade) and `assign`
-  // (vec_id, cid, embedding — append-only: novel vec_ids are assigned
-  // to the STORED centroids, O(batch·cells) work, and appended; the
-  // F16 compactLedger applies when the append chain grows). The query
-  // plan reads ONLY the two ledger dirs plus the pushed-filter NQ query
-  // rows — the corpus is never re-assigned, never rescanned
-  // (plan-gated). Assignment against fixed centroids is deterministic,
-  // so incremental ≡ from-scratch assignment row for row (spec-gated).
-  // Same two-stage oracle as s2/s3: candidates tap, DuckDB re-ranks.
+  // daily queries probe the stored index. The ledger layout (the _p2
+  // revision — r13's _p1 wrote `assign` UNPARTITIONED, so every daily
+  // query scanned the whole corpus-sized index, IVF's one job undone):
+  //
+  //   path/centroids/     (cid, cv) — trained ONCE at bootstrap over
+  //                       the then-standing corpus (s3's seed+Lloyd
+  //                       machinery); retraining is a scheduled
+  //                       offline job, the production trade
+  //   path/assign/seg-k/  one dir per committed ingest batch,
+  //                       partitionBy("cid"): (vec_id, embedding)
+  //                       under cid=* partition dirs, so the daily
+  //                       query reads ONLY the ≤ NQ·nprobe probed
+  //                       cells (driver-collected, pushed as
+  //                       PartitionFilters — plan-gated) — nprobe/
+  //                       cells of the index's bytes, which is the
+  //                       point of IVF
+  //   path/ids/seg-k/     the slim id-only sidecar: (vec_id) alone,
+  //                       so maintenance's novel-id anti-join reads
+  //                       8-byte ids, never the embedding bytes that
+  //                       dominate the index (~100× the IO at a
+  //                       typical 256-dim float embedding), and never
+  //                       pays the partitioned tree's per-cell
+  //                       listing/footer tax
+  //   path/commits/seg-k  zero-byte marker, created LAST — the
+  //                       single-file COMMIT POINT for seg k
+  //
+  // Crash atomicity: readers see only segments with a commit marker;
+  // a crash anywhere mid-write leaves marker-less assign/ids seg dirs
+  // that the next refresh deletes and re-derives (novelty is decided
+  // against COMMITTED ids only, so a torn append cannot duplicate
+  // rows). Bootstrap keys on "no committed segments", not on the
+  // centroids dir — centroids are written first and a half-bootstrap
+  // (centroids present, seg-0 uncommitted) re-runs cleanly with
+  // overwrite, the r13-advice hazard closed.
+  //
+  // Novel vec_ids are assigned to the STORED centroids — O(batch ·
+  // cells) work; the corpus is never re-assigned, never rescanned
+  // (plan-gated). Assignment against fixed centroids is
+  // deterministic, so incremental ≡ from-scratch assignment row for
+  // row (spec-gated). A long append chain (one seg per day) pays a
+  // per-seg listing tax like d9's pre-F16 chain; compactIvfLedger
+  // below is its rename-aside bin-pack. Same two-stage oracle as
+  // s2/s3: candidates tap, DuckDB re-ranks.
   private[graft] def s8LedgerPath(dir: String): String = {
     val f = new java.io.File(dir)
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(f.getAbsolutePath.getBytes("UTF-8"))
       .take(16).map("%02x".format(_)).mkString
-    s"/tmp/graft_state/graft_s8_ivf_${f.getName}_${digest}_p1"
+    // _p2 = the cid-partitioned committed-segment layout; _p1 (flat
+    // append-only assign) ledgers are stale state, never reinterpreted
+    s"/tmp/graft_state/graft_s8_ivf_${f.getName}_${digest}_p2"
+  }
+
+  private def hPath(p: String) = new org.apache.hadoop.fs.Path(p)
+  private def fsOf(s: SparkSession, p: String) =
+    hPath(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Committed segment numbers, ascending — the marker files are the
+    * ledger's source of truth (metadata-sized listing, d9 class).
+    */
+  private[graft] def s8CommittedSegs(s: SparkSession,
+      path: String): Seq[Int] = {
+    val fs = fsOf(s, path)
+    val c = hPath(s"$path/commits")
+    if (!fs.exists(c)) Seq.empty
+    else fs.listStatus(c).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("seg-") => n.drop(4).toInt }
+      .sorted
+  }
+
+  /** Delete marker-less (torn) seg dirs — safe by construction: a seg
+    * without its commit marker was never visible to any reader.
+    */
+  private def s8CleanTorn(s: SparkSession, path: String): Unit = {
+    val fs = fsOf(s, path)
+    val committed = s8CommittedSegs(s, path).map(k => s"seg-$k").toSet
+    Seq(s"$path/assign", s"$path/ids").foreach { d =>
+      val dp = hPath(d)
+      if (fs.exists(dp))
+        fs.listStatus(dp).foreach { st =>
+          if (!committed.contains(st.getPath.getName))
+            fs.delete(st.getPath, true)
+        }
+    }
+  }
+
+  /** The index's assignment rows (vec_id, embedding, cid) as a union
+    * of per-segment scans, each pruned to `cids` when given — the
+    * prune lands as PartitionFilters on every segment scan because cid
+    * is the segment's partition column.
+    */
+  private[graft] def s8Assign(s: SparkSession, path: String,
+      cids: Option[Seq[Long]]): DataFrame = {
+    val segs = s8CommittedSegs(s, path)
+    require(segs.nonEmpty, s"no committed s8 ledger segments at $path")
+    segs.map { k =>
+      val seg = s.read.parquet(s"$path/assign/seg-$k")
+      val pruned = cids.fold(seg)(c => seg.filter(col("cid").isin(c: _*)))
+      // partition-value inference may type cid INT; pin the schema
+      // AFTER the prune so the isin stays a pure partition predicate
+      pruned.select(col("vec_id"), col("embedding"),
+        col("cid").cast(LongType).as("cid"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The slim maintenance view: every indexed vec_id. */
+  private[graft] def s8Ids(s: SparkSession, path: String): DataFrame = {
+    val segs = s8CommittedSegs(s, path)
+    require(segs.nonEmpty, s"no committed s8 ledger segments at $path")
+    segs.map(k => s.read.parquet(s"$path/ids/seg-$k"))
+      .reduce(_ unionByName _)
+  }
+
+  /** Write batch `rows` (vec_id, cid, embedding) as segment `k` and
+    * commit it. Repartition ON cid before the partitioned write (the
+    * d9 file-count discipline): clustered, each cell dir gets the one
+    * file of the one task that hashes to it, not a file per
+    * (task × cell).
+    */
+  private def s8WriteSeg(s: SparkSession, path: String, k: Int,
+      rows: DataFrame): Unit = {
+    val fs = fsOf(s, path)
+    rows.repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite")
+      .parquet(s"$path/assign/seg-$k")
+    // sidecar ids come from the seg just written (a column-pruned
+    // read of 8-byte ids), not from `rows` — consuming `rows` twice
+    // would re-execute a corpus-sized assignment at bootstrap
+    s.read.parquet(s"$path/assign/seg-$k").select("vec_id")
+      .write.mode("overwrite").parquet(s"$path/ids/seg-$k")
+    fs.mkdirs(hPath(s"$path/commits"))
+    fs.create(hPath(s"$path/commits/seg-$k"), true).close()
   }
 
   /** Bootstrap-or-append the IVF index ledger from `prior`. Bootstrap
     * trains the quantizer (cells keyed to the bootstrap corpus size)
-    * and assigns everything; append assigns only NOVEL vec_ids to the
-    * stored centroids — maintenance is O(batch·cells), the corpus is
-    * never re-assigned.
+    * and assigns everything as segment 0; append assigns only NOVEL
+    * vec_ids to the stored centroids — maintenance is O(batch·cells)
+    * compute against a slim id-only read, the corpus is never
+    * re-assigned.
     */
   private[graft] def refreshIvfLedger(s: SparkSession, path: String,
       prior: DataFrame): Unit = {
+    s8CleanTorn(s, path)
     val centDir = s"$path/centroids"
-    val assignDir = s"$path/assign"
-    val p = new org.apache.hadoop.fs.Path(centDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    if (s8CommittedSegs(s, path).isEmpty) {
       val n = prior.count()
       val cells = LshTuning.ivfCellsFor(n, ivfCellsFloor)
       trainCentroids(prior, cells, n)
         .write.mode("overwrite").parquet(centDir)
-      assignNearest(prior, s.read.parquet(centDir))
-        .select("vec_id", "cid", "embedding")
-        .write.mode("overwrite").parquet(assignDir)
+      s8WriteSeg(s, path, 0,
+        assignNearest(prior, s.read.parquet(centDir))
+          .select("vec_id", "cid", "embedding"))
     } else {
-      val novel = prior.join(
-          s.read.parquet(assignDir).select("vec_id"),
-          Seq("vec_id"), "left_anti")
+      // novel ids only, decided against the COMMITTED slim sidecar;
+      // materialized (batch-sized) before the write so the write
+      // never scans its own destination
+      val novel = prior
+        .join(s8Ids(s, path), Seq("vec_id"), "left_anti")
         .localCheckpoint()
-      if (!novel.isEmpty)
-        assignNearest(novel, s.read.parquet(centDir))
-          .select("vec_id", "cid", "embedding")
-          .write.mode("append").parquet(assignDir)
+      if (!novel.isEmpty) {
+        val k = s8CommittedSegs(s, path).max + 1
+        s8WriteSeg(s, path, k,
+          assignNearest(novel, s.read.parquet(centDir))
+            .select("vec_id", "cid", "embedding"))
+      }
+    }
+  }
+
+  /** F16's rename-aside discipline for the s8 segment chain: merge
+    * every committed segment into a single seg-0 under a staging
+    * ledger, then swap the WHOLE ledger dir aside-and-in — at every
+    * instant a full committed ledger exists under some path, and a
+    * crash leaves either the original intact (possibly under
+    * `__compact_backup`, restored by the next call) or the swap
+    * complete. Layout-preserving: the compacted seg is written by the
+    * same [[s8WriteSeg]] commit protocol, so the pruned-read plan is
+    * bit-identical; content equality is spec-gated.
+    */
+  private[graft] def compactIvfLedger(s: SparkSession,
+      path: String): Unit = {
+    val fs = fsOf(s, path)
+    val live = hPath(path)
+    val backup = hPath(path + "__compact_backup")
+    if (!fs.exists(live) && fs.exists(backup))
+      require(fs.rename(backup, live), s"could not restore $backup")
+    require(fs.exists(live), s"no s8 ledger at $path")
+    if (s8CommittedSegs(s, path).size > 1) {
+      val staging = path + "__compact_staging"
+      fs.delete(hPath(staging), true)
+      // consumed once, wholly before the swap — the live source stays
+      // valid for the duration of the staging write
+      val all = s8Assign(s, path, None).select("vec_id", "cid", "embedding")
+      s.read.parquet(s"$path/centroids")
+        .write.mode("overwrite").parquet(s"$staging/centroids")
+      s8WriteSeg(s, staging, 0, all)
+      fs.delete(backup, true)
+      require(fs.rename(live, backup), s"could not move $path aside")
+      try require(fs.rename(hPath(staging), live), "could not promote")
+      catch { case e: Throwable => fs.rename(backup, live); throw e }
+      fs.delete(backup, true)
     }
   }
 
@@ -596,17 +748,34 @@ object SimilarityOps extends QueryGroup {
     // on re-runs the ledger already exists and nothing is novel)
     refreshIvfLedger(s, path, e.filter(pmod(col("vec_id"), lit(8)) =!= 5))
     // day 2: today's batch lands — assigned to the STORED centroids,
-    // appended; the standing corpus is untouched
+    // appended as its own committed segment; the standing corpus is
+    // untouched
     refreshIvfLedger(s, path, e)
     // the daily queries probe the PERSISTED index only
+    s8Probe(s, path, e.filter(col("vec_id") < NQ))
+  }
+
+  /** The daily query plan alone: probe the PERSISTED index with query
+    * vectors `q` (request-sized). Factored from [[s8Candidates]] so
+    * `LedgerScaleBench` times exactly this plan against a grown index.
+    */
+  private[graft] def s8Probe(s: SparkSession, path: String,
+      q: DataFrame): DataFrame = {
     val cents = s.read.parquet(s"$path/centroids")
-    val assign = s.read.parquet(s"$path/assign")
     val nprobe = LshTuning.nprobeFor(cents.count().toInt, nprobeFloor)
-    val q = e.filter(col("vec_id") < NQ)
-    val probes = probeNearest(q, cents, nprobe)
+    val probeRows = probeNearest(q, cents, nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("cid"))
-    assign.join(broadcast(probes), Seq("cid"))
+    // ≤ NQ·nprobe cids, a driver-sized collect (d9's prefix-set
+    // class). Probe selection is a deterministic total order
+    // (sim desc, cid asc over fixed stored centroids), so this second
+    // request-sized evaluation selects exactly the join's probe set
+    val probedCids = probeRows.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // reads nprobe/cells of the index's bytes: the cid prune lands as
+    // PartitionFilters on every committed segment scan (plan-gated)
+    val assign = s8Assign(s, path, Some(probedCids))
+    assign.join(broadcast(probeRows), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), col("qe"), col("embedding"))
   }

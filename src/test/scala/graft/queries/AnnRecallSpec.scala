@@ -77,7 +77,7 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     val fresh = SimilarityOps.assignNearest(e, cents)
       .select("vec_id", "cid").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val stored = spark.read.parquet(s"$path/assign")
+    val stored = SimilarityOps.s8Assign(spark, path, None)
       .select("vec_id", "cid").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     stored shouldBe fresh
@@ -89,6 +89,65 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     val r = recall(inc, exact)
     info(f"S8 recall@10 at sf0.001 = $r%.3f")
     r should be >= 0.5
+  }
+
+  test("S8 ledger: torn (marker-less) segments are invisible and " +
+      "cleaned; compaction is read-equivalent and crash-recoverable") {
+    import org.apache.spark.sql.functions._
+    val path = s"/tmp/graft_state/graft_s8_spec_${java.util.UUID
+      .randomUUID().toString.take(8)}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      // bootstrap + 3 daily appends → a 4-segment chain
+      SimilarityOps.refreshIvfLedger(spark, path,
+        e.filter(pmod(col("vec_id"), lit(4)) === 0))
+      (1 to 3).foreach { i =>
+        SimilarityOps.refreshIvfLedger(spark, path,
+          e.filter(pmod(col("vec_id"), lit(4)) <= i))
+      }
+      SimilarityOps.s8CommittedSegs(spark, path) shouldBe Seq(0, 1, 2, 3)
+      def snapshot() = SimilarityOps.s8Assign(spark, path, None)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val before = snapshot()
+      before.length.toLong shouldBe e.count()
+
+      // a TORN append (assign seg written, commit marker never
+      // created — the mid-crash state): invisible to readers, deleted
+      // and re-derived by the next refresh without duplicating rows
+      val torn = new java.io.File(s"$path/assign/seg-9/cid=0")
+      torn.mkdirs()
+      new java.io.File(torn, "part-torn.parquet").createNewFile()
+      SimilarityOps.s8CommittedSegs(spark, path) shouldBe Seq(0, 1, 2, 3)
+      SimilarityOps.refreshIvfLedger(spark, path, e) // steady-state
+      new java.io.File(s"$path/assign/seg-9").exists() shouldBe false
+      snapshot() shouldBe before
+
+      // compaction: one segment, same rows, same pruned-read layout
+      // (stale staging from a crashed predecessor must not break it)
+      new java.io.File(path + "__compact_staging").mkdirs()
+      SimilarityOps.compactIvfLedger(spark, path)
+      SimilarityOps.s8CommittedSegs(spark, path) shouldBe Seq(0)
+      snapshot() shouldBe before
+      new java.io.File(path + "__compact_backup").exists() shouldBe false
+      // appends keep working on the compacted ledger
+      SimilarityOps.refreshIvfLedger(spark, path, e)
+      snapshot() shouldBe before
+      // crash window between the two renames: live gone, backup
+      // present — the next compaction call restores it
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path + "__compact_backup"))
+      SimilarityOps.compactIvfLedger(spark, path)
+      snapshot() shouldBe before
+    } finally {
+      rm(new java.io.File(path))
+      rm(new java.io.File(path + "__compact_staging"))
+      rm(new java.io.File(path + "__compact_backup"))
+    }
   }
 
   test("IVF recall@10 vs brute force beats its scan fraction") {

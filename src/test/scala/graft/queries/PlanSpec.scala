@@ -19,6 +19,30 @@ class PlanSpec extends AnyFunSuite with Matchers {
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
 
+  /** Every parquet scan node in the plan, through the AQE wrapper and
+    * into subqueries — scan-node inspection instead of plan-string
+    * matching where the claim is about a path (the printed Location
+    * truncates at 100 chars) or a filter that must sit on a SPECIFIC
+    * scan.
+    */
+  private def fileScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def scanRoots(
+      f: org.apache.spark.sql.execution.FileSourceScanExec): Seq[String] =
+    f.relation.location.rootPaths.map(_.toString)
+
   test("q2: filter + projection reach the parquet scan") {
     val p = plan("q2_filter_project")
     p should include("PushedFilters: [IsNotNull(l_shipdate)")
@@ -108,19 +132,50 @@ class PlanSpec extends AnyFunSuite with Matchers {
     // gate the PRE-TAP candidate plan — the stage that touches storage
     // (the VerifyTap above it materializes candidates, so the query's
     // own post-tap plan shows only the tap read)
-    val p = graft.queries.SimilarityOps
+    val cand = graft.queries.SimilarityOps
       .s8Candidates(spark, TestSpark.sfDir)
-      .queryExecution.executedPlan.toString
+    val p = cand.queryExecution.executedPlan.toString
     // the candidate join reads the stored assignments + centroids —
     // the ledger parquet, not an in-query re-derivation
     p should include("graft_s8_ivf")
-    p.linesIterator.count(l => l.contains("Scan parquet") &&
-      l.contains("graft_s8_ivf")) should be >= 2 // centroids + assign
+    val scans = fileScans(cand)
+    // every assignment-segment scan is PARTITION-PRUNED to the probed
+    // cells (the _p2 layout's whole point: the daily query reads
+    // nprobe/cells of the index's bytes, never the whole corpus-sized
+    // index — the r13 `weak`)
+    val segScans = scans.filter(
+      scanRoots(_).exists(_.contains("/assign/seg-")))
+    segScans.size should be >= 2 // bootstrap seg + day-2 append seg
+    segScans.foreach { f =>
+      withClue(f.toString) {
+        f.partitionFilters.flatMap(_.references.toSeq.map(_.name))
+          .toSet should contain("cid")
+      }
+    }
     // and the only embeddings read is the pushed NQ query filter
     p.linesIterator.filter(l => l.contains("Scan parquet") &&
         l.contains("embeddings"))
       .foreach(l => withClue(l) {
         l should include("LessThan(vec_id,8)") })
+  }
+
+  test("s8: maintenance novelty is decided against the slim id-only " +
+      "sidecar, never the embedding-bearing index") {
+    // the anti-join plan an append executes: batch ids vs committed
+    // sidecar segs — no /assign/ read anywhere (the embedding bytes
+    // dominate the index; maintenance must not pay them, nor the
+    // partitioned tree's per-cell listing/footer tax)
+    val path = graft.queries.SimilarityOps.s8LedgerPath(TestSpark.sfDir)
+    val e = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val novel = e.join(
+      graft.queries.SimilarityOps.s8Ids(spark, path),
+      Seq("vec_id"), "left_anti")
+    val roots = fileScans(novel).flatMap(scanRoots)
+    roots.count(_.contains("/ids/seg-")) should be >= 2
+    roots.filter(_.contains("graft_s8_ivf"))
+      .foreach(r => withClue(r) { r should include("/ids/seg-") })
   }
 
   test("t8/p1: no per-source window wall; offsets join broadcasts") {

@@ -245,11 +245,32 @@ class StatsSamplingSpec extends AnyFunSuite with Matchers {
       "buffer, and the range sort ranks only the sketch-narrowed band") {
     val p = plan("q43_exact_quantiles")
     p should not include "Window"              // no per-group sort window
-    // no EXACT percentile (unbounded per-group buffer); the GK sketch
-    // (approx_percentile, bounded buffer) is the point of the plan
+    // no EXACT percentile (unbounded per-group buffer) anywhere
     p.linesIterator.filterNot(_.contains("percentile_approx"))
       .count(_.contains("percentile")) shouldBe 0
-    p should include ("percentile_approx")
+    // the GK sketch is PINNED (r14): evaluated once in a checkpoint
+    // job, consumed as an ExistingRDD scan by every downstream use —
+    // an unpinned sketch re-evaluates per consumer and GK's
+    // fetch-order-dependent merge could hand `below` and the band
+    // tagging DIFFERENT [lo,hi] boundaries (a silently wrong result,
+    // the r13-advice hazard). So the final plan must NOT contain the
+    // sketch agg, and the pinned band columns must flow from an RDD
+    // scan instead.
+    p should not include "percentile_approx"
+    p should include ("Scan ExistingRDD")
+    p should include ("t_p25")
+    // ...while the sketch itself (bounded-buffer partial agg) is still
+    // the narrowing plan that RUNS, in the checkpoint job:
+    val bandsPlan = graft.operators.SketchNarrowedQuantiles
+      .bandsPlanForTest(
+        graft.sources.Tables.load(spark, TestSpark.sfDir, "lineitem")
+          .select(org.apache.spark.sql.functions.col("l_returnflag"),
+            org.apache.spark.sql.functions.col("l_extendedprice").as("v")),
+        "l_returnflag", "v", Seq(("p25", 1), ("p50", 2), ("p75", 3)),
+        den = 4)
+      .queryExecution.executedPlan.toString
+    bandsPlan should include ("percentile_approx")
+    bandsPlan should include ("partial_percentile_approx")
     // the bands/below sides broadcast back onto the ranked band slice —
     // the narrowing itself never shuffles the corpus
     p.linesIterator.count(_.contains("BroadcastExchange")) should be >= 2
