@@ -673,6 +673,15 @@ object SimilarityOps extends QueryGroup {
     */
   private[graft] def refreshIvfLedger(s: SparkSession, path: String,
       prior: DataFrame): Unit = {
+    // a compaction that crashed between its two renames leaves the
+    // ledger under __compact_backup and nothing live; restore it here
+    // too (not just in compactIvfLedger) — otherwise this call would
+    // BOOTSTRAP a fresh ledger and fork the index
+    val fs0 = fsOf(s, path)
+    if (!fs0.exists(hPath(path)) &&
+        fs0.exists(hPath(path + "__compact_backup")))
+      require(fs0.rename(hPath(path + "__compact_backup"), hPath(path)),
+        s"could not restore $path from its compaction backup")
     s8CleanTorn(s, path)
     val centDir = s"$path/centroids"
     if (s8CommittedSegs(s, path).isEmpty) {

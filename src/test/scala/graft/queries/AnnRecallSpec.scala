@@ -143,6 +143,12 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
         new org.apache.hadoop.fs.Path(path + "__compact_backup"))
       SimilarityOps.compactIvfLedger(spark, path)
       snapshot() shouldBe before
+      // ...and a REFRESH arriving first must restore too, not
+      // bootstrap a forked index over the dangling backup
+      fs.rename(new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path + "__compact_backup"))
+      SimilarityOps.refreshIvfLedger(spark, path, e)
+      snapshot() shouldBe before
     } finally {
       rm(new java.io.File(path))
       rm(new java.io.File(path + "__compact_staging"))
