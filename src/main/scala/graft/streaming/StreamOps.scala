@@ -414,4 +414,48 @@ object StreamOps {
     scrubbed.select(scrubbed.columns.map(col) ++
       graft.queries.TextOps.qualityColumns("clean_text"): _*)
   }
+
+  // --------------------------------------------------------------- ST12
+  /** Streaming incremental ANN ingest — s8's streaming twin: each
+    * micro-batch of embedding rows lands in the PERSISTED IVF index
+    * ledger through the SAME `refreshIvfLedger` protocol the batch op
+    * runs (novel vec_ids assigned to the STORED centroids, written as
+    * a cid-partitioned segment + slim id sidecar, committed by a
+    * marker file written last). `foreachBatch` is the right face for a
+    * ledger sink: the write is a side effect with its own commit
+    * protocol, not a row-stream Spark can sink natively.
+    *
+    * EXACTLY-ONCE INGEST falls out of the s8 marker protocol rather
+    * than needing streaming state: `foreachBatch` is at-least-once
+    * across crashes, and a REPLAYED micro-batch re-derives novelty
+    * against COMMITTED ids only — rows whose segment committed append
+    * nothing (idempotent), rows whose segment tore mid-write sit in
+    * marker-less dirs the replay's refresh deletes and re-derives.
+    * Either way the ledger converges to exactly-once contents, and
+    * because assignment against fixed centroids is deterministic, the
+    * final ledger is row-for-row the one a single batch build would
+    * have produced (spec-gated, incl. a mid-stream torn segment).
+    *
+    * Production shape: bootstrap the ledger from the standing corpus
+    * FIRST (batch `refreshIvfLedger` — trains the quantizer), then
+    * attach the stream; a cold-started stream would otherwise train
+    * centroids on whatever the first micro-batch happens to hold.
+    * Daily queries keep probing the ledger between triggers with s8's
+    * pruned plan — readers only ever see marker-committed segments, so
+    * an in-flight micro-batch is invisible to them.
+    *
+    * @param docs streaming frame with `vec_id` and `embedding`
+    * @param path s8 ledger root (one per corpus, s8LedgerPath-keyed)
+    * @return a started-query handle is the caller's via `.start()`
+    */
+  def ingestAnnStream(docs: DataFrame,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.SimilarityOps.refreshIvfLedger(
+          batch.sparkSession, path,
+          batch.select(col("vec_id"), col("embedding")))
+      }
 }

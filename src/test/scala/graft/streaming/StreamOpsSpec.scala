@@ -651,4 +651,67 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     // exactly once: nothing re-emitted across the restart
     buf.synchronized(buf.size) shouldBe 3
   }
+
+  test("ST12 streaming ANN ingest: micro-batched ledger equals the " +
+      "batch build; torn segments and replays converge (exactly-once)") {
+    import spark.implicits._
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val path = s"/tmp/graft_state/graft_st12_$suffix"
+    val ckpt = s"/tmp/graft_state/graft_st12_ckpt_$suffix"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      // production shape: the standing corpus bootstraps the ledger
+      // (trains the quantizer) BEFORE the stream attaches
+      graft.queries.SimilarityOps.refreshIvfLedger(spark, path,
+        e.filter(pmod(col("vec_id"), lit(3)) === 0))
+      // the rest arrives as a stream, in three micro-batches
+      val rows = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      val in = MemoryStream[(Long, Seq[Float])](spark)
+      val q = StreamOps.ingestAnnStream(
+          in.toDF.toDF("vec_id", "embedding"), path)
+        .option("checkpointLocation", ckpt).start()
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      def partFiles() = walk(new java.io.File(path))
+        .filter(_.getName.startsWith("part-"))
+        .map(f => (f.getPath, f.lastModified, f.length)).sortBy(_._1)
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        // a torn (marker-less) segment appearing mid-stream — the
+        // crash shape — is cleaned by the next micro-batch's refresh
+        val torn = new java.io.File(s"$path/assign/seg-99/cid=0")
+        torn.mkdirs()
+        new java.io.File(torn, "part-torn.parquet").createNewFile()
+        in.addData(b2: _*); q.processAllAvailable()
+        new java.io.File(s"$path/assign/seg-99").exists() shouldBe false
+        in.addData(b3: _*); q.processAllAvailable()
+        // at-least-once delivery: the same rows arriving again append
+        // NOTHING (novelty keys on committed ids) — ledger files
+        // byte-identical before and after the replay
+        val files = partFiles()
+        in.addData(b3: _*); q.processAllAvailable()
+        partFiles() shouldBe files
+      } finally q.stop()
+      // exactly-once contents: the streamed ledger is row-for-row the
+      // single-batch build (assignment to fixed centroids is
+      // deterministic), covering the whole corpus exactly once
+      val cents = spark.read.parquet(s"$path/centroids")
+      val fresh = graft.queries.SimilarityOps.assignNearest(e, cents)
+        .select("vec_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val stored = graft.queries.SimilarityOps.s8Assign(spark, path, None)
+        .select("vec_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      stored shouldBe fresh
+      stored.size.toLong shouldBe e.count()
+    } finally {
+      rm(new java.io.File(path)); rm(new java.io.File(ckpt))
+    }
+  }
 }
