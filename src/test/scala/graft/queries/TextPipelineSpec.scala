@@ -28,6 +28,57 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     p should include("BroadcastHashJoin")
   }
 
+  test("t20: fuzzy decontamination equals the brute-force cross-set " +
+      "reference; prefix generation is lossless") {
+    // independent single-node reference: exact word-3-gram Jaccard of
+    // EVERY (corpus, eval) pair — no prefix filter, no positional cap
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir,
+        "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[Seq[String]] = {
+      val w = t.split(" ", -1)
+      (0 to w.length - 3).map(i => w.slice(i, i + 3).toSeq).toSet
+    }
+    val g = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val evalIds = docs.map(_._1).filter(_ % TextOps.t20Mod == 0)
+      .filter(g(_).nonEmpty)
+    val corpusIds = docs.map(_._1).filter(_ % TextOps.t20Mod != 0)
+    val expected = (for {
+      c <- corpusIds; e <- evalIds
+      inter = g(c).intersect(g(e)).size
+      union = g(c).size + g(e).size - inter
+      if union > 0 && inter.toDouble / union >= TextOps.t20T
+    } yield (c, e, inter.toLong,
+        inter.toDouble / union)).toSet
+    val got = run("t20_fuzzy_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    got shouldBe expected
+  }
+
+  test("t20: eval token index broadcasts; corpus-sized rows never " +
+      "shuffle (exchanges carry only the survivor set)") {
+    val df = run("t20_fuzzy_decontaminate")
+    val p = df.queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    // every Exchange sits ABOVE the verify filter (dedup/order of the
+    // result-sized survivors): none may carry the exploded corpus side
+    p should not include "SortMergeJoin"
+    // the corpus side reaches the broadcast join straight from the
+    // scratch scan + prefix explode — no hashpartitioning below the
+    // jaccard filter. The plan prints joins above their children, so
+    // it suffices that no hash exchange appears between the Generate
+    // (prefix explode) and the join.
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate posexplode"))
+    val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    genIdx should be >= 0
+    joinIdx should be >= 0
+    lines.slice(joinIdx, genIdx).foreach { l =>
+      withClue(l) { l should not include "Exchange hashpartitioning" }
+    }
+  }
+
   test("t7: ratio invariants hold on the real corpus") {
     val out = run("t7_repetition").cache()
     out.filter(col("n_distinct") > col("n_words")).count() shouldBe 0
