@@ -106,6 +106,13 @@ object SkewBench {
     spark.catalog.clearCache()
     time("jaccard_df_order")(
       sink(JaccardNearDup.pairs(sh, "doc_id", "sh", 0.8, dfOrdered = true)))
+    // r14 third arm: hot-token demotion — must hold the df arm's skew
+    // kill (the planted universal token goes hot and leaves every
+    // prefix) at a fraction of its cost (no df join, no window)
+    spark.catalog.clearCache()
+    time("jaccard_hot_demoted")(
+      sink(JaccardNearDup.pairs(sh, "doc_id", "sh", 0.8,
+        hotDemoted = true)))
     }
 
     // --------------------------------------- Zipfian LM context probe

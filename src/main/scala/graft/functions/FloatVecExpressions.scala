@@ -409,3 +409,100 @@ case class FirstEqualIndex(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): FirstEqualIndex =
     copy(left = newLeft, right = newRight)
 }
+
+/** Stable hot-token demotion over a SORTED DISTINCT long array: returns
+  * the same elements reordered as (elements ∉ `hot`, in their original
+  * ascending order) ++ (elements ∈ `hot`, in ascending order) — the
+  * token order behind [[graft.operators.JaccardNearDup]]'s hot-demoted
+  * prefix arm. `hot` is a driver-collected SORTED array (the Zipf head
+  * of the corpus vocabulary, bounded — see the caller), carried as a
+  * reference object, so membership is a two-pointer MERGE against the
+  * row's own sorted array: O(n + log|hot|·(first seek)) per row,
+  * allocation-free until the output copy. The result is a deterministic
+  * TOTAL order on tokens (rare: (0, tok); hot: (1, tok)), identical for
+  * every row — which is all PPJoin's prefix bound needs.
+  *
+  * Null ELEMENTS null the result (the [[SortedLongIntersectCount]]
+  * contract: a null inside a "sorted distinct long array" has no
+  * defined order position).
+  */
+case class DemoteHotTokens(child: Expression, hot: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes with NullableElements {
+
+  override def inputTypes = Seq(ArrayType(LongType))
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "demote_hot_tokens"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](n)
+    val hotBuf = new Array[Long](n)
+    var r = 0
+    var h = 0
+    var hi = 0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getLong(i)
+      while (hi < hot.length && hot(hi) < v) hi += 1
+      if (hi < hot.length && hot(hi) == v) { hotBuf(h) = v; h += 1 }
+      else { out(r) = v; r += 1 }
+      i += 1
+    }
+    var j = 0
+    while (j < h) { out(r + j) = hotBuf(j); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val hotRef = ctx.addReferenceObj("hotSet", hot, "long[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val hotBuf = ctx.freshName("hotBuf")
+      val r = ctx.freshName("r")
+      val h = ctx.freshName("h")
+      val hi = ctx.freshName("hi")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val j = ctx.freshName("j")
+      val brk = ctx.freshName("demoteLoop")
+      // ev.isNull exists only when some child is nullable; element
+      // nulls on a non-nullable child are a contract violation we
+      // cannot signal through isNull — emit the check only when the
+      // name is declared (the r12 undeclared-ev.isNull hazard)
+      val nullCheck =
+        if (!anyElementNullable) ""
+        else if (nullable)
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break $brk; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |long[] $hotBuf = new long[$n];
+         |int $r = 0, $h = 0, $hi = 0;
+         |$brk:
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  long $v = $a.getLong($i);
+         |  while ($hi < $hotRef.length && $hotRef[$hi] < $v) $hi++;
+         |  if ($hi < $hotRef.length && $hotRef[$hi] == $v) {
+         |    $hotBuf[$h++] = $v;
+         |  } else {
+         |    $out[$r++] = $v;
+         |  }
+         |}
+         |for (int $j = 0; $j < $h; $j++) { $out[$r + $j] = $hotBuf[$j]; }
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DemoteHotTokens = copy(child = newChild)
+}

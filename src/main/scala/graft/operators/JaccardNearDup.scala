@@ -52,13 +52,30 @@ object JaccardNearDup {
     */
   val dfOrderMinDocs: Long = 100000L
 
+  /** Hot-token demotion thresholds (the r14 armor — see `pairs`):
+    * tokens with document frequency ≥ [[hotDfMin]] are demotion
+    * CANDIDATES (a prefix token with df d forms a d²-pair candidate
+    * bucket; 64² = 4k pairs per token is the tolerated floor), and the
+    * collected hot set is capped at the [[hotMaxSet]] highest-df
+    * tokens (≤ 512 KB of longs — driver-safe at ANY corpus size, and
+    * under Zipf the head is where all the quadratic mass sits).
+    */
+  val hotDfMin: Long = 64L
+  val hotMaxSet: Int = 65536
+
   /** [[pairs]] with the ordering auto-selected from the corpus size
     * (`nDocs` — a parquet metadata count upstream, no data scan).
+    * Large corpora get the r14 HOT-DEMOTED prefix (the same skew kill
+    * as the r7 df-ordered window arm — the Zipf head never enters a
+    * prefix — at a fraction of its cost: one vocabulary-bounded
+    * partial agg + a driver-sized collect instead of a corpus-exploded
+    * token join + per-doc window; measured head-to-head in SkewBench
+    * `jacc` and BASELINE §sf10 r14).
     */
   def pairsAuto(toks: DataFrame, idCol: String, toksCol: String,
       t: Double, nDocs: Long): DataFrame = {
     val large = nDocs >= dfOrderMinDocs
-    pairs(toks, idCol, toksCol, t, dfOrdered = large, noBroadcast = large)
+    pairs(toks, idCol, toksCol, t, hotDemoted = large, noBroadcast = large)
   }
 
   /** `noBroadcast = true` puts explicit sort-merge hints on every
@@ -76,7 +93,10 @@ object JaccardNearDup {
     */
   def pairs(toks: DataFrame, idCol: String, toksCol: String,
       t: Double, dfOrdered: Boolean = false,
-      noBroadcast: Boolean = false): DataFrame = {
+      noBroadcast: Boolean = false,
+      hotDemoted: Boolean = false): DataFrame = {
+    require(!(dfOrdered && hotDemoted),
+      "dfOrdered and hotDemoted are alternative orderings — pick one")
     def nb(df: DataFrame): DataFrame =
       if (noBroadcast) df.hint("merge") else df
     // corpus-sized scratch: explicit level + releasable, see ScratchCache
@@ -95,10 +115,39 @@ object JaccardNearDup {
     val prefLen = (col("n") - ceil(col("n") * t) + 1).cast("int")
 
     // each prefix token carries its 1-based POSITION under the global
-    // token order (the array's own sort by default, (df, tok) when
-    // df-ordered) — it feeds the PPJoin+ positional filter below
+    // token order (the array's own sort by default; (isHot, tok) when
+    // hot-demoted; (df, tok) when df-ordered) — it feeds the PPJoin+
+    // positional filter below
     val prefix =
-      if (!dfOrdered)
+      if (hotDemoted) {
+        // r14 skew armor: the Zipf head is DEMOTED below every rare
+        // token, so no hot token can enter a prefix (same kill as the
+        // df-ordered window arm — a d²-pair bucket needs its token in
+        // d prefixes) without the corpus-exploded df JOIN + per-doc
+        // window that arm pays. Cost: one vocabulary-bounded
+        // partial-agg scan + a ≤ hotMaxSet driver collect (the d9
+        // prefix-set class, 512 KB ceiling) + a per-row two-pointer
+        // merge ([[graft.functions.DemoteHotTokens]]). (isHot, tok) is
+        // a total order shared by every doc, so the PPJoin prefix and
+        // positional bounds hold unchanged; results are
+        // order-invariant (spec-proven across all three arms).
+        val hot = sh.select(explode(col("sh")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= hotDfMin)
+          .orderBy(col("df").desc, col("tok")).limit(hotMaxSet)
+          .collect().map(_.getLong(0)).sorted
+        val reordered =
+          if (hot.isEmpty) col("sh") // natural corpus: order unchanged
+          else org.apache.spark.sql.GraftBridge.column(
+            graft.functions.DemoteHotTokens(
+              org.apache.spark.sql.GraftBridge.expression(col("sh")),
+              hot))
+        sh.select(col("doc_id"), col("n"),
+          posexplode(slice(reordered, lit(1), prefLen))
+            .as(Seq("pos0", "tok")))
+          .select(col("doc_id"), col("n"), col("tok"),
+            (col("pos0") + 1).as("pos"))
+      } else if (!dfOrdered)
         sh.select(col("doc_id"), col("n"),
           posexplode(slice(col("sh"), lit(1), prefLen))
             .as(Seq("pos0", "tok")))

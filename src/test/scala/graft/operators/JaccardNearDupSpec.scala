@@ -46,6 +46,69 @@ class JaccardNearDupSpec extends AnyFunSuite with Matchers {
     val byDf = collectPairs(dfOrdered = true)
     byDf shouldBe plain
     plain should not be empty
+    // r14 third arm: hot-demoted ordering (hot set empty at this
+    // corpus' dfs — the pass-through path must still be identical)
+    val byHot = JaccardNearDup.pairs(sh, "doc_id", "sh", 0.8,
+        hotDemoted = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    byHot shouldBe plain
+  }
+
+  test("hot-demoted prefix: identical to brute force on an adversarial " +
+      "hot-token corpus (demotion engaged), and the demotion " +
+      "expression reorders exactly") {
+    val rnd = new scala.util.Random(13)
+    // every doc shares tokens {5, 6} (df = 160 ≥ hotDfMin → both go
+    // hot); every even doc gets a near-identical twin (J ≥ 0.8), so
+    // the pair set is non-trivial and every pair's similarity RIDES
+    // partly on the demoted tokens
+    val base = (1L to 80L).map { id =>
+      id -> (Seq(5L, 6L) ++
+        Seq.fill(10)(rnd.nextInt(5000).toLong + 100L)).distinct
+    }
+    val corpus = base ++ base.map { case (id, ts) =>
+      (id + 1000L) -> (ts :+ 99999L) // one extra token: J = n/(n+1) ≥ .8
+    }
+    val brute = (for {
+      (i, si0) <- corpus; (j, sj0) <- corpus if i < j
+      si = si0.toSet; sj = sj0.toSet
+      inter = (si & sj).size
+      jac = inter.toDouble / (si.size + sj.size - inter)
+      if jac >= 0.8
+    } yield (i, j, inter.toLong)).toSet
+    brute should not be empty
+    val got = JaccardNearDup.pairs(toks(corpus: _*), "id", "toks", 0.8,
+        hotDemoted = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe brute
+
+    // DemoteHotTokens itself: stable partition, reference-checked
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val hot = Array(3L, 7L, 11L)
+    val rows = Seq(
+      Seq(1L, 3L, 5L, 7L, 9L, 11L),  // mixed
+      Seq(3L, 7L),                    // all hot
+      Seq(1L, 2L),                    // none hot
+      Seq.empty[Long])
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = true)))))
+    val out = df.select(column(graft.functions.DemoteHotTokens(
+        expression(col("a")), hot)).as("r"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val hotSet = hot.toSet
+    out shouldBe rows.map(r =>
+      r.filterNot(hotSet) ++ r.filter(hotSet))
+    // a null element nulls the result (no defined order position)
+    val ndf = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(Seq(1L, null))),
+      df.schema)
+    ndf.select(column(graft.functions.DemoteHotTokens(
+        expression(col("a")), hot)).as("r"))
+      .collect()(0).isNullAt(0) shouldBe true
   }
 
   test("operator equals brute-force Jaccard on random corpora " +
@@ -127,16 +190,20 @@ class JaccardNearDupSpec extends AnyFunSuite with Matchers {
   }
 
   test("pairsAuto keys the ordering to corpus size") {
-    // below the threshold: the zero-extra-shuffle token order (no df
-    // re-rank window in the plan); at/above: the df-ordered prefix
+    // below the threshold: the zero-extra-shuffle token order; at or
+    // above: the hot-demoted prefix (r14 — NO df window either: the
+    // armor is a vocabulary agg + driver-collected hot set, so neither
+    // arm may plan a Window; the merge hints are the visible switch)
     val df = toks(1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 2L, 4L))
     val small = JaccardNearDup.pairsAuto(df, "id", "toks", 0.8, nDocs = 2)
       .queryExecution.executedPlan.toString
     small should not include "Window"
+    small should not include "SortMergeJoin"
     val large = JaccardNearDup.pairsAuto(df, "id", "toks", 0.8,
       nDocs = JaccardNearDup.dfOrderMinDocs)
       .queryExecution.executedPlan.toString
-    large should include("Window")
+    large should not include "Window"
+    large should include("SortMergeJoin")
   }
 
   test("candidate join is an equi-join, never cartesian (both orderings)") {
