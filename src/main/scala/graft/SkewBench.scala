@@ -36,9 +36,11 @@ object SkewBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scenario = args.headOption.getOrElse("all")
-    require(Set("all", "join", "jaccard", "lm", "pairs", "simhash")(scenario),
+    require(
+      Set("all", "join", "jaccard", "lm", "pairs", "simhash", "hamming")(
+        scenario),
       s"unknown scenario '$scenario' " +
-        "(expected all | join | jaccard | lm | pairs | simhash)")
+        "(expected all | join | jaccard | lm | pairs | simhash | hamming)")
     val spark = GraftSession.local(32, "graft-skew-bench")
 
     def sink(df: DataFrame): Unit =
@@ -226,6 +228,71 @@ object SkewBench {
     time("simhash_wide_arm_2")(arm(true))
     spark.catalog.clearCache()
     graft.operators.ScratchCache.releaseAll()
+    }
+
+    // -------------------------- d4/mm3 hamming hot-BLOCK skew probe
+    // HammingNearDup's doc promised "a hot bucket can be salted or
+    // dropped like any skewed join key" with nothing measuring it.
+    // The hazard is OUTPUT-compute skew: a low-entropy corpus (boiler-
+    // plate pages, near-constant templates) gives d unique signatures
+    // IDENTICAL in 3 of 4 pigeonhole blocks — three (block, v) join
+    // keys each carrying d·d candidate pairs that all materialize in
+    // whichever task owns that key. The shuffle INPUT for those keys
+    // is tiny (d rows a side), so AQE's bytes-based skew split never
+    // fires — if a straggler exists, it is invisible to every adaptive
+    // remedy and needs an explicit probe-side salt. This measures it:
+    // a planted 3-constant-block hot group (hotN of n sigs, the other
+    // blocks random) under (a) the small-index broadcast-join shape,
+    // (b) the at-scale merge-join shape with AQE skew split on,
+    // (c) same with skew split off (isolates what AQE contributes),
+    // against a uniform-entropy control on the merge shape.
+    if (scenario == "hamming") {
+    val n = args.lift(1).map(_.toLong).getOrElse(150000L)
+    val hotN = args.lift(2).map(_.toLong).getOrElse(5000L)
+    import graft.operators.HammingNearDup
+    // deterministic synthetic signatures (ANSI-safe hash mixing):
+    // cold rows uniform over 2⁶⁴×2⁶⁴; hot rows share hi and lo's high
+    // half (blocks 1–3 constant) and randomize only lo's low 32 bits
+    val hot = col("id") % lit(n / hotN) === 0
+    val sigs = spark.range(n)
+      .select(col("id").as("doc_id"),
+        when(hot, lit(0x5A5A5A5A5A5A5A5AL))
+          .otherwise(xxhash64(col("id"), lit("h"))).as("hi"),
+        when(hot, lit(0x3C3C3C3C00000000L)
+            .bitwiseOR(xxhash64(col("id"), lit("l"))
+              .bitwiseAND(lit(0xFFFFFFFFL))))
+          .otherwise(xxhash64(col("id"), lit("l"))).as("lo"))
+    val cold = spark.range(n)
+      .select(col("id").as("doc_id"),
+        xxhash64(col("id"), lit("h")).as("hi"),
+        xxhash64(col("id"), lit("l")).as("lo"))
+    sigs.cache().write.format("noop").mode("overwrite").save()
+    cold.cache().write.format("noop").mode("overwrite").save()
+    def arm(s: DataFrame, salt: Int = 0): Unit =
+      sink(HammingNearDup.pairsWide(s, "doc_id", "hi", "lo", 7,
+        saltHotBlocks = salt))
+    def noBroadcast(f: => Unit): Unit = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try f finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold",
+        (64 * 1024 * 1024).toString)
+    }
+    // optional third arg prunes to the cheap arms (the unsalted
+    // broadcast arm is ~d²-serial — pathological by design; measure it
+    // once at a moderate d, not on every corpus line)
+    val fast = args.lift(3).contains("fast")
+    arm(cold) // warm codegen untimed
+    noBroadcast { time("hamming_uniform_merge")(arm(cold)) }
+    if (!fast) {
+      time("hamming_hot_broadcast")(arm(sigs))
+      time("hamming_hot_broadcast_salted")(arm(sigs, salt = 32))
+      noBroadcast { time("hamming_hot_merge_aqe_skew")(arm(sigs)) }
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    noBroadcast { time("hamming_hot_merge_no_skew")(arm(sigs)) }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    noBroadcast { time("hamming_hot_merge_salted")(arm(sigs, salt = 32)) }
+    spark.catalog.clearCache()
     }
 
     spark.stop()

@@ -29,8 +29,18 @@ import graft.functions.HashFunctions.hamming64
   *
   * Scale shape: one explode (×nBlocks·(width+2) rows total across both
   * sides) + one shuffle on the block key; candidate volume is bounded
-  * by bucket collisions, and a hot bucket (e.g. an all-zero block from
-  * short inputs) can be salted or dropped like any skewed join key.
+  * by bucket collisions. A hot block key (a low-entropy corpus puts d
+  * unique signatures on one (block, v) — boilerplate/template pages
+  * identical in 3 of 4 blocks) is OUTPUT-compute skew: its d² candidate
+  * evaluations land on the single task owning the key, while its
+  * shuffle INPUT is d tiny rows — so AQE's bytes-based skew split never
+  * fires (measured identical with it on/off, SkewBench `hamming`), and
+  * dropping the key would break the pigeonhole guarantee (a pair whose
+  * only ≤1-error block is the dropped one is lost). The measured armor
+  * is an explicit probe-side SALT on detected hot keys
+  * (`saltHotBlocks`, [[pairsWide]]): 64.0 → 24.8 s at d = 60k of
+  * n = 150k (BASELINE §skew, full table incl. the pathological
+  * small-index broadcast shape at 106.7 s).
   * [[pairs]] (64-bit) backs MM3's binary pHash; d4's text simhash runs
   * the 128-bit [[pairsWide]] (measured fastest at every corpus size —
   * BASELINE §skew), with [[pairsWideNarrowBlocked]] as d14's oracled
@@ -125,8 +135,10 @@ object HammingNearDup {
     * @return (i, j, hamming) with i < j, hamming ≤ maxHam over all 128
     */
   def pairsWide(sigs: DataFrame, idCol: String, hiCol: String,
-      loCol: String, maxHam: Int): DataFrame =
-    pairsWideImpl(sigs, idCol, hiCol, loCol, maxHam, blockSpan = 128)
+      loCol: String, maxHam: Int, saltHotBlocks: Int = 0,
+      hotBlockFloor: Long = hotBlockMinSigs): DataFrame =
+    pairsWideImpl(sigs, idCol, hiCol, loCol, maxHam, blockSpan = 128,
+      saltHotBlocks = saltHotBlocks, hotBlockFloor = hotBlockFloor)
 
   /** [[pairsWide]]'s NARROW-BLOCKED comparison arm: same 128-bit
     * hamming semantics and exact verification, but pigeonhole blocks
@@ -153,8 +165,22 @@ object HammingNearDup {
       hiCol: String, loCol: String, maxHam: Int): DataFrame =
     pairsWideImpl(sigs, idCol, hiCol, loCol, maxHam, blockSpan = 64)
 
+  /** Hot-block keys are detected when their UNIQUE-signature count
+    * reaches this floor — below it a block key's d² candidate output
+    * (≤ 16M pairs) is cheaper than the salt's bookkeeping.
+    */
+  val hotBlockMinSigs: Long = 4096L
+
+  /** Driver-side cap on the collected hot-key set (top-count first);
+    * 3 constant blocks is the planted worst case, real boilerplate
+    * corpora have a handful — the cap only bounds the collect.
+    */
+  val hotBlockMaxKeys: Int = 1024
+
   private def pairsWideImpl(sigs: DataFrame, idCol: String, hiCol: String,
-      loCol: String, maxHam: Int, blockSpan: Int): DataFrame = {
+      loCol: String, maxHam: Int, blockSpan: Int,
+      saltHotBlocks: Int = 0,
+      hotBlockFloor: Long = hotBlockMinSigs): DataFrame = {
     require(maxHam >= 0 && maxHam < 128,
       s"maxHam must be in [0,128), got $maxHam")
     require(blockSpan == 64 || blockSpan == 128,
@@ -201,8 +227,52 @@ object HammingNearDup {
           col("v").bitwiseXOR(lit(1L << bit))): _*)).as("v"))
     val ham = hamming64(col("ha"), col("hb")) +
       hamming64(col("la"), col("lb"))
-    val sigPairs = probe.as("a").join(plain.as("b"),
+    // hot-BLOCK salt (opt-in, SkewBench-measured): a low-entropy corpus
+    // puts d unique signatures on ONE (block, v) key per constant
+    // block; its d² candidate pairs are OUTPUT-compute skew — the
+    // shuffle input for the key is d tiny rows, so AQE's bytes-based
+    // skew split never fires and the key's whole quadratic lands on
+    // the single task owning it. Salting splits the PROBE side of each
+    // detected hot key by signature hash and replicates only the hot
+    // keys' build rows ×salt — d²/salt work per task, lossless (a pair
+    // meets at exactly the probe row's salt). Detection is one
+    // partial-agg count over the (4·uniq)-row block table, collected
+    // bounded (≤ hotBlockMaxKeys).
+    val (probeS, plainS, saltEq) =
+      if (saltHotBlocks <= 1) (probe, plain, lit(true))
+      else {
+        val hot = plain.groupBy("block", "v")
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= hotBlockFloor)
+          .orderBy(col("c").desc, col("block"), col("v"))
+          .limit(hotBlockMaxKeys)
+          .select("block", "v").collect()
+        if (hot.isEmpty) (probe, plain, lit(true))
+        else {
+          val spark = sigs.sparkSession
+          import spark.implicits._
+          val hotDf = hot.map(r => (r.getInt(0), r.getLong(1))).toSeq
+            .toDF("block", "v").withColumn("isHot", lit(true))
+          val pS = probe
+            .join(broadcast(hotDf), Seq("block", "v"), "left")
+            .withColumn("salt",
+              when(col("isHot"),
+                pmod(xxhash64(col("hi"), col("lo")),
+                  lit(saltHotBlocks.toLong)).cast("int"))
+                .otherwise(lit(0)))
+            .drop("isHot")
+          val bS = plain
+            .join(broadcast(hotDf), Seq("block", "v"), "left")
+            .select(col("hi"), col("lo"), col("block"), col("v"),
+              explode(when(col("isHot"),
+                  sequence(lit(0), lit(saltHotBlocks - 1)))
+                .otherwise(array(lit(0)))).as("salt"))
+          (pS, bS, col("a.salt") === col("b.salt"))
+        }
+      }
+    val sigPairs = probeS.as("a").join(plainS.as("b"),
       col("a.block") === col("b.block") && col("a.v") === col("b.v") &&
+        saltEq &&
         (col("a.hi") < col("b.hi") ||
           (col("a.hi") === col("b.hi") && col("a.lo") < col("b.lo"))))
       .select(col("a.hi").as("ha"), col("a.lo").as("la"),

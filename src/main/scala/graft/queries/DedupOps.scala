@@ -351,7 +351,8 @@ object DedupOps extends QueryGroup {
     (s, dir) => {
       val sig = graft.sources.VerifyTap(simhashSigs128(s, dir), "d4_sigs")
       graft.operators.HammingNearDup
-        .pairsWide(sig, "doc_id", "hi", "lo", shWideMaxHam)
+        .pairsWide(sig, "doc_id", "hi", "lo", shWideMaxHam,
+          saltHotBlocks = 32)
         .orderBy("i", "j")
     },
     Some(s"""WITH sigs AS (

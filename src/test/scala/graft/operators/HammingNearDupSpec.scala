@@ -84,6 +84,34 @@ class HammingNearDupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("hot-block salt is lossless: planted low-entropy corpus, salted " +
+      "pairs == unsalted == brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4177)
+    // 60 hot sigs: constant in 3 of 4 pigeonhole blocks (hi and lo's
+    // high half), random lo low-32 — three hot (block, v) keys of d=60,
+    // the boilerplate-corpus shape SkewBench `hamming` measures. Plus
+    // 90 uniform background sigs. Floor lowered so detection engages.
+    val sigs = (1L to 150L).map { i =>
+      if (i <= 60L)
+        (i, 0x5A5A5A5A5A5A5A5AL,
+          0x3C3C3C3C00000000L | (rnd.nextInt() & 0xFFFFFFFFL))
+      else (i, rnd.nextLong(), rnd.nextLong())
+    }
+    val df = sigs.toDF("id", "hi", "lo")
+    val brute = (for {
+      (i, hi, li) <- sigs; (j, hj, lj) <- sigs if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) + java.lang.Long.bitCount(li ^ lj)
+      if d <= 7
+    } yield (i, j, d.toLong)).toSet
+    brute should not be empty // the planted group must produce pairs
+    def got(f: org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got(HammingNearDup.pairsWide(df, "id", "hi", "lo", 7,
+      saltHotBlocks = 8, hotBlockFloor = 10L)) shouldBe brute
+    got(HammingNearDup.pairsWide(df, "id", "hi", "lo", 7)) shouldBe brute
+  }
+
   test("narrow blocking rejects thresholds the lo-half pigeonhole " +
       "cannot guarantee") {
     import spark.implicits._
