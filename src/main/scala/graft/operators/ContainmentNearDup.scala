@@ -24,10 +24,11 @@ import org.apache.spark.sql.types.LongType
   *
   * Scale shape mirrors [[JaccardNearDup]]: unique-set armor (mass
   * duplicates verify once per SET pair, members recovered after),
-  * ScratchCache'd shingle tables, the df-ordered rare-token prefix +
-  * sort-merge hints engaged together above
-  * [[JaccardNearDup.dfOrderMinDocs]], exact verification via the
-  * native sorted-merge intersect count. The container-side token list
+  * ScratchCache'd shingle tables, the hot-demoted rare-token ordering
+  * (r14) + sort-merge hints engaged together above
+  * [[JaccardNearDup.dfOrderMinDocs]] (the df-window ordering survives
+  * as the forced identity twin), exact verification via the native
+  * sorted-merge intersect count. The container-side token list
   * is corpus-sized by necessity — containment cannot prefix-restrict
   * the side being searched — which is the same table d2's verify stage
   * already materializes.
@@ -45,13 +46,19 @@ object ContainmentNearDup {
   def pairsAuto(toks: DataFrame, idCol: String, toksCol: String,
       t: Double, nDocs: Long): DataFrame = {
     val large = nDocs >= JaccardNearDup.dfOrderMinDocs
-    pairs(toks, idCol, toksCol, t, dfOrdered = large, noBroadcast = large)
+    // large corpora take the r14 HOT-DEMOTED ordering (the same skew
+    // kill as the df window arm at a fraction of its cost — see the
+    // Jaccard twin); the df arm stays as the forced identity twin
+    pairs(toks, idCol, toksCol, t, hotDemoted = large, noBroadcast = large)
   }
 
   def pairs(toks: DataFrame, idCol: String, toksCol: String,
       t: Double, dfOrdered: Boolean = false,
-      noBroadcast: Boolean = false): DataFrame = {
+      noBroadcast: Boolean = false,
+      hotDemoted: Boolean = false): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"containment threshold in (0,1], got $t")
+    require(!(dfOrdered && hotDemoted),
+      "dfOrdered and hotDemoted are alternative orderings — pick one")
     def nb(df: DataFrame): DataFrame =
       if (noBroadcast) df.hint("merge") else df
     val members = ScratchCache.scratch(
@@ -72,7 +79,23 @@ object ContainmentNearDup {
     // (the per-doc window ranks a doc's own tokens — bounded by set
     // size, never a corpus funnel).
     val posTok = ScratchCache.scratch(
-      if (!dfOrdered)
+      if (hotDemoted) {
+        // r14: the Zipf head is demoted below every rare token by the
+        // shared native merge expression — no hot token can enter a
+        // contained-side prefix, the same skew kill as the df window
+        // arm below with NO corpus-exploded token⋈df join and NO
+        // per-doc window. (isHot, tok) is a total order shared by
+        // every row, which is all the one-sided prefix + positional
+        // bounds need; both join sides position under it (this ONE
+        // reordered posexplode feeds contained prefix AND container
+        // list). Identity spec-proven against brute force with
+        // demotion engaged (DedupConsistencySpec, 3-arm).
+        val reordered = JaccardNearDup.demotedByZipfHead(sets, "sh")
+        sets.select(col("doc_id"), col("n"),
+          posexplode(reordered).as(Seq("pos0", "tok")))
+          .select(col("doc_id"), col("n"), col("tok"),
+            (col("pos0") + 1).as("pos"))
+      } else if (!dfOrdered)
         sets.select(col("doc_id"), col("n"),
           posexplode(col("sh")).as(Seq("pos0", "tok")))
           .select(col("doc_id"), col("n"), col("tok"),

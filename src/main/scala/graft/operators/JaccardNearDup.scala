@@ -63,6 +63,27 @@ object JaccardNearDup {
   val hotDfMin: Long = 64L
   val hotMaxSet: Int = 65536
 
+  /** The hot-demotion ordering's build step, shared by the Jaccard and
+    * containment ([[ContainmentNearDup]]) hot arms: collect the Zipf
+    * head of `setsDf`'s token vocabulary (df ≥ [[hotDfMin]], top
+    * [[hotMaxSet]] — a bounded, driver-safe collect at any corpus
+    * size) and return `toksCol` reordered so hot tokens sit below
+    * every rare token ((isHot, tok) — a total order shared by every
+    * row). Empty head (a natural corpus) returns the column unchanged.
+    */
+  private[operators] def demotedByZipfHead(setsDf: DataFrame,
+      toksCol: String): org.apache.spark.sql.Column = {
+    val hot = setsDf.select(explode(col(toksCol)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= hotDfMin)
+      .orderBy(col("df").desc, col("tok")).limit(hotMaxSet)
+      .collect().map(_.getLong(0)).sorted
+    if (hot.isEmpty) col(toksCol)
+    else org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DemoteHotTokens(
+        org.apache.spark.sql.GraftBridge.expression(col(toksCol)), hot))
+  }
+
   /** [[pairs]] with the ordering auto-selected from the corpus size
     * (`nDocs` — a parquet metadata count upstream, no data scan).
     * Large corpora get the r14 HOT-DEMOTED prefix (the same skew kill
@@ -131,17 +152,7 @@ object JaccardNearDup {
         // a total order shared by every doc, so the PPJoin prefix and
         // positional bounds hold unchanged; results are
         // order-invariant (spec-proven across all three arms).
-        val hot = sh.select(explode(col("sh")).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("df"))
-          .filter(col("df") >= hotDfMin)
-          .orderBy(col("df").desc, col("tok")).limit(hotMaxSet)
-          .collect().map(_.getLong(0)).sorted
-        val reordered =
-          if (hot.isEmpty) col("sh") // natural corpus: order unchanged
-          else org.apache.spark.sql.GraftBridge.column(
-            graft.functions.DemoteHotTokens(
-              org.apache.spark.sql.GraftBridge.expression(col("sh")),
-              hot))
+        val reordered = demotedByZipfHead(sh, "sh")
         sh.select(col("doc_id"), col("n"),
           posexplode(slice(reordered, lit(1), prefLen))
             .as(Seq("pos0", "tok")))

@@ -510,15 +510,53 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
       inter = (si & sj).size
       if inter.toDouble / si.size >= t
     } yield (i, j) -> inter.toLong).toMap
-    for (dfOrdered <- Seq(false, true)) {
+    for ((dfOrdered, hotDemoted) <- Seq((false, false), (true, false),
+        (false, true))) {
       val got = graft.operators.ContainmentNearDup
         .pairs(toks, "doc_id", "sh", t, dfOrdered = dfOrdered,
-          noBroadcast = dfOrdered)
+          noBroadcast = dfOrdered, hotDemoted = hotDemoted)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
         .toMap
-      withClue(s"dfOrdered=$dfOrdered: ") { got shouldBe ref }
+      withClue(s"dfOrdered=$dfOrdered hotDemoted=$hotDemoted: ") {
+        got shouldBe ref
+      }
     }
     ref.nonEmpty shouldBe true
+  }
+
+  test("containment hot-demoted arm: identical to brute force with " +
+      "demotion ENGAGED (universal boilerplate tokens, subset pairs " +
+      "riding on them)") {
+    // every doc opens with the same 3-token boilerplate (df = 150 ≥
+    // hotDfMin → all three go hot); each even doc gets a strict-subset
+    // twin KEEPING the boilerplate, so every planted containment pair
+    // depends on demoted tokens and the contained side's prefix must
+    // still find a shared rare token
+    import spark.implicits._
+    val rnd = new scala.util.Random(9241)
+    val boiler = Seq(11L, 22L, 33L)
+    val base = (1L to 75L).map { id =>
+      id -> (boiler ++ Seq.fill(9)(rnd.nextInt(4000).toLong + 100L))
+        .distinct.toArray.sorted
+    }
+    val corpus = base ++ base.collect { case (id, ts) if id % 2 == 0 =>
+      // subset: boilerplate + the first 6 non-boiler tokens → C ≥ 0.9
+      (id + 1000L) -> (boiler ++ ts.filter(_ >= 100L).take(6))
+        .toArray.sorted
+    }
+    val ref = (for {
+      (i, si0) <- corpus; (j, sj0) <- corpus if i != j
+      si = si0.toSet; sj = sj0.toSet if si.nonEmpty
+      inter = (si & sj).size
+      if inter.toDouble / si.size >= 0.9
+    } yield (i, j) -> inter.toLong).toMap
+    ref.nonEmpty shouldBe true
+    val got = graft.operators.ContainmentNearDup
+      .pairs(corpus.toDF("doc_id", "sh"), "doc_id", "sh", 0.9,
+        hotDemoted = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    got shouldBe ref
   }
 
   test("containment: documents with empty shingle sets are never " +
