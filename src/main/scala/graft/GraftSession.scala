@@ -37,6 +37,18 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS",
           shufflePartitions.toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // TypedImperativeAggregate partials (TopKAggregate, MisraGries)
+      // run in ObjectHashAggregateExec, whose hash map falls back to
+      // SORT-BASED aggregation after this many keys — the stock 128
+      // turns any corpus-keyed heap agg (s9's per-vector top-k over
+      // the n^1.5 candidate stream) into a full sort+spill of its
+      // input per task, the exact OOM the r14 sf10 probe caught.
+      // 1M keys ≈ ≤ a few hundred MB per task at TopK's ~200 B/entry
+      // buffers — in-memory partials for any per-key-bounded agg,
+      // while a genuinely unbounded key space still falls back
+      // instead of OOMing.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -39,9 +39,9 @@ object SimilarityOps extends QueryGroup {
     * of s1/s2/s3: at 100 TB a per-qid window would funnel a query's
     * whole candidate list through one reducer; the heap partial-aggs.
     */
-  private def topKAgg(scored: DataFrame): DataFrame =
+  private def topKAgg(scored: DataFrame, k: Int = K): DataFrame =
     scored.groupBy("qid")
-      .agg(TopKAggregate.topKByScore(col("cosine"), col("vec_id"), K)
+      .agg(TopKAggregate.topKByScore(col("cosine"), col("vec_id"), k)
         .as("top"))
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
@@ -122,7 +122,9 @@ object SimilarityOps extends QueryGroup {
     LshTuning.tablesFor(s2Bits(n), lshBitsFloor, lshTablesFloor, lshPStar)
 
   /** The s1-oracle cosine/top-k SQL over a materialized candidate tap. */
-  private def rerankOracle(tap: String): String =
+  private def rerankOracle(tap: String): String = rerankOracleK(tap, K)
+
+  private def rerankOracleK(tap: String, k: Int): String =
     s"""WITH cand AS (
        |  SELECT qid, vec_id, qe, embedding
        |  FROM read_parquet('${graft.sources.VerifyTap.root}/$tap/*.parquet')
@@ -139,7 +141,7 @@ object SimilarityOps extends QueryGroup {
        |  FROM scored
        |)
        |SELECT qid, rank, vec_id AS neighbor_id, cosine
-       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   /** The shared s2/s7 LSH candidate stage: occupancy-keyed hyperplane
     * buckets on both sides, query side broadcast, candidates
     * materialized under `tap` so each consumer gets its own
@@ -800,6 +802,134 @@ object SimilarityOps extends QueryGroup {
     },
     Some(rerankOracle("s8_cand")))
 
+  // ---------------------------------------------------------------- S9
+  // kNN GRAPH: every corpus vector gets its top-KG neighbors — the
+  // building block of semantic-dedup clustering (SemDeDup), NN-descent
+  // seeding, and diversity sampling, and a different SCALE SHAPE from
+  // s1–s8: there the query side was request-sized and broadcast; here
+  // EVERY vector is a query, so nothing about the probe side may be
+  // window-funneled or broadcast.
+  //
+  // Plan: one trained coarse quantizer (s3's machinery — √n cells,
+  // centroid table stays broadcast-sized at any corpus), then
+  //  (1) assignment: each vector's home cell (map-side vs broadcast
+  //      centroids + partial max_by — s3's assignNearest);
+  //  (2) probe selection FOR THE WHOLE CORPUS: each vector's nprobe
+  //      nearest cells via the bounded-heap TopKAggregate — the
+  //      map-side partials ship ≤ nprobe rows per vector, where the
+  //      per-qid window s3 uses for its 8 queries would shuffle
+  //      n·cells scored rows into per-vector funnels;
+  //  (3) candidates: probes ⋈ assignments on cid — BOTH sides
+  //      corpus-sized, so this is a plain shuffle equi-join (no
+  //      broadcast, no hint: at 100 TB neither side fits); volume is
+  //      n·nprobe·occupancy ≈ n^1.5/√1 with √n cells — the standard
+  //      IVF-graph trade, and the shuffle key is cid whose per-key
+  //      payload (a cell's vectors) is BYTES-skewed when a region is
+  //      dense, which AQE's skew split CAN see and divide (unlike the
+  //      hamming hot-block's compute skew — measured in SkewBench);
+  //  (4) exact cosine + bounded-heap top-KG per vector.
+  // Multi-probe needs no pair dedup: assignment is unique per vector,
+  // so (qid, vec_id) meets on exactly one cid.
+  //
+  // Oracle: same two-stage discipline as s2/s3 — Spark owns training/
+  // bucketing BELOW the tap; DuckDB re-ranks the materialized
+  // candidates (exact fold, ROW_NUMBER) above it. The tap is the
+  // verification harness, not the algorithm.
+  // CANDIDATES NEVER CROSS AN EXCHANGE: both sides of the cid join
+  // carry their vector inline (n + n·nprobe vector rows map-side — the
+  // only corpus-scale shuffle), and each joined candidate row computes
+  // its cosine and collapses to 24 bytes inside the join's codegen
+  // stage, feeding the bounded-heap partial agg — so the n^1.5
+  // candidate volume exists only as streamed compute, never as
+  // shuffled or materialized bytes. The r14 probe measured the
+  // alternatives: an ids-only candidate stream with vectors re-joined
+  // late shuffles the CANDIDATE-sized frame (×3, with vector payloads
+  // attaching) — 72 s at sf1 vs 17 s; and routing the plan THROUGH a
+  // vector-carrying tap materializes candidates × 2 vectors to disk —
+  // 12.6 s at sf0.1 vs 3 s. The verification tap is therefore a SIDE
+  // EFFECT: the candidate ids are written for the oracle but the live
+  // plan does not read them back — sound because candidate generation
+  // is deterministic (fixed trained centroids, deterministic
+  // assignment and probe tie-breaks), the same determinism s8's
+  // incremental-vs-from-scratch contract stands on; the tap-write job
+  // re-runs the candidate join projected to ids (16 B/row).
+  private val KG = 5
+
+  /** Corpus-sided probe selection. Two sizing rules the r14 sf10 probe
+    * taught (it OOM'd the first shape): (1) the crossJoin fans out
+    * ×cells, so its input must be REPARTITIONED first — parquet sizes
+    * splits by INPUT bytes, and a 51 MB embedding file is one split
+    * whose fan-out (89M rows at sf10) otherwise lands on one task;
+    * (2) the agg buffer carries only (sim, cid) — riding the query
+    * vector through first() multiplied every buffered/sorted row by
+    * the embedding width, and qe is re-attached afterwards by one
+    * LINEAR n·nprobe join instead.
+    */
+  private def probeTopAgg(df: DataFrame, cents: DataFrame,
+      keep: Int): DataFrame = {
+    val top = df.repartition(col("vec_id"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(TopKAggregate.topKByScore(col("sim"), col("cid"), keep).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("c"))
+      .select(col("vec_id"), col("c.id").as("cid"))
+    top.join(df, Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cid"))
+  }
+
+  private val s9 = QueryDef(
+    "s9_knn_graph",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val n = e.count()
+      val ivfCells = LshTuning.ivfCellsFor(n, ivfCellsFloor)
+      val nprobe = LshTuning.nprobeFor(ivfCells, nprobeFloor)
+      val cents = trainCentroids(e, ivfCells, n)
+      val assign = assignNearest(e, cents)
+      val probes = probeTopAgg(e, cents, nprobe)
+      val cand = assign.join(probes, Seq("cid"))
+        .filter(col("qid") =!= col("vec_id"))
+      // oracle tap (ids only, side effect — see the header comment)
+      graft.sources.VerifyTap(cand.select(col("qid"), col("vec_id")),
+        "s9_cand", coalesce = false)
+      val scored = cand
+        .withColumn("cosine", cosine(col("qe"), col("embedding")))
+        .select("qid", "vec_id", "cosine")
+      topKAgg(scored, KG)
+    },
+    Some(knnGraphOracle))
+
+  /** s9's oracle: the tap carries candidate IDS; DuckDB re-joins the
+    * embeddings table per side (the same fetch the Spark plan runs)
+    * and re-ranks with the exact fold — everything above the tap is
+    * cross-checked, including the two id joins.
+    */
+  private def knnGraphOracle: String =
+    s"""WITH cand AS (
+       |  SELECT qid, vec_id
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/s9_cand/*.parquet')
+       |), pairs AS (
+       |  SELECT c.qid, c.vec_id, eq.embedding AS qe, ev.embedding AS embedding
+       |  FROM cand c
+       |  JOIN embeddings eq ON eq.vec_id = c.qid
+       |  JOIN embeddings ev ON ev.vec_id = c.vec_id
+       |), scored AS (
+       |  SELECT qid, vec_id,
+       |    list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)
+       |    / ( sqrt(list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(qe[i]::DOUBLE) for i in range(1, len(qe)+1)]), (x,y) -> x+y))
+       |      * sqrt(list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)) ) AS cosine
+       |  FROM pairs
+       |), ranked AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank,
+       |    cosine
+       |  FROM scored
+       |)
+       |SELECT qid, rank, vec_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= $KG ORDER BY qid, rank""".stripMargin
+
   override val queries: Seq[QueryDef] =
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8)
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)
 }

@@ -183,6 +183,42 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     r should be >= 0.6
   }
 
+  test("S9 kNN graph: complete (every vector, exactly KG edges), " +
+      "recall vs the exact graph beats its scan fraction") {
+    val g = SparkEntry.queries("s9_knn_graph")(spark, TestSpark.sfDir)
+      .select("qid", "neighbor_id").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // exact reference graph: in-memory brute force (500 vectors)
+    val vecs = graft.sources.Tables
+      .load(spark, TestSpark.sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = vecs.map { case (q, qv) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+        .map(_._1).toSet
+    }.toMap
+    // completeness: a kNN GRAPH covers every vector — no query-side
+    // sampling anywhere in the plan
+    g.keySet shouldBe exact.keySet
+    all(g.values.map(_.size)) shouldBe 5
+    val r = recall(g, exact)
+    info(f"kNN-graph recall@5 at sf0.001 = $r%.3f")
+    // same trained quantizer + probe budget as s3's 0.687; the graph
+    // side probes with the identical nprobe, so the floor matches
+    r should be >= 0.6
+  }
+
   test("LSH recall@10 vs brute force beats random") {
     val exact = neighborSets("s1_ann_bruteforce")
     val lsh = neighborSets("s2_ann_lsh")
