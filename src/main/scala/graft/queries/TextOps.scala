@@ -1099,7 +1099,129 @@ object TextOps extends QueryGroup {
        |WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= $t20T
        |ORDER BY doc_id, eval_id""".stripMargin))
 
+  // --------------------------------------------------------------- T21
+  // TRAINED quality/domain classifier — the GPT-3/CCNet pipeline stage:
+  // fit a multinomial Naive Bayes on a deterministic split of the
+  // corpus (labels = `source`; the production instance is
+  // "curated-reference vs crawl", the mechanics are identical), then
+  // classify the held-out split. The NB fit is exactly one partial-agg
+  // count pass — the model stays VOCABULARY-BOUNDED at any corpus
+  // size (the t13/t5 model-vs-data discipline):
+  //   model(w, c) = ln((cnt(w, c) + 1) / (tok_c + V))  [Laplace]
+  //   prior(c)    = ln(n_c / n)
+  // built DENSE over vocab × classes (a missing (w, c) pair must score
+  // as the smoothed zero, not silently drop the class from a doc's
+  // sum). Scoring explodes eval words and joins the model on the word
+  // key — Zipfian like t13's ctx, so above [[lmSaltMinDocs]] the probe
+  // goes through the same measured salted arm; per-(doc, class) sums
+  // are DECIMAL(18, 9)-quantized per term (order-free, engine-exact),
+  // the argmax window ranks C rows per doc (bounded by the class
+  // count, never a corpus funnel), and docs with zero in-vocabulary
+  // words still classify on priors alone via the eval × classes base
+  // frame. Every eval doc gets exactly one row: (true source,
+  // predicted source, correct) — the per-source accuracy roll-up is
+  // one further groupBy a user adds.
+  private val t21 = QueryDef(
+    "t21_quality_classifier",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val train = d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      val eval_ = d.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      val tw = train.select(col("source"),
+        explode(words(col("text"))).as("w"))
+      val cnt = tw.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val tokc = tw.groupBy("source").agg(count(lit(1)).as("tok_c"))
+      val vocabN = tw.agg(count_distinct(col("w")).as("V"))
+      val classes = train.groupBy("source").agg(count(lit(1)).as("n_c"))
+      val total = train.agg(count(lit(1)).as("n"))
+      val priors = classes.crossJoin(broadcast(total))
+        .select(col("source").as("cls"),
+          log(col("n_c").cast("double") / col("n").cast("double"))
+            .cast(DecimalType(18, 9)).as("prior"))
+      // dense vocab × classes model (vocabulary-bounded)
+      val model = tw.select("w").distinct()
+        .crossJoin(tokc.crossJoin(broadcast(vocabN)))
+        .join(cnt, Seq("source", "w"), "left")
+        .select(col("source").as("cls"), col("w"),
+          log((coalesce(col("c"), lit(0L)) + 1L).cast("double") /
+              (col("tok_c") + col("V")).cast("double"))
+            .cast(DecimalType(18, 9)).as("lp"))
+      val ew = eval_.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      val saltW =
+        if (CorpusStats.nDocs(s, dir) >= lmSaltMinDocs) lmSaltBuckets else 0
+      val probed =
+        if (saltW > 0)
+          graft.operators.SkewJoin.saltedEquiJoin(ew, model, "w", saltW)
+        else ew.join(model, "w")
+      val sums = probed.groupBy("doc_id", "cls")
+        .agg(sum(col("lp")).as("slp"))
+      val zeroD = lit(0).cast(DecimalType(18, 9))
+      val scored = eval_.select(col("doc_id"), col("source"))
+        .crossJoin(broadcast(priors))
+        .join(sums, Seq("doc_id", "cls"), "left")
+        .select(col("doc_id"), col("source"), col("cls"),
+          (col("prior") + coalesce(col("slp"), zeroD)).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cls"))
+      scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("doc_id"), col("source"),
+          col("cls").as("pred_source"),
+          (col("source") === col("cls")).as("correct"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+       |), tw AS (
+       |  SELECT source, unnest(ws) AS w FROM d WHERE doc_id % 5 <> 0
+       |), cnt AS (
+       |  SELECT source, w, COUNT(*) AS c FROM tw GROUP BY source, w
+       |), tokc AS (
+       |  SELECT source, COUNT(*) AS tok_c FROM tw GROUP BY source
+       |), vocab AS (
+       |  SELECT COUNT(DISTINCT w) AS V FROM tw
+       |), classes AS (
+       |  SELECT source, COUNT(*) AS n_c FROM d WHERE doc_id % 5 <> 0
+       |  GROUP BY source
+       |), total AS (
+       |  SELECT COUNT(*) AS n FROM d WHERE doc_id % 5 <> 0
+       |), priors AS (
+       |  SELECT source AS cls,
+       |    CAST(ln(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+       |      AS DECIMAL(18,9)) AS prior
+       |  FROM classes CROSS JOIN total
+       |), model AS (
+       |  SELECT tokc.source AS cls, vw.w,
+       |    CAST(ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE)
+       |            / CAST(tokc.tok_c + vocab.V AS DOUBLE))
+       |      AS DECIMAL(18,9)) AS lp
+       |  FROM (SELECT DISTINCT w FROM tw) vw
+       |  CROSS JOIN tokc CROSS JOIN vocab
+       |  LEFT JOIN cnt ON cnt.source = tokc.source AND cnt.w = vw.w
+       |), ew AS (
+       |  SELECT doc_id, unnest(ws) AS w FROM d WHERE doc_id % 5 = 0
+       |), sums AS (
+       |  SELECT ew.doc_id, model.cls, SUM(model.lp) AS slp
+       |  FROM ew JOIN model ON model.w = ew.w
+       |  GROUP BY ew.doc_id, model.cls
+       |), scored AS (
+       |  SELECT d.doc_id, d.source, priors.cls,
+       |    priors.prior + COALESCE(sums.slp, CAST(0 AS DECIMAL(18,9)))
+       |      AS score
+       |  FROM d CROSS JOIN priors
+       |  LEFT JOIN sums ON sums.doc_id = d.doc_id AND sums.cls = priors.cls
+       |  WHERE d.doc_id % 5 = 0
+       |), ranked AS (
+       |  SELECT doc_id, source, cls,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, cls) AS r
+       |  FROM scored
+       |)
+       |SELECT doc_id, source, cls AS pred_source,
+       |  (source = cls) AS correct
+       |FROM ranked WHERE r = 1 ORDER BY doc_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20)
+      t16, t17, t18, t19, t20, t21)
 }

@@ -188,6 +188,59 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("t21: exact match vs an independent single-node Naive Bayes " +
+      "reference (split, Laplace grid, decimal argmax)") {
+    val d = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val train = d.filter(_._1 % 5 != 0)
+    val ev = d.filter(_._1 % 5 == 0)
+    val tw = train.flatMap { case (_, s, t) =>
+      t.split(" ", -1).map(w => (s, w)) }
+    val cnt = tw.groupBy(identity).map { case (k, v) => k -> v.length }
+    val tokc = tw.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val vocab = tw.map(_._2).toSet
+    val vocabN = vocab.size
+    val classes = train.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val n = train.length
+    def q(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    val prior = classes.map { case (c, nc) =>
+      c -> q(math.log(nc.toDouble / n)) }
+    def lp(c: String, w: String) = q(math.log(
+      (cnt.getOrElse((c, w), 0) + 1).toDouble / (tokc(c) + vocabN)))
+    val expected = ev.map { case (id, src, txt) =>
+      val ws = txt.split(" ", -1).filter(vocab.contains)
+      val pred = classes.keys.toSeq.map { c =>
+        c -> ws.map(w => lp(c, w)).foldLeft(prior(c))(_.add(_))
+      }.minBy { case (c, s) => (s.negate, c) }._1
+      id -> (src, pred)
+    }.toMap
+
+    val out = run("t21_quality_classifier").collect()
+    out.length shouldBe expected.size
+    out.foreach { r =>
+      val (src, pred) = expected(r.getLong(0))
+      withClue(s"doc ${r.getLong(0)}: ") {
+        r.getString(1) shouldBe src
+        r.getString(2) shouldBe pred
+        r.getBoolean(3) shouldBe (src == pred)
+      }
+    }
+  }
+
+  test("t21: model stays partial-agg'd; argmax window bounded by the " +
+      "class count, never a corpus funnel") {
+    val out = run("t21_quality_classifier")
+    // every eval doc exactly once
+    out.groupBy("doc_id").count().filter(col("count") > 1)
+      .count() shouldBe 0
+    val p = out.queryExecution.executedPlan.toString
+    // the one Window ranks C rows per doc (the argmax); the NB fit and
+    // the per-(doc, class) sums must all be partial-agg shapes
+    p should include("partial_sum")
+  }
+
   test("t13: model probes stay partial-agg + join — no window, " +
     "per-doc sum map-side combined") {
     val p = run("t13_lm_score").queryExecution.executedPlan.toString
