@@ -24,11 +24,11 @@ import org.apache.spark.sql.types.LongType
   *
   * Scale shape mirrors [[JaccardNearDup]]: unique-set armor (mass
   * duplicates verify once per SET pair, members recovered after),
-  * ScratchCache'd shingle tables, the hot-demoted rare-token ordering
-  * (r14) + sort-merge hints engaged together above
-  * [[JaccardNearDup.dfOrderMinDocs]] (the df-window ordering survives
-  * as the forced identity twin), exact verification via the native
-  * sorted-merge intersect count. The container-side token list
+  * ScratchCache'd shingle tables, the df-ordered rare-token prefix +
+  * sort-merge hints engaged together above
+  * [[JaccardNearDup.dfOrderMinDocs]] (the r14 hot-demotion
+  * head-to-head kept df here — see [[pairsAuto]]), exact verification
+  * via the native sorted-merge intersect count. The container-side token list
   * is corpus-sized by necessity — containment cannot prefix-restrict
   * the side being searched — which is the same table d2's verify stage
   * already materializes.
@@ -46,10 +46,17 @@ object ContainmentNearDup {
   def pairsAuto(toks: DataFrame, idCol: String, toksCol: String,
       t: Double, nDocs: Long): DataFrame = {
     val large = nDocs >= JaccardNearDup.dfOrderMinDocs
-    // large corpora take the r14 HOT-DEMOTED ordering (the same skew
-    // kill as the df window arm at a fraction of its cost — see the
-    // Jaccard twin); the df arm stays as the forced identity twin
-    pairs(toks, idCol, toksCol, t, hotDemoted = large, noBroadcast = large)
+    // Containment keeps the DF-ASCENDING ordering at scale — the r14
+    // hot-demotion head-to-head went the OPPOSITE way from Jaccard
+    // (sf10 20.2 s df vs 26.0 s hot-demoted; Jaccard: 24.1 → 12.7 the
+    // other direction), for a structural reason: Jaccard's candidate
+    // join is prefix × prefix, so any hot-free ordering bounds both
+    // sides, while containment joins the contained prefix against the
+    // container side's FULL token lists — candidate volume is
+    // Σ_prefix-tokens df(tok), LINEARLY df-sensitive, and only the
+    // df-ascending prefix minimizes it. The hot-demoted arm stays as
+    // the measured comparison (specs + BASELINE §sf10 r14).
+    pairs(toks, idCol, toksCol, t, dfOrdered = large, noBroadcast = large)
   }
 
   def pairs(toks: DataFrame, idCol: String, toksCol: String,

@@ -38,9 +38,12 @@ import graft.functions.HashFunctions.hamming64
   * dropping the key would break the pigeonhole guarantee (a pair whose
   * only ≤1-error block is the dropped one is lost). The measured armor
   * is an explicit probe-side SALT on detected hot keys
-  * (`saltHotBlocks`, [[pairsWide]]): 64.0 → 24.8 s at d = 60k of
-  * n = 150k (BASELINE §skew, full table incl. the pathological
-  * small-index broadcast shape at 106.7 s).
+  * (`saltHotBlocks`, [[pairsWide]]): 2.4–2.6× within-window at
+  * d = 60k of n = 150k (64.0 → 24.8 / 80.6 → 34.1 s across two
+  * windows; BASELINE §skew, full table incl. the pathological
+  * small-index broadcast shape at 106.7 s). Opt-in: a NATURAL
+  * corpus' hot set measured harmless, so the default pays neither
+  * the detection job nor the salt plumbing.
   * [[pairs]] (64-bit) backs MM3's binary pHash; d4's text simhash runs
   * the 128-bit [[pairsWide]] (measured fastest at every corpus size —
   * BASELINE §skew), with [[pairsWideNarrowBlocked]] as d14's oracled
@@ -237,36 +240,41 @@ object HammingNearDup {
     // keys' build rows ×salt — d²/salt work per task, lossless (a pair
     // meets at exactly the probe row's salt). Detection is one
     // partial-agg count over the (4·uniq)-row block table, collected
-    // bounded (≤ hotBlockMaxKeys).
+    // bounded (≤ hotBlockMaxKeys). The salt factor is PER KEY,
+    // proportional to its quadratic mass — s = min(saltHotBlocks,
+    // d/floor), keys under 2×floor skipped — so the replication bill
+    // (Σ d·s ≈ Σ d²/floor) scales with the hazard: a natural corpus'
+    // hundreds of mildly vote-correlated keys (none individually
+    // dangerous) must not each pay a flat ×32 build replication.
     val (probeS, plainS, saltEq) =
       if (saltHotBlocks <= 1) (probe, plain, lit(true))
       else {
         val hot = plain.groupBy("block", "v")
           .agg(count(lit(1)).as("c"))
-          .filter(col("c") >= hotBlockFloor)
+          .filter(col("c") >= 2L * hotBlockFloor)
           .orderBy(col("c").desc, col("block"), col("v"))
           .limit(hotBlockMaxKeys)
-          .select("block", "v").collect()
+          .collect()
         if (hot.isEmpty) (probe, plain, lit(true))
         else {
           val spark = sigs.sparkSession
           import spark.implicits._
-          val hotDf = hot.map(r => (r.getInt(0), r.getLong(1))).toSeq
-            .toDF("block", "v").withColumn("isHot", lit(true))
+          val hotDf = hot.map { r =>
+            val nsalt = math.min(saltHotBlocks.toLong,
+              r.getLong(2) / hotBlockFloor).toInt
+            (r.getInt(0), r.getLong(1), nsalt)
+          }.toSeq.toDF("block", "v", "nsalt")
           val pS = probe
             .join(broadcast(hotDf), Seq("block", "v"), "left")
             .withColumn("salt",
-              when(col("isHot"),
-                pmod(xxhash64(col("hi"), col("lo")),
-                  lit(saltHotBlocks.toLong)).cast("int"))
-                .otherwise(lit(0)))
-            .drop("isHot")
+              pmod(xxhash64(col("hi"), col("lo")),
+                coalesce(col("nsalt"), lit(1)).cast("long")).cast("int"))
+            .drop("nsalt")
           val bS = plain
             .join(broadcast(hotDf), Seq("block", "v"), "left")
             .select(col("hi"), col("lo"), col("block"), col("v"),
-              explode(when(col("isHot"),
-                  sequence(lit(0), lit(saltHotBlocks - 1)))
-                .otherwise(array(lit(0)))).as("salt"))
+              explode(sequence(lit(0),
+                coalesce(col("nsalt"), lit(1)) - 1)).as("salt"))
           (pS, bS, col("a.salt") === col("b.salt"))
         }
       }

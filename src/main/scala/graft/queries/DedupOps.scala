@@ -351,8 +351,14 @@ object DedupOps extends QueryGroup {
     (s, dir) => {
       val sig = graft.sources.VerifyTap(simhashSigs128(s, dir), "d4_sigs")
       graft.operators.HammingNearDup
-        .pairsWide(sig, "doc_id", "hi", "lo", shWideMaxHam,
-          saltHotBlocks = 32)
+        // saltHotBlocks stays OFF here, by measurement: on this
+        // NATURAL corpus the salted and unsalted arms are within
+        // window noise at sf10 (no win to buy), while the hazard the
+        // salt kills needs a boilerplate/template corpus — where it
+        // measures 2.4-10x (BASELINE §skew hamming). The knob is the
+        // user-facing answer for low-entropy corpora, not a default
+        // tax plus detection job on every natural one.
+        .pairsWide(sig, "doc_id", "hi", "lo", shWideMaxHam)
         .orderBy("i", "j")
     },
     Some(s"""WITH sigs AS (
