@@ -10,7 +10,8 @@ object PlanDump {
         "d8_dedup_embedding_lsh", "d9_dedup_incremental",
         "d11_span_dedup", "s5_ann_pq",
         "d13_incremental_neardup", "d14_dedup_simhash_wide",
-        "q43_exact_quantiles").foreach { n =>
+        "q43_exact_quantiles", "s9_knn_graph",
+        "t21_quality_classifier").foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
