@@ -1121,54 +1121,102 @@ object TextOps extends QueryGroup {
   // frame. Every eval doc gets exactly one row: (true source,
   // predicted source, correct) — the per-source accuracy roll-up is
   // one further groupBy a user adds.
+  /** The trained NB model's four frames — all vocabulary/class-bounded
+    * (never corpus-sized): sparse per-(word, class) ln(c+1) terms, the
+    * C-row per-class base ln(tok_c+V), the C-row priors, the train
+    * vocabulary. Shared by batch t21 and the ST13 streaming face.
+    */
+  private[graft] final case class NbModel(model: DataFrame,
+      base: DataFrame, priors: DataFrame, vocab: DataFrame) {
+    /** Eagerly pin every frame ([[org.apache.spark.sql.Dataset
+      * localCheckpoint]]) — the streaming face re-plans per
+      * micro-batch and must not re-run training each trigger.
+      */
+    def pinned: NbModel = NbModel(model.localCheckpoint(),
+      base.localCheckpoint(), priors.localCheckpoint(),
+      vocab.localCheckpoint())
+  }
+
+  /** Fit the multinomial NB: one partial-agg count pass over the
+    * training split. See [[nbClassify]] for the scoring algebra.
+    */
+  private[graft] def nbTrain(train: DataFrame): NbModel = {
+    val tw = train.select(col("source"),
+      explode(words(col("text"))).as("w"))
+    val cnt = tw.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val tokc = tw.groupBy("source").agg(count(lit(1)).as("tok_c"))
+    val vocabN = tw.agg(count_distinct(col("w")).as("V"))
+    val classes = train.groupBy("source").agg(count(lit(1)).as("n_c"))
+    val total = train.agg(count(lit(1)).as("n"))
+    val priors = classes.crossJoin(broadcast(total))
+      .select(col("source").as("cls"),
+        log(col("n_c").cast("double") / col("n").cast("double"))
+          .cast(DecimalType(18, 9)).as("prior"))
+    val model = cnt.select(col("source").as("cls"), col("w"),
+      log((col("c") + 1L).cast("double"))
+        .cast(DecimalType(18, 9)).as("lpc"))
+    val base = tokc.crossJoin(broadcast(vocabN))
+      .select(col("source").as("cls"),
+        log((col("tok_c") + col("V")).cast("double"))
+          .cast(DecimalType(18, 9)).as("lbase"))
+    NbModel(model, base, priors, tw.select("w").distinct())
+  }
+
+  /** Classify (doc_id, source, text) rows against a trained model.
+    *
+    * SPARSE scoring (r14 plan audit): the Laplace term splits as
+    * ln((c+1)/(tok_c+V)) = ln(c+1) − ln(tok_c+V), and ln(0+1) = 0 —
+    * so a dense vocab × classes grid never needs to ride the scoring
+    * join. The join carries only the OBSERVED (w, class) count rows
+    * (positions match ≤ the classes a word actually appeared in, not
+    * all C), and each doc pays the per-class base −n_d·ln(tok_c+V)
+    * exactly once via its in-vocab token count — scored rows fall
+    * from positions × C to positions × present-classes + docs × C
+    * (sf10 measured in BASELINE). Both terms decimal-quantized, so
+    * the per-(doc, class) sum stays order-free and engine-exact; the
+    * oracle and the single-node reference spec compute the identical
+    * split. The argmax window ranks C rows per doc (Spark plans it as
+    * WindowGroupLimit — see PLANS.md); zero-in-vocab docs classify on
+    * priors alone via the eval × classes base frame.
+    */
+  private[graft] def nbClassify(eval_ : DataFrame, m: NbModel,
+      saltW: Int): DataFrame = {
+    val ew = eval_.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val inVocab = ew.join(m.vocab, "w")
+    val nd = inVocab.groupBy("doc_id").agg(count(lit(1)).as("n_w"))
+    val probed =
+      if (saltW > 0)
+        graft.operators.SkewJoin.saltedEquiJoin(inVocab, m.model, "w", saltW)
+      else inVocab.join(m.model, "w")
+    val sums = probed.groupBy("doc_id", "cls")
+      .agg(sum(col("lpc")).as("slp"))
+    val zeroD = lit(0).cast(DecimalType(18, 9))
+    val scored = eval_.select(col("doc_id"), col("source"))
+      .crossJoin(broadcast(m.priors))
+      .join(broadcast(m.base), Seq("cls"))
+      .join(nd, Seq("doc_id"), "left")
+      .join(sums, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("source"), col("cls"),
+        (col("prior") + coalesce(col("slp"), zeroD) -
+          coalesce(col("n_w"), lit(0L)) * col("lbase")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("doc_id"), col("source"),
+        col("cls").as("pred_source"),
+        (col("source") === col("cls")).as("correct"))
+      .orderBy("doc_id")
+  }
+
   private val t21 = QueryDef(
     "t21_quality_classifier",
     (s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
-      val train = d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
-      val eval_ = d.filter(pmod(col("doc_id"), lit(5L)) === 0L)
-      val tw = train.select(col("source"),
-        explode(words(col("text"))).as("w"))
-      val cnt = tw.groupBy("source", "w").agg(count(lit(1)).as("c"))
-      val tokc = tw.groupBy("source").agg(count(lit(1)).as("tok_c"))
-      val vocabN = tw.agg(count_distinct(col("w")).as("V"))
-      val classes = train.groupBy("source").agg(count(lit(1)).as("n_c"))
-      val total = train.agg(count(lit(1)).as("n"))
-      val priors = classes.crossJoin(broadcast(total))
-        .select(col("source").as("cls"),
-          log(col("n_c").cast("double") / col("n").cast("double"))
-            .cast(DecimalType(18, 9)).as("prior"))
-      // dense vocab × classes model (vocabulary-bounded)
-      val model = tw.select("w").distinct()
-        .crossJoin(tokc.crossJoin(broadcast(vocabN)))
-        .join(cnt, Seq("source", "w"), "left")
-        .select(col("source").as("cls"), col("w"),
-          log((coalesce(col("c"), lit(0L)) + 1L).cast("double") /
-              (col("tok_c") + col("V")).cast("double"))
-            .cast(DecimalType(18, 9)).as("lp"))
-      val ew = eval_.select(col("doc_id"), explode(words(col("text"))).as("w"))
       val saltW =
         if (CorpusStats.nDocs(s, dir) >= lmSaltMinDocs) lmSaltBuckets else 0
-      val probed =
-        if (saltW > 0)
-          graft.operators.SkewJoin.saltedEquiJoin(ew, model, "w", saltW)
-        else ew.join(model, "w")
-      val sums = probed.groupBy("doc_id", "cls")
-        .agg(sum(col("lp")).as("slp"))
-      val zeroD = lit(0).cast(DecimalType(18, 9))
-      val scored = eval_.select(col("doc_id"), col("source"))
-        .crossJoin(broadcast(priors))
-        .join(sums, Seq("doc_id", "cls"), "left")
-        .select(col("doc_id"), col("source"), col("cls"),
-          (col("prior") + coalesce(col("slp"), zeroD)).as("score"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("cls"))
-      scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-        .select(col("doc_id"), col("source"),
-          col("cls").as("pred_source"),
-          (col("source") === col("cls")).as("correct"))
-        .orderBy("doc_id")
+      nbClassify(d.filter(pmod(col("doc_id"), lit(5L)) === 0L),
+        nbTrain(d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)), saltW)
     },
     Some("""WITH d AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
@@ -1191,24 +1239,31 @@ object TextOps extends QueryGroup {
        |      AS DECIMAL(18,9)) AS prior
        |  FROM classes CROSS JOIN total
        |), model AS (
-       |  SELECT tokc.source AS cls, vw.w,
-       |    CAST(ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE)
-       |            / CAST(tokc.tok_c + vocab.V AS DOUBLE))
-       |      AS DECIMAL(18,9)) AS lp
-       |  FROM (SELECT DISTINCT w FROM tw) vw
-       |  CROSS JOIN tokc CROSS JOIN vocab
-       |  LEFT JOIN cnt ON cnt.source = tokc.source AND cnt.w = vw.w
+       |  SELECT source AS cls, w,
+       |    CAST(ln(CAST(c + 1 AS DOUBLE)) AS DECIMAL(18,9)) AS lpc
+       |  FROM cnt
+       |), base AS (
+       |  SELECT source AS cls,
+       |    CAST(ln(CAST(tok_c + V AS DOUBLE)) AS DECIMAL(18,9)) AS lbase
+       |  FROM tokc CROSS JOIN vocab
        |), ew AS (
        |  SELECT doc_id, unnest(ws) AS w FROM d WHERE doc_id % 5 = 0
+       |), iv AS (
+       |  SELECT ew.doc_id, ew.w FROM ew
+       |  JOIN (SELECT DISTINCT w FROM tw) vw ON vw.w = ew.w
+       |), nd AS (
+       |  SELECT doc_id, COUNT(*) AS n_w FROM iv GROUP BY doc_id
        |), sums AS (
-       |  SELECT ew.doc_id, model.cls, SUM(model.lp) AS slp
-       |  FROM ew JOIN model ON model.w = ew.w
-       |  GROUP BY ew.doc_id, model.cls
+       |  SELECT iv.doc_id, model.cls, SUM(model.lpc) AS slp
+       |  FROM iv JOIN model ON model.w = iv.w
+       |  GROUP BY iv.doc_id, model.cls
        |), scored AS (
        |  SELECT d.doc_id, d.source, priors.cls,
        |    priors.prior + COALESCE(sums.slp, CAST(0 AS DECIMAL(18,9)))
-       |      AS score
+       |      - COALESCE(nd.n_w, 0) * base.lbase AS score
        |  FROM d CROSS JOIN priors
+       |  JOIN base ON base.cls = priors.cls
+       |  LEFT JOIN nd ON nd.doc_id = d.doc_id
        |  LEFT JOIN sums ON sums.doc_id = d.doc_id AND sums.cls = priors.cls
        |  WHERE d.doc_id % 5 = 0
        |), ranked AS (

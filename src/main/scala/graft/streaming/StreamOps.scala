@@ -458,4 +458,40 @@ object StreamOps {
           batch.sparkSession, path,
           batch.select(col("vec_id"), col("embedding")))
       }
+
+  // --------------------------------------------------------------- ST13
+  /** Streaming quality/domain classification — t21's scoring face per
+    * micro-batch: the NB model is trained ONCE on the static standing
+    * corpus (the ST12 "bootstrap before the stream attaches" shape),
+    * PINNED (`localCheckpoint` — foreachBatch re-plans per trigger and
+    * must not re-run training each time), and every arriving
+    * micro-batch is classified by the IDENTICAL batch scoring code
+    * ([[graft.queries.TextOps.nbClassify]] — shared, not a copy) with
+    * zero streaming state: the per-doc sums and the argmax are batch
+    * aggs INSIDE the trigger, valid at any rate, per-trigger cost
+    * O(micro-batch × in-vocab positions).
+    *
+    * Sink: one parquet dir per micro-batch id, written with OVERWRITE —
+    * foreachBatch is at-least-once across crash/restart, and a
+    * replayed batch id rewrites its own dir to identical contents
+    * (deterministic classification against the pinned model), so the
+    * sink converges to exactly-once contents the way ST12's ledger
+    * does (spec-gated, incl. a same-id replay).
+    *
+    * @param docs  streaming (doc_id, source, text) rows
+    * @param train STATIC training split (source, text)
+    * @param outDir parquet sink root; micro-batch k lands under
+    *               `outDir/batch=k`
+    */
+  def classifyStream(docs: DataFrame, train: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] = {
+    val model = graft.queries.TextOps.nbTrain(train).pinned
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.queries.TextOps.nbClassify(batch, model, saltW = 0)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+  }
 }

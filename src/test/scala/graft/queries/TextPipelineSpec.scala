@@ -207,12 +207,20 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
       .setScale(9, java.math.RoundingMode.HALF_UP)
     val prior = classes.map { case (c, nc) =>
       c -> q(math.log(nc.toDouble / n)) }
-    def lp(c: String, w: String) = q(math.log(
-      (cnt.getOrElse((c, w), 0) + 1).toDouble / (tokc(c) + vocabN)))
+    // mirror the plan's SPARSE split: ln((c+1)/(T+V)) = ln(c+1) −
+    // ln(T+V), each factor decimal-quantized separately, the base
+    // paid once per in-vocab token
+    val lbase = classes.keys.map { c =>
+      c -> q(math.log((tokc(c) + vocabN).toDouble)) }.toMap
+    def lpc(c: String, w: String) = q(math.log(
+      (cnt.getOrElse((c, w), 0) + 1).toDouble))
     val expected = ev.map { case (id, src, txt) =>
       val ws = txt.split(" ", -1).filter(vocab.contains)
       val pred = classes.keys.toSeq.map { c =>
-        c -> ws.map(w => lp(c, w)).foldLeft(prior(c))(_.add(_))
+        val s = ws.map(w => lpc(c, w)).foldLeft(prior(c))(_.add(_))
+          .subtract(lbase(c).multiply(
+            new java.math.BigDecimal(ws.length)))
+        c -> s
       }.minBy { case (c, s) => (s.negate, c) }._1
       id -> (src, pred)
     }.toMap

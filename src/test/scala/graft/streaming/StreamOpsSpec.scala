@@ -714,4 +714,53 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       rm(new java.io.File(path)); rm(new java.io.File(ckpt))
     }
   }
+  test("ST13 streaming classification: micro-batched scoring equals " +
+      "the batch classifier; same-id replay is idempotent") {
+    import spark.implicits._
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val outDir = s"/tmp/graft_state/graft_st13_$suffix"
+    val ckpt = s"/tmp/graft_state/graft_st13_ckpt_$suffix"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val d = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+        .select("doc_id", "source", "text")
+      val train = d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      val ev = d.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      val rows = ev.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      val in = MemoryStream[(Long, String, String)](spark)
+      val q = StreamOps.classifyStream(
+          in.toDF.toDF("doc_id", "source", "text"), train, outDir)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        Seq(b1, b2, b3).foreach { b =>
+          in.addData(b: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      def readAll() = spark.read.parquet(outDir + "/batch=*")
+        .collect().map(r => (r.getLong(0),
+          (r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+      val streamed = readAll()
+      // every eval doc classified exactly once, equal to the batch op
+      val batch = graft.queries.TextOps.nbClassify(ev,
+          graft.queries.TextOps.nbTrain(train), saltW = 0)
+        .collect().map(r => (r.getLong(0),
+          (r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+      streamed.size shouldBe rows.length
+      streamed shouldBe batch
+      // at-least-once replay of a batch ID rewrites its dir to the
+      // identical contents (deterministic scoring vs the pinned model)
+      val model = graft.queries.TextOps.nbTrain(train).pinned
+      graft.queries.TextOps.nbClassify(
+          b1.toSeq.toDF("doc_id", "source", "text"), model, saltW = 0)
+        .write.mode("overwrite").parquet(s"$outDir/batch=0")
+      readAll() shouldBe streamed
+    } finally {
+      rm(new java.io.File(outDir)); rm(new java.io.File(ckpt))
+    }
+  }
+
 }
