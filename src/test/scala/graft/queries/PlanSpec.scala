@@ -178,6 +178,42 @@ class PlanSpec extends AnyFunSuite with Matchers {
       .foreach(r => withClue(r) { r should include("/ids/seg-") })
   }
 
+  test("s9: corpus-sided probe selection is heap-agg'd with the " +
+      "repartition reused as its distribution; no Window anywhere") {
+    val p = plan("s9_knn_graph")
+    // EVERY vector is a query here — a per-vector window would funnel
+    // n·cells scored rows; the plan must rank via the bounded-heap
+    // TopKAggregate instead (partial+final ObjectHashAggregate), and
+    // the explicit repartition before the ×cells crossJoin must
+    // double as the agg's required distribution (no Exchange BETWEEN
+    // the partial and final agg of the probe selection).
+    p should not include "Window"
+    p should include("topk_by_score")
+    p.linesIterator.count(
+      _.trim.startsWith("+- ObjectHashAggregate")) should be >= 2
+    // probe pattern: final ObjectHashAggregate directly over partial
+    // ObjectHashAggregate (the reused exchange) must appear somewhere
+    val lines = p.linesIterator.map(_.trim).toSeq
+    val fused = lines.sliding(2).exists(w =>
+      w.head.contains("ObjectHashAggregate") &&
+        w.last.contains("ObjectHashAggregate"))
+    assert(fused, "expected a partial+final ObjectHashAggregate pair " +
+      "with no Exchange between (the repartition-reuse shape)")
+  }
+
+  test("t21: NB scoring joins the SPARSE observed-count model; argmax " +
+      "plans as WindowGroupLimit, model frames stay agg+broadcast") {
+    val p = plan("t21_quality_classifier")
+    // the rank<=1 filter must short-circuit, not materialize a full
+    // per-doc window frame
+    p should include("WindowGroupLimit")
+    // the model is vocabulary-bounded and broadcast to the scorer
+    p should include("BroadcastExchange")
+    // the per-(doc, class) decimal sums partial-agg before their
+    // exchange
+    p should include("partial_sum")
+  }
+
   test("t8/p1: no per-source window wall; offsets join broadcasts") {
     // exact mixture sampling must NOT rank via row_number() OVER
     // (PARTITION BY source): ~10 sources ⇒ each source's whole corpus
