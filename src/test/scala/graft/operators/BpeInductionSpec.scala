@@ -58,10 +58,17 @@ class BpeInductionSpec extends AnyFunSuite with Matchers {
   }
 
   test("checkpoint generations are released — no storage accumulation") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     BpeInduction.trainMerges(docs, "text", 9, checkpointEvery = 2)
-    // every superseded generation AND the final dictionary freed
-    spark.sparkContext.getPersistentRDDs.size shouldBe before
+    // every superseded generation AND the final dictionary freed:
+    // trainMerges leaves NO new persistent RDD behind. (Subset, not
+    // size equality — other suites' localCheckpoint frames are
+    // reaped asynchronously by the ContextCleaner and can shrink the
+    // global count mid-test.)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    withClue(s"leaked RDD ids ${after -- before}: ") {
+      (after -- before) shouldBe empty
+    }
   }
 
   test("tie-break is UTF-8 binary order on both implementations") {
