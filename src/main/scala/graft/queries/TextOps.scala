@@ -760,10 +760,14 @@ object TextOps extends QueryGroup {
   // selected set are bit-identical cross-engine (the t13 discipline);
   // the per-source stats table is ~|sources| rows and broadcasts.
   private val mixT = 100L // target sampled corpus size (driver SFs have 500-5000 docs)
-  private val t16 = QueryDef(
-    "t16_mixture_reweight",
-    (s, dir) => {
-      val d = docs(s, dir).select(col("source"), col("doc_id"))
+
+  /** t16's body over an arbitrary (source, doc_id) frame — shared by
+    * t16 (whole corpus) and the composed pipeline p2 (the kept set
+    * after dedup/decontamination/classification). Output: the selected
+    * (source, doc_id, rn, n_src, weight, quota) rows, unordered.
+    */
+  private[queries] def mixtureSelect(d0: DataFrame): DataFrame = {
+      val d = d0.select(col("source"), col("doc_id"))
       val stats = d.groupBy("source")
         .agg(count(lit(1)).as("n_src"))
         .withColumn("sqrt_d",
@@ -782,8 +786,11 @@ object TextOps extends QueryGroup {
         .filter(col("rn") <= col("quota"))
         .select(col("source"), col("doc_id"), col("rn"),
           col("n_src"), col("weight"), col("quota"))
-        .orderBy("source", "rn")
-    },
+  }
+
+  private val t16 = QueryDef(
+    "t16_mixture_reweight",
+    (s, dir) => mixtureSelect(docs(s, dir)).orderBy("source", "rn"),
     Some(s"""WITH stats AS (
        |  SELECT source, COUNT(*) AS n_src,
        |    CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,9)) AS sqrt_d
@@ -1033,9 +1040,16 @@ object TextOps extends QueryGroup {
   // discipline.
   private[queries] val t20T = 0.5
   private[queries] val t20Mod = 59
-  private val t20 = QueryDef(
-    "t20_fuzzy_decontaminate",
-    (s, dir) => {
+
+  /** t20's body minus the presentation sort: every (corpus doc, eval
+    * item) pair with word-3-gram Jaccard ≥ [[t20T]] across the
+    * doc_id % [[t20Mod]] holdout split — shared by t20 (reported
+    * directly) and the composed pipeline p2 (which anti-joins the
+    * distinct contaminated doc_ids). See t20's header for the
+    * broadcast-index / prefix-explode / in-row-verify scale plan.
+    */
+  private[queries] def fuzzyContamPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
       import org.apache.spark.sql.GraftBridge.{column, expression}
       val t = t20T
       val sh = graft.operators.ScratchCache.scratch(
@@ -1074,8 +1088,11 @@ object TextOps extends QueryGroup {
         .select(col("doc_id"), col("eval_id"),
           col("shared").cast(LongType).as("shared"), col("jaccard"))
         .dropDuplicates("doc_id", "eval_id")
-        .orderBy("doc_id", "eval_id")
-    },
+  }
+
+  private val t20 = QueryDef(
+    "t20_fuzzy_decontaminate",
+    (s, dir) => fuzzyContamPairs(s, dir).orderBy("doc_id", "eval_id"),
     Some(s"""WITH sh AS (
        |  SELECT doc_id,
        |    list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
@@ -1206,7 +1223,6 @@ object TextOps extends QueryGroup {
       .select(col("doc_id"), col("source"),
         col("cls").as("pred_source"),
         (col("source") === col("cls")).as("correct"))
-      .orderBy("doc_id")
   }
 
   private val t21 = QueryDef(
@@ -1217,6 +1233,7 @@ object TextOps extends QueryGroup {
         if (CorpusStats.nDocs(s, dir) >= lmSaltMinDocs) lmSaltBuckets else 0
       nbClassify(d.filter(pmod(col("doc_id"), lit(5L)) === 0L),
         nbTrain(d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)), saltW)
+        .orderBy("doc_id")
     },
     Some("""WITH d AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
