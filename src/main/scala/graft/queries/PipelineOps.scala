@@ -81,5 +81,160 @@ object PipelineOps extends QueryGroup {
        |WHERE rn <= CEIL(frac * n_src)
        |ORDER BY source, rn""".stripMargin))
 
-  override val queries: Seq[QueryDef] = Seq(p1)
+  // ---------------------------------------------------------------- P2
+  // The MODERN composed pipeline — the stage chain a 2026 LLM
+  // training-data run actually executes, each stage the repo's
+  // already-verified scale-path operator:
+  //
+  //   near-dup collapse (d7 keepers: prefix-filtered Jaccard pairs →
+  //   CC keepers) → FUZZY benchmark decontamination (t20: the
+  //   broadcast-index / prefix-explode / in-row-verify near-dup arm,
+  //   anti-joined on the distinct contaminated doc_ids; the eval
+  //   holdout itself is excluded from the corpus) → TRAINED NB
+  //   quality/domain keep-rule (t21: model fit once on the %5 train
+  //   split of the full corpus, survivors kept only when the
+  //   classifier agrees they look like their declared source — the
+  //   GPT-3/CCNet "classify, keep in-domain" stage) → temperature
+  //   mixture sampling (t16: α = 0.5 per-source quotas filled by the
+  //   grouped range rank).
+  //
+  // Like p1, the whole pipeline is ONE lazy plan, so Catalyst sees the
+  // composition whole: the NB scoring join runs only over the
+  // dedup/decontamination survivors (the keep anti-joins prune BEFORE
+  // the word explode), the model/prior/quota tables stay
+  // vocabulary-/class-/source-bounded broadcasts, and the only
+  // corpus-wide shuffles are the ones each stage needs alone.
+  // Composition is where the r11 broadcast and r12 JIT regressions
+  // hid, so the end-to-end chain — not just each stage — is
+  // hash-gated: the DuckDB oracle chains the SAME stage CTEs
+  // (keeperCtes reused verbatim; t20/t21/t16's CTE blocks inlined with
+  // renamed heads where names collide).
+  private val p2 = QueryDef(
+    "p2_training_corpus_v2",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      // stage 1: near-dup collapse — keep one doc per Jaccard cluster
+      val keep = DedupOps.keeperIds(s, dir)
+      // stage 2: fuzzy decontamination — any doc that near-duplicates
+      // an eval item goes; the eval holdout itself never trains
+      val contam = TextOps.fuzzyContamPairs(s, dir)
+        .select("doc_id").distinct()
+      val survivors = d
+        .filter(col("doc_id") % TextOps.t20Mod =!= 0)
+        .join(keep, "doc_id")
+        .join(contam, Seq("doc_id"), "left_anti")
+      // stage 3: trained keep-rule — t21's NB fit on the full-corpus
+      // %5 train split (the filter model is fit on raw data; only the
+      // SCORED set shrinks with the pipeline), survivors kept when
+      // pred_source == source
+      val saltW =
+        if (CorpusStats.nDocs(s, dir) >= TextOps.lmSaltMinDocs)
+          TextOps.lmSaltBuckets else 0
+      val m = TextOps.nbTrain(
+        d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L))
+      val kept = TextOps.nbClassify(survivors, m, saltW)
+        .filter(col("correct"))
+        .select("source", "doc_id")
+      // stage 4: α=0.5 temperature mixture over the kept set
+      TextOps.mixtureSelect(kept).orderBy("source", "rn")
+    },
+    Some(s"""WITH RECURSIVE ${DedupOps.keeperCtes},
+       |fpairs AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS eval_id, COUNT(*) AS shared
+       |  FROM tok a JOIN tok b ON a.t = b.t
+       |  WHERE a.doc_id % ${TextOps.t20Mod} <> 0
+       |    AND b.doc_id % ${TextOps.t20Mod} = 0
+       |  GROUP BY 1, 2
+       |),
+       |contam AS (
+       |  SELECT DISTINCT fpairs.doc_id FROM fpairs
+       |  JOIN cnt ca ON ca.doc_id = fpairs.doc_id
+       |  JOIN cnt cb ON cb.doc_id = eval_id
+       |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE)
+       |    >= ${TextOps.t20T}
+       |),
+       |d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+       |), tw AS (
+       |  SELECT source, unnest(ws) AS w FROM d WHERE doc_id % 5 <> 0
+       |), ncnt AS (
+       |  SELECT source, w, COUNT(*) AS c FROM tw GROUP BY source, w
+       |), tokc AS (
+       |  SELECT source, COUNT(*) AS tok_c FROM tw GROUP BY source
+       |), vocab AS (
+       |  SELECT COUNT(DISTINCT w) AS V FROM tw
+       |), classes AS (
+       |  SELECT source, COUNT(*) AS n_c FROM d WHERE doc_id % 5 <> 0
+       |  GROUP BY source
+       |), total AS (
+       |  SELECT COUNT(*) AS n FROM d WHERE doc_id % 5 <> 0
+       |), priors AS (
+       |  SELECT source AS cls,
+       |    CAST(ln(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+       |      AS DECIMAL(18,9)) AS prior
+       |  FROM classes CROSS JOIN total
+       |), model AS (
+       |  SELECT source AS cls, w,
+       |    CAST(ln(CAST(c + 1 AS DOUBLE)) AS DECIMAL(18,9)) AS lpc
+       |  FROM ncnt
+       |), base AS (
+       |  SELECT source AS cls,
+       |    CAST(ln(CAST(tok_c + V AS DOUBLE)) AS DECIMAL(18,9)) AS lbase
+       |  FROM tokc CROSS JOIN vocab
+       |), surv AS (
+       |  SELECT d.doc_id, d.source, d.ws FROM d
+       |  JOIN keepers k ON k.doc_id = d.doc_id
+       |  WHERE d.doc_id % ${TextOps.t20Mod} <> 0
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+       |), ew AS (
+       |  SELECT doc_id, unnest(ws) AS w FROM surv
+       |), iv AS (
+       |  SELECT ew.doc_id, ew.w FROM ew
+       |  JOIN (SELECT DISTINCT w FROM tw) vw ON vw.w = ew.w
+       |), nd AS (
+       |  SELECT doc_id, COUNT(*) AS n_w FROM iv GROUP BY doc_id
+       |), sums AS (
+       |  SELECT iv.doc_id, model.cls, SUM(model.lpc) AS slp
+       |  FROM iv JOIN model ON model.w = iv.w
+       |  GROUP BY iv.doc_id, model.cls
+       |), scored AS (
+       |  SELECT surv.doc_id, surv.source, priors.cls,
+       |    priors.prior + COALESCE(sums.slp, CAST(0 AS DECIMAL(18,9)))
+       |      - COALESCE(nd.n_w, 0) * base.lbase AS score
+       |  FROM surv CROSS JOIN priors
+       |  JOIN base ON base.cls = priors.cls
+       |  LEFT JOIN nd ON nd.doc_id = surv.doc_id
+       |  LEFT JOIN sums ON sums.doc_id = surv.doc_id
+       |    AND sums.cls = priors.cls
+       |), ranked_cls AS (
+       |  SELECT doc_id, source, cls,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, cls) AS r
+       |  FROM scored
+       |), kept AS (
+       |  SELECT source, doc_id FROM ranked_cls WHERE r = 1 AND source = cls
+       |), mstats AS (
+       |  SELECT source, COUNT(*) AS n_src,
+       |    CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,9)) AS sqrt_d
+       |  FROM kept GROUP BY source
+       |), mquotas AS (
+       |  SELECT source, CAST(n_src AS BIGINT) AS n_src,
+       |    CAST(sqrt_d AS DOUBLE) / CAST(SUM(sqrt_d) OVER () AS DOUBLE) AS weight,
+       |    GREATEST(1, CAST(FLOOR(${TextOps.mixT} *
+       |      (CAST(sqrt_d AS DOUBLE) / CAST(SUM(sqrt_d) OVER () AS DOUBLE)))
+       |      AS BIGINT)) AS quota
+       |  FROM mstats
+       |), mranked AS (
+       |  SELECT source, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+       |      AS BIGINT) AS rn
+       |  FROM kept
+       |)
+       |SELECT r.source, r.doc_id, r.rn, q.n_src, q.weight, q.quota
+       |FROM mranked r JOIN mquotas q USING (source)
+       |WHERE r.rn <= q.quota
+       |ORDER BY source, rn""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(p1, p2)
 }

@@ -759,7 +759,7 @@ object TextOps extends QueryGroup {
   // DECIMAL(18,9) — exact, order-free — so w_i, the quotas, and the
   // selected set are bit-identical cross-engine (the t13 discipline);
   // the per-source stats table is ~|sources| rows and broadcasts.
-  private val mixT = 100L // target sampled corpus size (driver SFs have 500-5000 docs)
+  private[queries] val mixT = 100L // target sampled corpus size (driver SFs have 500-5000 docs)
 
   /** t16's body over an arbitrary (source, doc_id) frame — shared by
     * t16 (whole corpus) and the composed pipeline p2 (the kept set

@@ -125,6 +125,34 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     rows.unpersist()
   }
 
+  test("p2: composed modern pipeline keeps stage contracts — eval holdout " +
+    "and contaminated docs excluded, keep-rule applied, quotas exact") {
+    val df = run("p2_training_corpus_v2")
+    val p = df.queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin")
+    // the t21 argmax inside the chain ranks C rows per doc and must
+    // plan as the bounded group-limit, not a full window sort wall
+    p should include("WindowGroupLimit")
+    val rows = df.cache()
+    try {
+      rows.count() should be > 0L
+      // stage-2 contracts: no eval-holdout doc, no fuzzy-contaminated doc
+      rows.filter(col("doc_id") % TextOps.t20Mod === 0).count() shouldBe 0
+      val contam = TextOps.fuzzyContamPairs(spark, TestSpark.sfDir)
+        .select("doc_id").distinct()
+      rows.join(contam, "doc_id").count() shouldBe 0
+      // stage-1 contract: every selected doc is a dedup keeper
+      val keep = DedupOps.keeperIds(spark, TestSpark.sfDir)
+      rows.join(keep, Seq("doc_id"), "left_anti").count() shouldBe 0
+      // stage-4 contracts: ranks contiguous 1..k per source, k ≤ quota
+      val bad = rows.groupBy("source")
+        .agg(count(lit(1)).as("k"), max("rn").as("m"), max("quota").as("q"))
+        .filter(col("k") =!= col("m") || col("m") > col("q")).count()
+      bad shouldBe 0
+    } finally rows.unpersist()
+  }
+
   test("t12: chunks cover every token; overlap and stride hold exactly") {
     val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
       .select("doc_id", "text").collect()
