@@ -1373,6 +1373,55 @@ object DedupOps extends QueryGroup {
        |  >= $jaccardT
        |ORDER BY i, j""".stripMargin))
 
+  // --------------------------------------------------------------- D15
+  // SemDeDup-style SEMANTIC keep-rule (Abbas et al. 2023): where d10
+  // clusters the LSH-bucketed pair graph, d15 runs the keep-one step
+  // over the corpus kNN GRAPH (s9's top-KG edges) — connected
+  // components over edges with cosine ≥ [[cosT]], keep the min vec_id
+  // per component. The kNN graph is the index a modern pipeline
+  // already maintains (s9/s10), so the keep-rule is a FILTER + CC over
+  // it — no new corpus-scale candidate generation: edge volume is
+  // ≤ n·KG (output-sized), and the CC is the d6/d10 min-label
+  // machinery, O(log diameter) rounds over ≤ n·KG edges.
+  //
+  // Oracle: s9's two-stage discipline — DuckDB re-ranks the tapped
+  // candidates to the exact top-KG graph (knnGraphCtes), applies the
+  // same cosine filter, and re-derives the components via the
+  // recursive min-label CTE (the d6/d10 pattern) — the graph, the
+  // threshold filter, and the clustering are all cross-checked.
+  private val d15 = QueryDef(
+    "d15_semantic_keep",
+    (s, dir) => {
+      // the kNN edges are output-sized: checkpoint so CC's sym union
+      // + rounds replay the edge table, not the graph-build lineage
+      // (the d6/d7/d10 discipline)
+      val edges = SimilarityOps.knnGraphEdges(s, dir, "d15_cand")
+        .filter(col("cosine") >= cosT)
+        .select(col("qid").as("src"), col("neighbor_id").as("dst"))
+        .localCheckpoint()
+      val nodes = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"))
+      graft.operators.ConnectedComponents.run(nodes, edges)
+        .filter(col("id") === col("component")) // keepers label themselves
+        .select(col("id").as("vec_id"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE ${SimilarityOps.knnGraphCtes("d15_cand")},
+       |good AS (
+       |  SELECT qid AS i, vec_id AS j FROM granked WHERE cosine >= $cosT
+       |),
+       |edges AS (SELECT i AS a, j AS b FROM good
+       |          UNION ALL SELECT j, i FROM good),
+       |reach AS (
+       |  SELECT vec_id AS node, vec_id AS lab FROM embeddings
+       |  UNION
+       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+       |)
+       |SELECT node AS vec_id FROM reach
+       |GROUP BY node HAVING node = MIN(lab)
+       |ORDER BY vec_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d8i, d9, d10, d11, d12, d13, d14)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d8i, d9, d10, d11, d12, d13, d14,
+      d15)
 }

@@ -39,14 +39,16 @@ object SimilarityOps extends QueryGroup {
     * of s1/s2/s3: at 100 TB a per-qid window would funnel a query's
     * whole candidate list through one reducer; the heap partial-aggs.
     */
-  private def topKAgg(scored: DataFrame, k: Int = K): DataFrame =
-    scored.groupBy("qid")
+  private def topKAgg(scored: DataFrame, k: Int = K,
+      ordered: Boolean = true): DataFrame = {
+    val out = scored.groupBy("qid")
       .agg(TopKAggregate.topKByScore(col("cosine"), col("vec_id"), k)
         .as("top"))
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
-      .orderBy("qid", "rank")
+    if (ordered) out.orderBy("qid", "rank") else out
+  }
 
   // ---------------------------------------------------------------- S1
   // Exact brute-force: broadcast the 8 query vectors, score every data
@@ -879,37 +881,49 @@ object SimilarityOps extends QueryGroup {
         col("cid"))
   }
 
+  /** s9's whole graph build, factored for reuse (s9 reports it
+    * directly; d15's SemDeDup keep-rule consumes the edges): the
+    * corpus top-[[KG]] kNN edges (qid, rank, neighbor_id, cosine),
+    * unordered, with the candidate ids tapped under `tap` for the
+    * two-stage oracle. See the S9 header for the scale analysis.
+    */
+  private[queries] def knnGraphEdges(s: SparkSession, dir: String,
+      tap: String): DataFrame = {
+    val e = emb(s, dir)
+    val n = e.count()
+    val ivfCells = LshTuning.ivfCellsFor(n, ivfCellsFloor)
+    val nprobe = LshTuning.nprobeFor(ivfCells, nprobeFloor)
+    val cents = trainCentroids(e, ivfCells, n)
+    val assign = assignNearest(e, cents)
+    val probes = probeTopAgg(e, cents, nprobe)
+    val cand = assign.join(probes, Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+    // oracle tap (ids only, side effect — see the header comment)
+    graft.sources.VerifyTap(cand.select(col("qid"), col("vec_id")),
+      tap, coalesce = false)
+    val scored = cand
+      .withColumn("cosine", cosine(col("qe"), col("embedding")))
+      .select("qid", "vec_id", "cosine")
+    topKAgg(scored, KG, ordered = false)
+  }
+
   private val s9 = QueryDef(
     "s9_knn_graph",
-    (s, dir) => {
-      val e = emb(s, dir)
-      val n = e.count()
-      val ivfCells = LshTuning.ivfCellsFor(n, ivfCellsFloor)
-      val nprobe = LshTuning.nprobeFor(ivfCells, nprobeFloor)
-      val cents = trainCentroids(e, ivfCells, n)
-      val assign = assignNearest(e, cents)
-      val probes = probeTopAgg(e, cents, nprobe)
-      val cand = assign.join(probes, Seq("cid"))
-        .filter(col("qid") =!= col("vec_id"))
-      // oracle tap (ids only, side effect — see the header comment)
-      graft.sources.VerifyTap(cand.select(col("qid"), col("vec_id")),
-        "s9_cand", coalesce = false)
-      val scored = cand
-        .withColumn("cosine", cosine(col("qe"), col("embedding")))
-        .select("qid", "vec_id", "cosine")
-      topKAgg(scored, KG)
-    },
+    (s, dir) => knnGraphEdges(s, dir, "s9_cand").orderBy("qid", "rank"),
     Some(knnGraphOracle))
 
-  /** s9's oracle: the tap carries candidate IDS; DuckDB re-joins the
-    * embeddings table per side (the same fetch the Spark plan runs)
-    * and re-ranks with the exact fold — everything above the tap is
-    * cross-checked, including the two id joins.
+  /** The kNN-graph oracle's CTE block, shared by s9 (reported
+    * directly) and d15's SemDeDup keep-rule: the tap carries candidate
+    * IDS; DuckDB re-joins the embeddings table per side (the same
+    * fetch the Spark plan runs), re-ranks with the exact fold, and
+    * ends in `granked` = the top-[[KG]] edges (qid, vec_id, rank,
+    * cosine) — everything above the tap is cross-checked, including
+    * the two id joins.
     */
-  private def knnGraphOracle: String =
-    s"""WITH cand AS (
+  private[queries] def knnGraphCtes(tap: String): String =
+    s"""cand AS (
        |  SELECT qid, vec_id
-       |  FROM read_parquet('${graft.sources.VerifyTap.root}/s9_cand/*.parquet')
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/$tap/*.parquet')
        |), pairs AS (
        |  SELECT c.qid, c.vec_id, eq.embedding AS qe, ev.embedding AS embedding
        |  FROM cand c
@@ -921,14 +935,19 @@ object SimilarityOps extends QueryGroup {
        |    / ( sqrt(list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(qe[i]::DOUBLE) for i in range(1, len(qe)+1)]), (x,y) -> x+y))
        |      * sqrt(list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)) ) AS cosine
        |  FROM pairs
-       |), ranked AS (
-       |  SELECT qid, vec_id,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank,
-       |    cosine
-       |  FROM scored
-       |)
+       |), granked AS (
+       |  SELECT qid, vec_id, rank, cosine FROM (
+       |    SELECT qid, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank,
+       |      cosine
+       |    FROM scored)
+       |  WHERE rank <= $KG
+       |)""".stripMargin
+
+  private def knnGraphOracle: String =
+    s"""WITH ${knnGraphCtes("s9_cand")}
        |SELECT qid, rank, vec_id AS neighbor_id, cosine
-       |FROM ranked WHERE rank <= $KG ORDER BY qid, rank""".stripMargin
+       |FROM granked ORDER BY qid, rank""".stripMargin
 
   override val queries: Seq[QueryDef] =
     Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)

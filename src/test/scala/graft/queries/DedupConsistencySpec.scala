@@ -705,4 +705,30 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  test("d15: keep set equals union-find over the thresholded kNN graph") {
+    import org.apache.spark.sql.functions._
+    // independent single-node reference: collect the (output-sized)
+    // thresholded kNN edges and union-find them
+    val edges = SimilarityOps
+      .knnGraphEdges(spark, TestSpark.sfDir, "d15_spec_cand")
+      .filter(col("cosine") >= 0.4)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.length should be > 0
+    val ids = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = ids.filter(i => find(i) == i).sorted
+    val got = run("d15_semantic_keep").collect().map(_.getLong(0))
+    got.toSeq shouldBe expect.toSeq
+    got.length should be < ids.length // non-vacuous: something dropped
+  }
 }
