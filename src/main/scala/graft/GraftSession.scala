@@ -46,7 +46,10 @@ object GraftSession {
       // 1M keys ≈ ≤ a few hundred MB per task at TopK's ~200 B/entry
       // buffers — in-memory partials for any per-key-bounded agg,
       // while a genuinely unbounded key space still falls back
-      // instead of OOMing.
+      // instead of OOMing. SAFE ONLY WHILE every buffer is per-key
+      // bounded: enforced by graft.functions.BoundedPerKeyBuffer +
+      // AggregateBufferBoundSpec (build fails on an aggregate that
+      // doesn't declare its bound).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 20).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)

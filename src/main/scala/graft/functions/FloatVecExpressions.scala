@@ -426,8 +426,14 @@ case class FirstEqualIndex(left: Expression, right: Expression)
   * contract: a null inside a "sorted distinct long array" has no
   * defined order position).
   */
-case class DemoteHotTokens(child: Expression, hot: Array[Long])
+case class DemoteHotTokens(child: Expression, hot: Seq[Long])
     extends UnaryExpression with ExpectsInputTypes with NullableElements {
+
+  // `hot` is a Seq, not an Array: a case-class Array field compares by
+  // reference identity, which defeats expression canonicalization/CSE
+  // (two semantically-equal DemoteHotTokens would never compare equal).
+  // The merge loops still run over a primitive array.
+  @transient private lazy val hotArr: Array[Long] = hot.toArray
 
   override def inputTypes = Seq(ArrayType(LongType))
 
@@ -448,8 +454,8 @@ case class DemoteHotTokens(child: Expression, hot: Array[Long])
     while (i < n) {
       if (x.isNullAt(i)) return null
       val v = x.getLong(i)
-      while (hi < hot.length && hot(hi) < v) hi += 1
-      if (hi < hot.length && hot(hi) == v) { hotBuf(h) = v; h += 1 }
+      while (hi < hotArr.length && hotArr(hi) < v) hi += 1
+      if (hi < hotArr.length && hotArr(hi) == v) { hotBuf(h) = v; h += 1 }
       else { out(r) = v; r += 1 }
       i += 1
     }
@@ -460,7 +466,7 @@ case class DemoteHotTokens(child: Expression, hot: Array[Long])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val hotRef = ctx.addReferenceObj("hotSet", hot, "long[]")
+      val hotRef = ctx.addReferenceObj("hotSet", hotArr, "long[]")
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       val hotBuf = ctx.freshName("hotBuf")

@@ -47,7 +47,10 @@ case class MisraGriesTopK(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[Any, Long]] {
+    extends TypedImperativeAggregate[mutable.HashMap[Any, Long]]
+    with BoundedPerKeyBuffer {
+
+  override def bufferBound: Int = k
 
   require(k >= 2, s"mg_topk: k must be >= 2, got $k")
 

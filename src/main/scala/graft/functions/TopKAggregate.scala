@@ -35,7 +35,10 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Any)]] {
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Any)]]
+    with BoundedPerKeyBuffer {
+
+  override def bufferBound: Int = k
 
   require(k >= 1, s"k must be >= 1, got $k")
 

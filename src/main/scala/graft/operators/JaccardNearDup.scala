@@ -71,17 +71,35 @@ object JaccardNearDup {
     * every rare token ((isHot, tok) — a total order shared by every
     * row). Empty head (a natural corpus) returns the column unchanged.
     */
+  /** Per-frame memo for the Zipf-head collect below: the head build is
+    * an EAGER corpus-scale job (explode + groupBy + driver collect)
+    * that would otherwise run at PLAN-CONSTRUCTION time on every
+    * `pairsAuto` call over the same corpus — including explain-only
+    * paths and repeated `pairs()` calls in one session. Keyed by the
+    * frame's semantic hash + column; a hash collision could only swap
+    * in a different demotion ORDER, which is result-identical by the
+    * `pairs` contract (orderings change the plan, never the output).
+    * Bounded: cleared past 64 entries (sessions see a handful of
+    * corpora; the test suite cycles more).
+    */
+  private val hotHeadCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Long]]()
+
   private[operators] def demotedByZipfHead(setsDf: DataFrame,
       toksCol: String): org.apache.spark.sql.Column = {
-    val hot = setsDf.select(explode(col(toksCol)).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= hotDfMin)
-      .orderBy(col("df").desc, col("tok")).limit(hotMaxSet)
-      .collect().map(_.getLong(0)).sorted
+    if (hotHeadCache.size > 64) hotHeadCache.clear()
+    val hot = hotHeadCache.computeIfAbsent(
+      (setsDf.semanticHash(), toksCol),
+      _ => setsDf.select(explode(col(toksCol)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= hotDfMin)
+        .orderBy(col("df").desc, col("tok")).limit(hotMaxSet)
+        .collect().map(_.getLong(0)).sorted)
     if (hot.isEmpty) col(toksCol)
     else org.apache.spark.sql.GraftBridge.column(
       graft.functions.DemoteHotTokens(
-        org.apache.spark.sql.GraftBridge.expression(col(toksCol)), hot))
+        org.apache.spark.sql.GraftBridge.expression(col(toksCol)),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(hot)))
   }
 
   /** [[pairs]] with the ordering auto-selected from the corpus size

@@ -682,6 +682,13 @@ object SimilarityOps extends QueryGroup {
     // too (not just in compactIvfLedger) — otherwise this call would
     // BOOTSTRAP a fresh ledger and fork the index
     val fs0 = fsOf(s, path)
+    // single-writer: an append racing a live compaction's rename-aside
+    // window would land its segment in the dir about to be moved aside
+    // and silently vanish from the promoted ledger
+    require(!fs0.exists(hPath(path + "__compact_lock")),
+      s"compaction in progress on $path (lock present) — retry the " +
+        "append after it completes; if the compactor crashed, delete " +
+        "the lock after confirming none is live")
     if (!fs0.exists(hPath(path)) &&
         fs0.exists(hPath(path + "__compact_backup")))
       require(fs0.rename(hPath(path + "__compact_backup"), hPath(path)),
@@ -727,24 +734,42 @@ object SimilarityOps extends QueryGroup {
     val fs = fsOf(s, path)
     val live = hPath(path)
     val backup = hPath(path + "__compact_backup")
-    if (!fs.exists(live) && fs.exists(backup))
-      require(fs.rename(backup, live), s"could not restore $backup")
-    require(fs.exists(live), s"no s8 ledger at $path")
-    if (s8CommittedSegs(s, path).size > 1) {
-      val staging = path + "__compact_staging"
-      fs.delete(hPath(staging), true)
-      // consumed once, wholly before the swap — the live source stays
-      // valid for the duration of the staging write
-      val all = s8Assign(s, path, None).select("vec_id", "cid", "embedding")
-      s.read.parquet(s"$path/centroids")
-        .write.mode("overwrite").parquet(s"$staging/centroids")
-      s8WriteSeg(s, staging, 0, all)
-      fs.delete(backup, true)
-      require(fs.rename(live, backup), s"could not move $path aside")
-      try require(fs.rename(hPath(staging), live), "could not promote")
-      catch { case e: Throwable => fs.rename(backup, live); throw e }
-      fs.delete(backup, true)
-    }
+    // single-writer enforcement (exclusive-create lock, a SIBLING of
+    // the ledger so the swap renames never move it): two concurrent
+    // compactors racing the rename-aside window could each move the
+    // other's half-promoted ledger; refreshIvfLedger refuses to append
+    // while the lock is held for the same reason. A hard crash leaves
+    // a stale lock that WEDGES rather than corrupts — recovery is
+    // deleting the lock after confirming no compactor is live (the
+    // same operator judgment any single-writer ledger needs).
+    val lock = hPath(path + "__compact_lock")
+    fs.mkdirs(lock.getParent)
+    val acquired =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    require(acquired, s"compaction lock $lock already held — " +
+      "compactIvfLedger is single-writer; if the holder crashed, " +
+      "delete the lock after confirming no compactor is live")
+    try {
+      if (!fs.exists(live) && fs.exists(backup))
+        require(fs.rename(backup, live), s"could not restore $backup")
+      require(fs.exists(live), s"no s8 ledger at $path")
+      if (s8CommittedSegs(s, path).size > 1) {
+        val staging = path + "__compact_staging"
+        fs.delete(hPath(staging), true)
+        // consumed once, wholly before the swap — the live source stays
+        // valid for the duration of the staging write
+        val all = s8Assign(s, path, None).select("vec_id", "cid", "embedding")
+        s.read.parquet(s"$path/centroids")
+          .write.mode("overwrite").parquet(s"$staging/centroids")
+        s8WriteSeg(s, staging, 0, all)
+        fs.delete(backup, true)
+        require(fs.rename(live, backup), s"could not move $path aside")
+        try require(fs.rename(hPath(staging), live), "could not promote")
+        catch { case e: Throwable => fs.rename(backup, live); throw e }
+        fs.delete(backup, true)
+      }
+    } finally fs.delete(lock, false)
   }
 
   /** s8's candidate stage BEFORE the oracle tap: runs the two ledger

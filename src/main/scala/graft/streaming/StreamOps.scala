@@ -450,7 +450,17 @@ object StreamOps {
     */
   def ingestAnnStream(docs: DataFrame,
       path: String): org.apache.spark.sql.streaming.DataStreamWriter[
-      org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Row] = {
+    // the production-shape contract above, ENFORCED: attaching a
+    // stream to an un-bootstrapped ledger would silently train the
+    // quantizer on whatever the first micro-batch happens to hold
+    require(
+      graft.queries.SimilarityOps
+        .s8CommittedSegs(docs.sparkSession, path).nonEmpty,
+      s"ANN ledger at $path has no committed segments — bootstrap it " +
+        "from the standing corpus (refreshIvfLedger) before attaching " +
+        "the stream; a cold-started stream would train centroids on " +
+        "its first micro-batch")
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -458,6 +468,7 @@ object StreamOps {
           batch.sparkSession, path,
           batch.select(col("vec_id"), col("embedding")))
       }
+  }
 
   // --------------------------------------------------------------- ST13
   /** Streaming quality/domain classification — t21's scoring face per

@@ -156,6 +156,46 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("S8 ledger single-writer: the compaction lock blocks concurrent " +
+      "compaction AND appends; un-bootstrapped stream ingest is refused") {
+    import org.apache.spark.sql.functions._
+    val path = s"/tmp/graft_state/graft_s8_lock_${java.util.UUID
+      .randomUUID().toString.take(8)}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      SimilarityOps.refreshIvfLedger(spark, path,
+        e.filter(pmod(col("vec_id"), lit(4)) === 0))
+      SimilarityOps.refreshIvfLedger(spark, path, e) // 2-segment chain
+      // a live compactor holds the lock: a second compactor and an
+      // append both refuse loudly instead of racing the swap window
+      val lock = new java.io.File(path + "__compact_lock")
+      lock.createNewFile() shouldBe true
+      an[IllegalArgumentException] should be thrownBy
+        SimilarityOps.compactIvfLedger(spark, path)
+      an[IllegalArgumentException] should be thrownBy
+        SimilarityOps.refreshIvfLedger(spark, path, e)
+      lock.delete() shouldBe true
+      // released: compaction proceeds and removes its own lock
+      SimilarityOps.compactIvfLedger(spark, path)
+      SimilarityOps.s8CommittedSegs(spark, path) shouldBe Seq(0)
+      lock.exists() shouldBe false
+      // attaching a stream to an un-bootstrapped ledger is refused
+      // (the quantizer would otherwise train on the first micro-batch)
+      import spark.implicits._
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])](spark)
+      an[IllegalArgumentException] should be thrownBy
+        graft.streaming.StreamOps.ingestAnnStream(
+          in.toDF.toDF("vec_id", "embedding"), path + "_cold")
+    } finally {
+      rm(new java.io.File(path))
+      rm(new java.io.File(path + "__compact_lock"))
+    }
+  }
+
   test("IVF recall@10 vs brute force beats its scan fraction") {
     // 500 vectors → 23 cells of ~22 is below the quantizer's regime;
     // the floor here only guards against a broken bucketing.
