@@ -25,6 +25,9 @@ object LedgerScaleBench {
     if (args.headOption.contains("s8")) {
       s8Scenario(small, args.lift(1).getOrElse("/tmp/graft_sf1")); return
     }
+    if (args.headOption.contains("s10")) {
+      s10Scenario(small, args.lift(1).getOrElse("/tmp/graft_sf1")); return
+    }
     val big = args.headOption.getOrElse("/tmp/graft_sf1")
     val spark = GraftSession.local(32, "graft-ledger-scale")
 
@@ -153,6 +156,63 @@ object LedgerScaleBench {
     timeMaint(p1x, "s8_maint_batch_vs_1x_index")
     timeMaint(p10x, "s8_maint_warmup_10x")
     timeMaint(p10x, "s8_maint_batch_vs_10x_index")
+    spark.stop()
+  }
+
+  /** s10's O(batch) claim, measured: the SAME fixed novel batch (the
+    * small dir's %8==5 slice, ids offset past both corpora) appended
+    * to the kNN-graph ledger of a 1× and a 10× standing corpus, plus
+    * the merged-graph read on each. O(batch·occupancy) maintenance
+    * keeps the append near-flat while the standing graph grows 10× —
+    * against s9's from-scratch rebuild (the same round's BenchSlice
+    * row) as the alternative a daily cadence would otherwise pay.
+    * Run after ScaleUp: `sbt "runMain graft.LedgerScaleBench s10"`;
+    * recorded in BASELINE §sf1.
+    */
+  private def s10Scenario(small: String, big: String): Unit = {
+    val spark = GraftSession.local(32, "graft-s10-ledger-scale")
+    import graft.queries.SimilarityOps
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    // fresh standing ledgers (bootstrap untimed — the one-time s9-cost
+    // build; the number at stake is the DAILY append)
+    def ledgerOf(dir: String): String = {
+      val e = Tables.load(spark, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val path = SimilarityOps.s10LedgerPath(dir)
+      rm(new java.io.File(path))
+      SimilarityOps.refreshKnnLedger(spark, path, e)
+      path
+    }
+    val p1x = ledgerOf(small)
+    val p10x = ledgerOf(big)
+    // the fixed daily batch: novel ids against BOTH corpora
+    val batch = Tables.load(spark, small, "embeddings")
+      .filter(pmod(col("vec_id"), lit(8)) === 5)
+      .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    // appends mutate the ledger (idempotent replays would measure the
+    // novelty no-op), so each is timed ONCE after a JVM/page-cache
+    // warmup on the read path
+    def timeRead(path: String, label: String): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SimilarityOps.s10Graph(spark, path, None)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def timeAppend(path: String, label: String): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SimilarityOps.refreshKnnLedger(spark, path, batch)
+      println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    timeRead(p1x, "s10_read_warmup_1x")
+    timeAppend(p1x, "s10_append_batch_vs_1x_graph")
+    timeRead(p1x, "s10_read_vs_1x_graph")
+    timeRead(p10x, "s10_read_warmup_10x")
+    timeAppend(p10x, "s10_append_batch_vs_10x_graph")
+    timeRead(p10x, "s10_read_vs_10x_graph")
     spark.stop()
   }
 

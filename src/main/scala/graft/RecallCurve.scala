@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SimilarityOps
+import graft.sources.Tables
+
+/** Dev benchmark: the kNN-graph RECALL-vs-COST curve — what each
+  * NN-descent round (s11's `nnDescentRound`) buys over the s9 IVF base
+  * graph, against the exact brute-force top-KG graph as ground truth.
+  * The exact graph is n² work, so this runs at dev corpus sizes
+  * (sf0.01/sf0.1 — the recall statistic is a property of the
+  * vectors/knobs, not of wall-clock); the COST side of the curve at
+  * scale is the per-round timing printed here plus the s9/s11
+  * BenchSlice rows in BASELINE §sf10 (a descent round is ≤ 4·KG²·n
+  * linear candidates vs the base build's n^1.5, so its relative price
+  * FALLS as n grows).
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.RecallCurve [rounds]"`
+  * Prints `[curve] round=N recall=R novel_pairs=P sec=S`; recorded in
+  * BASELINE.md §recall-curve.
+  */
+object RecallCurve {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01")
+    val rounds = args.headOption.map(_.toInt).getOrElse(2)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-recall-curve")
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.VectorFunctions.cosine
+
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+
+    // exact ground truth: brute-force top-KG per vector (n·n scored
+    // pairs via broadcast — the plan that cannot ship, fine as a dev
+    // yardstick; same rank rule as the operators)
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val truth = SimilarityOps.topKAgg(
+        e.join(broadcast(q), col("qid") =!= col("vec_id"))
+          .withColumn("cosine", cosine(col("qe"), col("embedding")))
+          .select("qid", "vec_id", "cosine"),
+        SimilarityOps.KG, ordered = false)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recallOf(edges: org.apache.spark.sql.DataFrame): Double = {
+      val got = edges.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+
+    var t0 = System.nanoTime()
+    var g = SimilarityOps.knnGraphEdges(spark, sfDir, None)
+      .select(col("qid"), col("neighbor_id").as("vec_id"), col("cosine"))
+      .localCheckpoint()
+    println(f"[curve] round=0 recall=${recallOf(g)}%.4f novel_pairs=0 " +
+      f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+
+    (1 to rounds).foreach { r =>
+      t0 = System.nanoTime()
+      val prevG = g
+      g = SimilarityOps.nnDescentRound(spark, sfDir, g)
+        .select("qid", "vec_id", "cosine").localCheckpoint()
+      g.count() // forces the round before the clock stops
+      val sec = (System.nanoTime() - t0) / 1e9
+      val improved = g.join(prevG, Seq("qid", "vec_id"), "left_anti")
+        .count() // edges the round replaced with closer neighbors
+      println(f"[curve] round=$r recall=${recallOf(g)}%.4f " +
+        f"improved_edges=$improved sec=$sec%.2f")
+    }
+    spark.stop()
+  }
+}

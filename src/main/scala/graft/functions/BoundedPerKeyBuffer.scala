@@ -19,3 +19,25 @@ trait BoundedPerKeyBuffer {
   /** Maximum buffer entries per grouping key, at any input size. */
   def bufferBound: Int
 }
+
+/** A `long[]` expression parameter with STRUCTURAL equality at O(1)
+  * hot-path cost: Catalyst's tree transforms hash and compare
+  * expression nodes constantly, so a case-class field must be cheap to
+  * hash (a raw `Array` is — but by reference identity, defeating
+  * canonicalization/CSE; a `Seq` is structural — but O(n) per
+  * hashCode/equals, which measured a 6× planning regression on d2 at
+  * sf10 with a 65536-entry hot set). The wrapper computes its hash
+  * once at construction and short-circuits equals on reference before
+  * falling back to the exact array compare.
+  */
+final class LongArrayParam(val values: Array[Long]) extends Serializable {
+  override val hashCode: Int = java.util.Arrays.hashCode(values)
+  override def equals(o: Any): Boolean = o match {
+    case other: LongArrayParam =>
+      (this eq other) || ((hashCode == other.hashCode) &&
+        java.util.Arrays.equals(values, other.values))
+    case _ => false
+  }
+  override def toString: String =
+    s"LongArrayParam(n=${values.length}, hash=$hashCode)"
+}

@@ -426,14 +426,19 @@ case class FirstEqualIndex(left: Expression, right: Expression)
   * contract: a null inside a "sorted distinct long array" has no
   * defined order position).
   */
-case class DemoteHotTokens(child: Expression, hot: Seq[Long])
+case class DemoteHotTokens(child: Expression, hot: LongArrayParam)
     extends UnaryExpression with ExpectsInputTypes with NullableElements {
 
-  // `hot` is a Seq, not an Array: a case-class Array field compares by
-  // reference identity, which defeats expression canonicalization/CSE
-  // (two semantically-equal DemoteHotTokens would never compare equal).
-  // The merge loops still run over a primitive array.
-  @transient private lazy val hotArr: Array[Long] = hot.toArray
+  // `hot` is a LongArrayParam, not a raw Array: a case-class Array
+  // field compares by reference identity, which defeats expression
+  // canonicalization/CSE (two semantically-equal DemoteHotTokens would
+  // never compare equal). A plain Seq fixes equality but poisons
+  // PLANNING: Catalyst's tree transforms hash/compare expression nodes
+  // constantly, and an O(|hot|) hashCode on a 65536-entry field
+  // measured d2 at sf10 12.7 → 74 s. The wrapper caches its hash and
+  // short-circuits equals on reference, keeping structural semantics
+  // at O(1) hot-path cost.
+  private def hotArr: Array[Long] = hot.values
 
   override def inputTypes = Seq(ArrayType(LongType))
 

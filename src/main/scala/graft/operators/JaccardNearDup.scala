@@ -99,7 +99,7 @@ object JaccardNearDup {
     else org.apache.spark.sql.GraftBridge.column(
       graft.functions.DemoteHotTokens(
         org.apache.spark.sql.GraftBridge.expression(col(toksCol)),
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(hot)))
+        new graft.functions.LongArrayParam(hot)))
   }
 
   /** [[pairs]] with the ordering auto-selected from the corpus size

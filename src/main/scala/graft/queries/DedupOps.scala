@@ -1395,7 +1395,7 @@ object DedupOps extends QueryGroup {
       // the kNN edges are output-sized: checkpoint so CC's sym union
       // + rounds replay the edge table, not the graph-build lineage
       // (the d6/d7/d10 discipline)
-      val edges = SimilarityOps.knnGraphEdges(s, dir, "d15_cand")
+      val edges = SimilarityOps.knnGraphEdges(s, dir, Some("d15_cand"))
         .filter(col("cosine") >= cosT)
         .select(col("qid").as("src"), col("neighbor_id").as("dst"))
         .localCheckpoint()

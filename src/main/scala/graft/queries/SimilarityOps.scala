@@ -39,7 +39,7 @@ object SimilarityOps extends QueryGroup {
     * of s1/s2/s3: at 100 TB a per-qid window would funnel a query's
     * whole candidate list through one reducer; the heap partial-aggs.
     */
-  private def topKAgg(scored: DataFrame, k: Int = K,
+  private[graft] def topKAgg(scored: DataFrame, k: Int = K,
       ordered: Boolean = true): DataFrame = {
     val out = scored.groupBy("qid")
       .agg(TopKAggregate.topKByScore(col("cosine"), col("vec_id"), k)
@@ -246,8 +246,8 @@ object SimilarityOps extends QueryGroup {
   // top-k above the tap); recall@10 vs s1 is measured and floored in
   // AnnRecallSpec at sf0.001, sf0.1 and a ScaleUp-synthesized 10×,
   // alongside the shrinking-fraction assertion.
-  private val ivfCellsFloor = 16
-  private val nprobeFloor = 4
+  private[queries] val ivfCellsFloor = 16
+  private[queries] val nprobeFloor = 4
   private val lloydIters = 3
 
   // Single-centroid ASSIGNMENT is a partial-agg argmax, not a
@@ -604,14 +604,17 @@ object SimilarityOps extends QueryGroup {
       .sorted
   }
 
-  /** Delete marker-less (torn) seg dirs — safe by construction: a seg
-    * without its commit marker was never visible to any reader.
+  /** Delete marker-less (torn) seg dirs under each of `subdirs` — safe
+    * by construction: a seg without its commit marker was never
+    * visible to any reader. Shared by the s8 (assign/ids) and s10
+    * (assign/probes/edges/ids) ledger layouts.
     */
-  private def s8CleanTorn(s: SparkSession, path: String): Unit = {
+  private def cleanTorn(s: SparkSession, path: String,
+      subdirs: Seq[String]): Unit = {
     val fs = fsOf(s, path)
     val committed = s8CommittedSegs(s, path).map(k => s"seg-$k").toSet
-    Seq(s"$path/assign", s"$path/ids").foreach { d =>
-      val dp = hPath(d)
+    subdirs.foreach { sub =>
+      val dp = hPath(s"$path/$sub")
       if (fs.exists(dp))
         fs.listStatus(dp).foreach { st =>
           if (!committed.contains(st.getPath.getName))
@@ -619,6 +622,9 @@ object SimilarityOps extends QueryGroup {
         }
     }
   }
+
+  private def s8CleanTorn(s: SparkSession, path: String): Unit =
+    cleanTorn(s, path, Seq("assign", "ids"))
 
   /** The index's assignment rows (vec_id, embedding, cid) as a union
     * of per-segment scans, each pruned to `cids` when given — the
@@ -880,7 +886,7 @@ object SimilarityOps extends QueryGroup {
   // assignment and probe tie-breaks), the same determinism s8's
   // incremental-vs-from-scratch contract stands on; the tap-write job
   // re-runs the candidate join projected to ids (16 B/row).
-  private val KG = 5
+  private[graft] val KG = 5
 
   /** Corpus-sided probe selection. Two sizing rules the r14 sf10 probe
     * taught (it OOM'd the first shape): (1) the crossJoin fans out
@@ -892,7 +898,7 @@ object SimilarityOps extends QueryGroup {
     * the embedding width, and qe is re-attached afterwards by one
     * LINEAR n·nprobe join instead.
     */
-  private def probeTopAgg(df: DataFrame, cents: DataFrame,
+  private[queries] def probeTopAgg(df: DataFrame, cents: DataFrame,
       keep: Int): DataFrame = {
     val top = df.repartition(col("vec_id"))
       .crossJoin(broadcast(cents))
@@ -912,8 +918,8 @@ object SimilarityOps extends QueryGroup {
     * unordered, with the candidate ids tapped under `tap` for the
     * two-stage oracle. See the S9 header for the scale analysis.
     */
-  private[queries] def knnGraphEdges(s: SparkSession, dir: String,
-      tap: String): DataFrame = {
+  private[graft] def knnGraphEdges(s: SparkSession, dir: String,
+      tap: Option[String]): DataFrame = {
     val e = emb(s, dir)
     val n = e.count()
     val ivfCells = LshTuning.ivfCellsFor(n, ivfCellsFloor)
@@ -923,9 +929,11 @@ object SimilarityOps extends QueryGroup {
     val probes = probeTopAgg(e, cents, nprobe)
     val cand = assign.join(probes, Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
-    // oracle tap (ids only, side effect — see the header comment)
-    graft.sources.VerifyTap(cand.select(col("qid"), col("vec_id")),
-      tap, coalesce = false)
+    // oracle tap (ids only, side effect — see the header comment);
+    // None skips the write for consumers that verify further up
+    // (s11 taps its own merged candidate union instead)
+    tap.foreach(t => graft.sources.VerifyTap(
+      cand.select(col("qid"), col("vec_id")), t, coalesce = false))
     val scored = cand
       .withColumn("cosine", cosine(col("qe"), col("embedding")))
       .select("qid", "vec_id", "cosine")
@@ -934,7 +942,7 @@ object SimilarityOps extends QueryGroup {
 
   private val s9 = QueryDef(
     "s9_knn_graph",
-    (s, dir) => knnGraphEdges(s, dir, "s9_cand").orderBy("qid", "rank"),
+    (s, dir) => knnGraphEdges(s, dir, Some("s9_cand")).orderBy("qid", "rank"),
     Some(knnGraphOracle))
 
   /** The kNN-graph oracle's CTE block, shared by s9 (reported
@@ -974,6 +982,315 @@ object SimilarityOps extends QueryGroup {
        |SELECT qid, rank, vec_id AS neighbor_id, cosine
        |FROM granked ORDER BY qid, rank""".stripMargin
 
+
+  // --------------------------------------------------------------- S10
+  // INCREMENTAL kNN-GRAPH MAINTENANCE — the missing O(batch) path next
+  // to s9: s9 builds the corpus graph from scratch (n^1.5 candidate
+  // compute — fine weekly, not daily), s8 proves the committed-segment
+  // ledger discipline for retrieval; s10 is that discipline applied to
+  // the GRAPH so a daily embedding batch updates it in work
+  // proportional to the batch and the graph rows it actually touches —
+  // batch·nprobe·occupancy for the new vectors plus
+  // affected·(batch/cells) for the standing side, where "affected" is
+  // the probe rows landing in the batch's home cells (a
+  // partition-pruned read; linear BYTES in the worst case of a batch
+  // hitting every cell, but never the from-scratch rebuild's n^1.5
+  // candidate COMPUTE — the LedgerScaleBench s10 scenario measures the
+  // flatness):
+  //
+  //   ledger = centroids (trained once at bootstrap, then FIXED — the
+  //   s8 contract that makes incremental ≡ from-scratch provable) +
+  //   per-segment assign (vec_id, embedding, cid; cid-partitioned),
+  //   probes (qid, qe, cid; partitioned BY THE PROBED cid — each
+  //   vector's nprobe probe cells WITH its vector riding), edges
+  //   (qid, vec_id, cosine: the segment's per-qid top-KG additions),
+  //   and the slim ids sidecar (novelty decisions never read vectors).
+  //
+  // Append of batch B (all reads partition-pruned, all writes
+  // batch-sized):
+  //   (1) B's vectors get edges vs the WHOLE standing index: B's
+  //       probes ⋈ (committed assign pruned to B's probed cells ∪ B's
+  //       own assign) — O(batch · nprobe · occupancy);
+  //   (2) standing vectors whose PROBE SET the batch lands in get
+  //       their new candidates: committed probes pruned to B's HOME
+  //       cells ⋈ B's assign — the probes partitioning makes "who is
+  //       affected" a PartitionFilters read, never a corpus scan, and
+  //       the probed-side qe rides the row so no corpus-wide vector
+  //       fetch follows (the ×nprobe vector storage is the price of
+  //       O(batch) maintenance — the alternative re-scans the corpus'
+  //       vectors every batch);
+  //   (3) both candidate sets score exact cosine and per-qid top-KG
+  //       (bounded heap) into the segment's edges file.
+  //
+  // The READ is a merge: union every committed segment's edges, per-qid
+  // top-KG again. Exact by the heap-merge property — for any split
+  // A ∪ B of a qid's candidates, topK(topK(A) ∪ topK(B)) = topK(A ∪ B)
+  // under the deterministic (cosine desc, vec_id asc) total order —
+  // and candidate COVERAGE equals from-scratch-against-stored-
+  // centroids by construction: a full rebuild's candidates for old q
+  // are (old ∪ B) ∩ probecells(q) = seg-old's ∪ step (2)'s, and for
+  // new q exactly step (1)'s. AnnRecallSpec asserts the merged ledger
+  // graph row-identical to the one-pass s9-style build against the
+  // stored quantizer.
+  //
+  // Crash atomicity, torn segments, idempotent replays: the s8 marker
+  // protocol verbatim (readers see only marker-committed segments;
+  // novelty keys on committed ids). Long chains pay the same per-seg
+  // listing tax as s8 — F16's compaction pattern applies unchanged.
+  //
+  // Oracle: the s9 two-stage discipline one level up — the tap carries
+  // the UNION of every segment's edge ids (per-seg top-KG survivors,
+  // output-sized), DuckDB re-joins embeddings, re-scores the exact
+  // fold and re-ranks to top-KG: the stored cosines, the cross-segment
+  // merge, and the final ranks are all cross-checked. The per-seg
+  // candidate generation sits below the tap, gated by the
+  // incremental-≡-from-scratch spec (the s8 split).
+  private[graft] def s10LedgerPath(dir: String): String = {
+    val f = new java.io.File(dir)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(f.getAbsolutePath.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+    s"/tmp/graft_state/graft_s10_knn_${f.getName}_${digest}_p1"
+  }
+
+  /** Union read of the committed segments' `sub` dir, each scan pruned
+    * to `cids` when given (a PartitionFilters prune — cid is every
+    * segment's partition column). `keep` pins the post-prune schema.
+    */
+  private[queries] def s10SegUnion(s: SparkSession, path: String, sub: String,
+      cids: Option[Seq[Long]], keep: Seq[Column],
+      segs: Seq[Int]): DataFrame = {
+    require(segs.nonEmpty, s"no committed s10 ledger segments at $path")
+    segs.map { k =>
+      val seg = s.read.parquet(s"$path/$sub/seg-$k")
+      val pruned = cids.fold(seg)(c => seg.filter(col("cid").isin(c: _*)))
+      pruned.select(keep: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  private def s10AssignCols = Seq(col("vec_id"), col("embedding"),
+    col("cid").cast(LongType).as("cid"))
+  private def s10ProbeCols = Seq(col("qid"), col("qe"),
+    col("cid").cast(LongType).as("cid"))
+
+  /** Score + per-qid top-KG of one segment's candidate additions. */
+  private def s10SegEdges(cand: DataFrame): DataFrame =
+    topKAgg(cand.filter(col("qid") =!= col("vec_id"))
+        .withColumn("cosine", cosine(col("qe"), col("embedding")))
+        .select("qid", "vec_id", "cosine"),
+      KG, ordered = false)
+      .select(col("qid"), col("neighbor_id").as("vec_id"), col("cosine"))
+
+  /** Bootstrap-or-append the kNN-graph ledger from `prior` — s8's
+    * refresh contract extended with probes + edges: bootstrap trains
+    * the quantizer and builds segment 0 (the s9 graph of the standing
+    * corpus); append computes only the NOVEL vectors' edges plus the
+    * affected standing vectors' additions (header steps 1–3).
+    */
+  private[graft] def refreshKnnLedger(s: SparkSession, path: String,
+      prior: DataFrame): Unit = {
+    cleanTorn(s, path, Seq("assign", "probes", "edges", "ids"))
+    val fs = fsOf(s, path)
+    val centDir = s"$path/centroids"
+
+    // write one segment under the marker protocol: assign/probes land
+    // first (each consumed ONCE — edge joins read the written segs
+    // back, never re-execute a corpus- or batch-sized computed frame)
+    def writeSeg(k: Int, assignRows: DataFrame, probeRows: DataFrame)(
+        edgesOf: (DataFrame, DataFrame) => DataFrame): Unit = {
+      assignRows.repartition(col("cid"))
+        .write.partitionBy("cid").mode("overwrite")
+        .parquet(s"$path/assign/seg-$k")
+      probeRows.repartition(col("cid"))
+        .write.partitionBy("cid").mode("overwrite")
+        .parquet(s"$path/probes/seg-$k")
+      s.read.parquet(s"$path/assign/seg-$k").select("vec_id")
+        .write.mode("overwrite").parquet(s"$path/ids/seg-$k")
+      val a = s.read.parquet(s"$path/assign/seg-$k").select(s10AssignCols: _*)
+      val p = s.read.parquet(s"$path/probes/seg-$k").select(s10ProbeCols: _*)
+      edgesOf(a, p).write.mode("overwrite").parquet(s"$path/edges/seg-$k")
+      fs.mkdirs(hPath(s"$path/commits"))
+      fs.create(hPath(s"$path/commits/seg-$k"), true).close()
+    }
+
+    if (s8CommittedSegs(s, path).isEmpty) {
+      val n = prior.count()
+      val cells = LshTuning.ivfCellsFor(n, ivfCellsFloor)
+      trainCentroids(prior, cells, n)
+        .write.mode("overwrite").parquet(centDir)
+      val cents = s.read.parquet(centDir)
+      val nprobe = LshTuning.nprobeFor(cells, nprobeFloor)
+      writeSeg(0,
+        assignNearest(prior, cents).select("vec_id", "cid", "embedding"),
+        probeTopAgg(prior, cents, nprobe)
+          .select(col("qid"), col("qe"), col("cid"))) {
+        // segment 0's edges = the s9 graph of the bootstrap corpus
+        (a, p) => s10SegEdges(p.join(a, Seq("cid")))
+      }
+    } else {
+      val novel = prior
+        .join(s10SegUnion(s, path, "ids", None, Seq(col("vec_id")),
+          s8CommittedSegs(s, path)), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      if (!novel.isEmpty) {
+        val oldSegs = s8CommittedSegs(s, path)
+        val k = oldSegs.max + 1
+        val cents = s.read.parquet(centDir)
+        val nprobe = LshTuning.nprobeFor(cents.count().toInt, nprobeFloor)
+        writeSeg(k,
+          assignNearest(novel, cents).select("vec_id", "cid", "embedding"),
+          probeTopAgg(novel, cents, nprobe)
+            .select(col("qid"), col("qe"), col("cid"))) { (bAssign, bProbes) =>
+          // both cid lists are ≤ cells longs (the s8 probedCids class
+          // of driver-sized collect — bounded by the centroid count at
+          // ANY batch size)
+          val probedCids = bProbes.select("cid").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val batchCids = bAssign.select("cid").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          // (1) new vectors vs the whole index (pruned to their cells)
+          val candNew = bProbes.join(
+            s10SegUnion(s, path, "assign", Some(probedCids),
+              s10AssignCols, oldSegs).unionByName(bAssign), Seq("cid"))
+          // (2) affected standing vectors vs the batch (pruned to the
+          //     batch's home cells)
+          val candOld = s10SegUnion(s, path, "probes", Some(batchCids),
+            s10ProbeCols, oldSegs).join(bAssign, Seq("cid"))
+          s10SegEdges(candNew.unionByName(candOld))
+        }
+      }
+    }
+  }
+
+  /** The merged graph read: union every committed segment's edge rows,
+    * per-qid top-KG (exact by the heap-merge property — header). The
+    * tap (ids only, s9's side-effect discipline) carries the union so
+    * the oracle re-checks cosines, merge, and ranks.
+    */
+  private[graft] def s10Graph(s: SparkSession, path: String,
+      tap: Option[String]): DataFrame = {
+    val segs = s8CommittedSegs(s, path)
+    require(segs.nonEmpty, s"no committed s10 ledger segments at $path")
+    val all = segs.map(k => s.read.parquet(s"$path/edges/seg-$k"))
+      .reduce(_ unionByName _)
+    tap.foreach(t => graft.sources.VerifyTap(
+      all.select(col("qid"), col("vec_id")), t, coalesce = false))
+    topKAgg(all, KG, ordered = false)
+  }
+
+  private val s10 = QueryDef(
+    "s10_knn_incremental",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val path = s10LedgerPath(dir)
+      // day 1: the standing corpus bootstraps the graph (idempotent —
+      // on re-runs the ledger exists and nothing is novel)
+      refreshKnnLedger(s, path, e.filter(pmod(col("vec_id"), lit(8)) =!= 5))
+      // day 2: today's batch lands — only its edges and the affected
+      // standing vectors' additions are computed
+      refreshKnnLedger(s, path, e)
+      s10Graph(s, path, Some("s10_cand")).orderBy("qid", "rank")
+    },
+    Some(s"""WITH ${knnGraphCtes("s10_cand")}
+       |SELECT qid, rank, vec_id AS neighbor_id, cosine
+       |FROM granked ORDER BY qid, rank""".stripMargin))
+
+
+  // --------------------------------------------------------------- S11
+  // NN-DESCENT refinement — the recall lever s9's √n probe budget
+  // leaves on the table (Dong et al. 2011: a vector's true neighbors
+  // are, with high probability, neighbors of its CURRENT neighbors).
+  // One round over the s9 base graph:
+  //   (1) bounded symmetric adjacency: forward edges plus each
+  //       vertex's top-KG REVERSE edges — the reverse cap is the
+  //       NN-descent sampling trick, here by cosine rank, so hub
+  //       vectors (unbounded in-degree on a raw reversal) cannot
+  //       quadratic the expansion: degree ≤ 2·KG per vertex;
+  //   (2) neighbor-of-neighbor expansion: adj ⋈ adj through the shared
+  //       middle — ≤ 4·KG²·n candidate pairs (LINEAR in n, vs the base
+  //       build's n^1.5: a descent round costs a vanishing fraction of
+  //       the build it refines), deduped (a pair reachable through two
+  //       middles must enter the heap once) and anti-joined against
+  //       the base edges;
+  //   (3) exact cosine on the novel pairs (two id-keyed vector
+  //       fetches), then top-KG over base ∪ novel — exact by the same
+  //       heap-merge property s10 stands on.
+  // Base and novel frames are output-sized and localCheckpoint-pinned
+  // (the d6/d10 discipline: the merge must not replay the IVF join or
+  // the expansion).
+  //
+  // Oracle: tap the merged candidate ids (base edges ∪ novel pairs —
+  // output-sized, ≤ (4KG² + KG)·n), DuckDB re-joins embeddings,
+  // re-scores the exact fold, re-ranks to top-KG: cosines, the
+  // dedup/anti-join disjointness, and the merge are all cross-checked.
+  // Recall: AnnRecallSpec measures the round-0/1 lift vs the exact
+  // graph; the recall-vs-cost curve (rounds 0/1/2) lives in BASELINE
+  // via graft.RecallCurve.
+
+  /** One NN-descent round over an edge frame (qid, vec_id, cosine):
+    * the refined top-KG graph, unordered. Iterable — round 2 is
+    * `nnDescentRound(s, dir, nnDescentRound(s, dir, base))`.
+    */
+  private[graft] def nnDescentRound(s: SparkSession, dir: String,
+      base0: DataFrame, tap: Option[String] = None): DataFrame = {
+    val base = base0.select(col("qid"), col("vec_id"), col("cosine"))
+      .localCheckpoint()
+    // every frame below descends from `base`, so unions of a frame
+    // with its own derivative re-meet the same attribute ids — the
+    // duplicate-attribute constraint-rewrite trap ConnectedComponents
+    // documents; rebasing on the materialized RDD mints fresh ids
+    // (frames here are output-sized, so the RDD boundary is free)
+    def fresh(df: DataFrame): DataFrame =
+      s.createDataFrame(df.rdd, df.schema)
+    // (1) bounded symmetric adjacency
+    val rev = fresh(topKAgg(base.select(col("vec_id").as("qid"),
+        col("qid").as("vec_id"), col("cosine")), KG, ordered = false)
+      .select(col("qid"), col("neighbor_id").as("vec_id")))
+    // pinned: output-sized, reused on BOTH sides of the expansion
+    // self-join
+    val adj = fresh(base.select("qid", "vec_id").unionByName(rev)
+      .dropDuplicates("qid", "vec_id")
+      .localCheckpoint())
+    // (2) expansion through the shared middle; novel pairs only
+    val novel = adj.as("a").join(adj.as("b"),
+        col("a.vec_id") === col("b.qid"))
+      .select(col("a.qid").as("qid"), col("b.vec_id").as("vec_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .dropDuplicates("qid", "vec_id")
+      .join(base.select("qid", "vec_id"), Seq("qid", "vec_id"),
+        "left_anti")
+    // (3) exact cosine on the novel pairs — two id-keyed fetches
+    val e = emb(s, dir)
+    val scored = fresh(novel
+      .join(e.select(col("vec_id").as("qid"),
+        col("embedding").as("qe")), Seq("qid"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cosine", cosine(col("qe"), col("embedding")))
+      .select("qid", "vec_id", "cosine")
+      .localCheckpoint())
+    val all = base.unionByName(scored)
+    tap.foreach(t => graft.sources.VerifyTap(
+      all.select(col("qid"), col("vec_id")), t, coalesce = false))
+    topKAgg(all, KG, ordered = false)
+      .select(col("qid"), col("neighbor_id").as("vec_id"),
+        col("cosine"), col("rank"))
+  }
+
+  private val s11 = QueryDef(
+    "s11_knn_descent",
+    (s, dir) => {
+      val base = knnGraphEdges(s, dir, None)
+        .select(col("qid"), col("neighbor_id").as("vec_id"),
+          col("cosine"))
+      nnDescentRound(s, dir, base, Some("s11_cand"))
+        .select(col("qid"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("cosine"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH ${knnGraphCtes("s11_cand")}
+       |SELECT qid, rank, vec_id AS neighbor_id, cosine
+       |FROM granked ORDER BY qid, rank""".stripMargin))
+
   override val queries: Seq[QueryDef] =
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11)
 }

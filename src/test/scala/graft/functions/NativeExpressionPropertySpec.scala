@@ -219,8 +219,8 @@ class NativeExpressionPropertySpec extends AnyFunSuite with Matchers {
         HyperplaneSignature(floats(n), 14, 0xd8),
         SortedLongIntersectCount(longs(n), longs1(n)),
         FirstEqualIndex(longs(n), longs1(n)),
-        DemoteHotTokens(longs(n), Array(3L, 7L, 11L)),
-        DemoteHotTokens(longs(n), Array.empty[Long]),
+        DemoteHotTokens(longs(n), new LongArrayParam(Array(3L, 7L, 11L))),
+        DemoteHotTokens(longs(n), new LongArrayParam(Array.empty[Long])),
         RollingHash(str, 7L, 31L, 1000003L),
         WordGramHashes(str, 3, distinctSorted = true),
         WordGramHashes(str, 3, distinctSorted = false),

@@ -97,7 +97,8 @@ class JaccardNearDupSpec extends AnyFunSuite with Matchers {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType, containsNull = true)))))
     val out = df.select(column(graft.functions.DemoteHotTokens(
-        expression(col("a")), hot)).as("r"))
+        expression(col("a")),
+        new graft.functions.LongArrayParam(hot))).as("r"))
       .collect().map(_.getSeq[Long](0).toSeq)
     val hotSet = hot.toSet
     out shouldBe rows.map(r =>
@@ -107,7 +108,8 @@ class JaccardNearDupSpec extends AnyFunSuite with Matchers {
       java.util.Arrays.asList(org.apache.spark.sql.Row(Seq(1L, null))),
       df.schema)
     ndf.select(column(graft.functions.DemoteHotTokens(
-        expression(col("a")), hot)).as("r"))
+        expression(col("a")),
+        new graft.functions.LongArrayParam(hot))).as("r"))
       .collect()(0).isNullAt(0) shouldBe true
   }
 

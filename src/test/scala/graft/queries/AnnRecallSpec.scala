@@ -196,6 +196,95 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("S10 incremental kNN graph: merged ledger equals the one-pass " +
+      "build against the stored quantizer; appends idempotent + batch-sized") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.cosine
+    val path = s"/tmp/graft_state/graft_s10_spec_${java.util.UUID
+      .randomUUID().toString.take(8)}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      // bootstrap + two daily batches
+      SimilarityOps.refreshKnnLedger(spark, path,
+        e.filter(pmod(col("vec_id"), lit(4)) === 0))
+      SimilarityOps.refreshKnnLedger(spark, path,
+        e.filter(pmod(col("vec_id"), lit(4)) <= 1))
+      SimilarityOps.refreshKnnLedger(spark, path, e)
+      SimilarityOps.s8CommittedSegs(spark, path) shouldBe Seq(0, 1, 2)
+      // batch-sized appends: each segment holds exactly its batch
+      def segIds(k: Int) = spark.read.parquet(s"$path/ids/seg-$k")
+        .collect().map(_.getLong(0)).toSet
+      val allIds = e.select("vec_id").collect().map(_.getLong(0)).toSet
+      segIds(0) shouldBe allIds.filter(_ % 4 == 0)
+      segIds(1) shouldBe allIds.filter(_ % 4 == 1)
+      segIds(2) shouldBe allIds.filter(i => i % 4 == 2 || i % 4 == 3)
+      // idempotent: replaying the full corpus appends nothing
+      SimilarityOps.refreshKnnLedger(spark, path, e)
+      SimilarityOps.s8CommittedSegs(spark, path) shouldBe Seq(0, 1, 2)
+
+      // reference: the one-pass s9-style graph against the STORED
+      // quantizer (the incremental-== -from-scratch contract; a full
+      // rebuild would retrain centroids, which is a different index)
+      val cents = spark.read.parquet(s"$path/centroids")
+      val nprobe = graft.queries.LshTuning.nprobeFor(
+        cents.count().toInt, SimilarityOps.nprobeFloor)
+      val assign = SimilarityOps.assignNearest(e, cents)
+      val probes = SimilarityOps.probeTopAgg(e, cents, nprobe)
+      val scored = probes.join(assign, Seq("cid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cosine", cosine(col("qe"), col("embedding")))
+        .select("qid", "vec_id", "cosine")
+      val ref = SimilarityOps.topKAgg(scored, SimilarityOps.KG, ordered = true)
+        .collect().map(_.toSeq)
+      val got = SimilarityOps.s10Graph(spark, path, None)
+        .orderBy("qid", "rank").collect().map(_.toSeq)
+      got shouldBe ref
+    } finally rm(new java.io.File(path))
+  }
+
+  test("S11 NN-descent: one round strictly lifts kNN-graph recall over " +
+      "the s9 base; the refined graph stays a complete valid top-KG") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.cosine
+    val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+        "embeddings").select("vec_id", "embedding")
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val truth = SimilarityOps.topKAgg(
+        e.join(broadcast(q), col("qid") =!= col("vec_id"))
+          .withColumn("cosine", cosine(col("qe"), col("embedding")))
+          .select("qid", "vec_id", "cosine"),
+        SimilarityOps.KG, ordered = false)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame, idCol: String) =
+      df.select(col("qid"), col(idCol)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(truth).size.toDouble / truth.size
+    val base = SimilarityOps.knnGraphEdges(spark, TestSpark.sfDir, None)
+      .select(col("qid"), col("neighbor_id").as("vec_id"), col("cosine"))
+      .localCheckpoint()
+    val refined = SimilarityOps
+      .nnDescentRound(spark, TestSpark.sfDir, base).localCheckpoint()
+    val (rBase, rRef) = (recall(base, "vec_id"), recall(refined, "vec_id"))
+    withClue(s"recall base=$rBase refined=$rRef: ") {
+      rRef should be > rBase
+    }
+    // completeness + validity: every vector keeps exactly KG refined
+    // edges, each at least as good as its base edge at the same rank
+    val n = e.count()
+    refined.count() shouldBe n * SimilarityOps.KG
+    val worse = refined.as("r")
+      .join(base.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("cosine").desc, col("vec_id")))).as("b"),
+        col("r.qid") === col("b.qid") && col("r.rank") === col("b.rank"))
+      .filter(col("r.cosine") < col("b.cosine") - 1e-12).count()
+    worse shouldBe 0 // descent can only improve the rank-i neighbor
+  }
+
   test("IVF recall@10 vs brute force beats its scan fraction") {
     // 500 vectors → 23 cells of ~22 is below the quantizer's regime;
     // the floor here only guards against a broken bucketing.

@@ -711,7 +711,7 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     // independent single-node reference: collect the (output-sized)
     // thresholded kNN edges and union-find them
     val edges = SimilarityOps
-      .knnGraphEdges(spark, TestSpark.sfDir, "d15_spec_cand")
+      .knnGraphEdges(spark, TestSpark.sfDir, Some("d15_spec_cand"))
       .filter(col("cosine") >= 0.4)
       .select("qid", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
