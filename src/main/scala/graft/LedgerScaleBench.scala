@@ -28,6 +28,10 @@ object LedgerScaleBench {
     if (args.headOption.contains("s10")) {
       s10Scenario(small, args.lift(1).getOrElse("/tmp/graft_sf1")); return
     }
+    if (args.headOption.contains("d15")) {
+      d15Scenario(sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/tmp/graft_sf1")); return
+    }
     val big = args.headOption.getOrElse("/tmp/graft_sf1")
     val spark = GraftSession.local(32, "graft-ledger-scale")
 
@@ -213,6 +217,44 @@ object LedgerScaleBench {
     timeRead(p10x, "s10_read_warmup_10x")
     timeAppend(p10x, "s10_append_batch_vs_10x_graph")
     timeRead(p10x, "s10_read_vs_10x_graph")
+    spark.stop()
+  }
+
+  /** d15 stage breakdown: where the semantic keep-rule's time goes at
+    * a given SF — the kNN-graph build (s9's machinery, no tap), the
+    * thresholded edge set's size/shape, and the connected-components
+    * pass alone. Run: `SPARK_GRAFT_SF_DIR=... sbt "runMain
+    * graft.LedgerScaleBench d15"`.
+    */
+  private def d15Scenario(dir: String): Unit = {
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-d15-scale")
+    import graft.queries.SimilarityOps
+    def edges0 = SimilarityOps.knnGraphEdges(spark, dir, None)
+      .filter(col("cosine") >= 0.4)
+      .select(col("qid").as("src"), col("neighbor_id").as("dst"))
+    // A/B the edge materialization path in one JVM (suspect second)
+    var t0 = System.nanoTime()
+    val warm = edges0.write.format("noop").mode("overwrite")
+    warm.save()
+    println(f"[d15] build_noop_warmup ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime()
+    warm.save()
+    println(f"[d15] build_noop ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime()
+    val edges = edges0.localCheckpoint()
+    val ne = edges.count()
+    println(f"[d15] build_localCheckpoint ${(System.nanoTime() - t0) / 1e9}%.2f s (edges=$ne)")
+    t0 = System.nanoTime()
+    val touched = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    val nt = touched.count()
+    println(f"[d15] touched ${(System.nanoTime() - t0) / 1e9}%.2f s (nodes=$nt)")
+    t0 = System.nanoTime()
+    val cc = graft.operators.ConnectedComponents.run(touched, edges)
+    val nk = cc.filter(col("id") === col("component")).count()
+    println(f"[d15] cc ${(System.nanoTime() - t0) / 1e9}%.2f s (keepers_in_cc=$nk)")
     spark.stop()
   }
 

@@ -11,7 +11,9 @@ object PlanDump {
         "d11_span_dedup", "s5_ann_pq",
         "d13_incremental_neardup", "d14_dedup_simhash_wide",
         "q43_exact_quantiles", "s9_knn_graph",
-        "t21_quality_classifier").foreach { n =>
+        "t21_quality_classifier", "p2_training_corpus_v2",
+        "s10_knn_incremental", "s11_knn_descent",
+        "d15_semantic_keep").foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)

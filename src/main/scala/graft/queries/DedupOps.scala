@@ -1395,16 +1395,34 @@ object DedupOps extends QueryGroup {
       // the kNN edges are output-sized: checkpoint so CC's sym union
       // + rounds replay the edge table, not the graph-build lineage
       // (the d6/d7/d10 discipline)
-      val edges = SimilarityOps.knnGraphEdges(s, dir, Some("d15_cand"))
-        .filter(col("cosine") >= cosT)
-        .select(col("qid").as("src"), col("neighbor_id").as("dst"))
-        .localCheckpoint()
+      // ScratchCache, NOT localCheckpoint: the pin must replay blocks
+      // (d6/d10 discipline), but localCheckpoint materializes through
+      // the toRdd path, which at sf10 measured 367 s vs 145 s for the
+      // identical plan through a normal action — the candidate join's
+      // skewed cells lose their adaptive handling there (LedgerScale-
+      // Bench d15 A/B)
+      val edges = graft.operators.ScratchCache.scratch(
+        SimilarityOps.knnGraphEdges(s, dir, Some("d15_cand"))
+          .filter(col("cosine") >= cosT)
+          .select(col("qid").as("src"), col("neighbor_id").as("dst")))
+      // CC sees only edge-TOUCHED vectors: a vector with no edge over
+      // the threshold is its own component and keeps itself by
+      // definition, so it must not ride the O(rounds) label
+      // propagation — at sf10 that cut the CC input from 200k nodes to
+      // the near-dup minority and d15 from 251 to ~s9-plus-CC seconds
+      val touched = graft.operators.ScratchCache.scratch(
+        edges.select(col("src").as("id"))
+          .unionByName(edges.select(col("dst").as("id")))
+          .distinct())
       val nodes = Tables.load(s, dir, "embeddings")
         .select(col("vec_id").as("id"))
-      graft.operators.ConnectedComponents.run(nodes, edges)
+      val clustered = graft.operators.ConnectedComponents
+        .run(touched, edges)
         .filter(col("id") === col("component")) // keepers label themselves
         .select(col("id").as("vec_id"))
-        .orderBy("vec_id")
+      val singletons = nodes.join(touched, Seq("id"), "left_anti")
+        .select(col("id").as("vec_id"))
+      clustered.unionByName(singletons).orderBy("vec_id")
     },
     Some(s"""WITH RECURSIVE ${SimilarityOps.knnGraphCtes("d15_cand")},
        |good AS (

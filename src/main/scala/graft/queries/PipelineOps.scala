@@ -120,10 +120,15 @@ object PipelineOps extends QueryGroup {
       // an eval item goes; the eval holdout itself never trains
       val contam = TextOps.fuzzyContamPairs(s, dir)
         .select("doc_id").distinct()
+      // pinned: nbClassify consumes its eval side THREE times (word
+      // explode, in-vocab counts, the priors base frame) — without the
+      // pin each consumption re-executes the whole keeper-CC + fuzzy-
+      // decontamination subplan (measured 40 s vs ~16 at sf1)
       val survivors = d
         .filter(col("doc_id") % TextOps.t20Mod =!= 0)
         .join(keep, "doc_id")
         .join(contam, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       // stage 3: trained keep-rule — t21's NB fit on the full-corpus
       // %5 train split (the filter model is fit on raw data; only the
       // SCORED set shrinks with the pipeline), survivors kept when
@@ -133,9 +138,12 @@ object PipelineOps extends QueryGroup {
           TextOps.lmSaltBuckets else 0
       val m = TextOps.nbTrain(
         d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L))
+      // pinned for the same reason: mixtureSelect reads its input for
+      // the per-source stats AND the grouped rank
       val kept = TextOps.nbClassify(survivors, m, saltW)
         .filter(col("correct"))
         .select("source", "doc_id")
+        .localCheckpoint()
       // stage 4: α=0.5 temperature mixture over the kept set
       TextOps.mixtureSelect(kept).orderBy("source", "rn")
     },

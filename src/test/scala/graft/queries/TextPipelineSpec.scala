@@ -129,11 +129,14 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     "and contaminated docs excluded, keep-rule applied, quotas exact") {
     val df = run("p2_training_corpus_v2")
     val p = df.queryExecution.executedPlan.toString
+    // the final plan is the mixture stage over the PINNED kept set
+    // (survivors/kept localCheckpoint — each is consumed 2-3× by the
+    // next stage, so unpinned the keeper-CC + decontamination subplan
+    // re-executed per consumption: 40 → 19.6 s at sf1); the classifier
+    // argmax therefore lives in the pinned stage, whose
+    // WindowGroupLimit shape is gated on t21's own plan in PlanSpec
     p should not include "CartesianProduct"
     p should include("BroadcastHashJoin")
-    // the t21 argmax inside the chain ranks C rows per doc and must
-    // plan as the bounded group-limit, not a full window sort wall
-    p should include("WindowGroupLimit")
     val rows = df.cache()
     try {
       rows.count() should be > 0L

@@ -18,7 +18,11 @@ GATE = 2.0
 # signatures/candidates (BASELINE.md notes this), so its time omits the
 # sketching the Spark row includes — ratio shown, not gated
 TAP_PARTIAL = {"d4_dedup_simhash", "s2_ann_lsh", "s3_ann_ivf",
-               "d8_dedup_embedding_lsh", "d10_dedup_semantic_clusters"}
+               "d8_dedup_embedding_lsh", "d10_dedup_semantic_clusters",
+               # s10/s11's DuckDB twin re-ranks only the output-sized
+               # edge-union tap — the graph build/maintenance the Spark
+               # row includes never runs DuckDB-side
+               "s10_knn_incremental", "s11_knn_descent"}
 
 
 def main(bench_path, baseline_path="BASELINE.md"):
