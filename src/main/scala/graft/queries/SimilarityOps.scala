@@ -247,7 +247,7 @@ object SimilarityOps extends QueryGroup {
   // AnnRecallSpec at sf0.001, sf0.1 and a ScaleUp-synthesized 10×,
   // alongside the shrinking-fraction assertion.
   private[queries] val ivfCellsFloor = 16
-  private[queries] val nprobeFloor = 4
+  private[graft] val nprobeFloor = 4
   private val lloydIters = 3
 
   // Single-centroid ASSIGNMENT is a partial-agg argmax, not a
@@ -898,7 +898,7 @@ object SimilarityOps extends QueryGroup {
     * the embedding width, and qe is re-attached afterwards by one
     * LINEAR n·nprobe join instead.
     */
-  private[queries] def probeTopAgg(df: DataFrame, cents: DataFrame,
+  private[graft] def probeTopAgg(df: DataFrame, cents: DataFrame,
       keep: Int): DataFrame = {
     val top = df.repartition(col("vec_id"))
       .crossJoin(broadcast(cents))

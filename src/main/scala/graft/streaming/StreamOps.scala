@@ -505,4 +505,45 @@ object StreamOps {
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
       }
   }
+
+  // --------------------------------------------------------------- ST14
+  /** Streaming kNN-GRAPH maintenance — s10's streaming twin, the same
+    * shape as ST12 one level up: each micro-batch of embedding rows
+    * updates the PERSISTED graph ledger through the SAME
+    * `refreshKnnLedger` protocol the batch op runs — the batch's
+    * vectors get their edges vs the whole standing index, the affected
+    * standing vectors get their additions, everything lands as one
+    * marker-committed segment. Exactly-once ingest falls out of the
+    * marker protocol exactly as ST12's does (novelty against COMMITTED
+    * ids; torn segments invisible and re-derived; deterministic
+    * assignment/probing against the STORED quantizer makes replays
+    * byte-stable), and queries keep reading the merged graph
+    * (`s10Graph`) between triggers — readers only ever see committed
+    * segments.
+    *
+    * Same production-shape contract as ST12, ENFORCED: the standing
+    * corpus must bootstrap the ledger (train the quantizer, build
+    * segment 0's graph) before the stream attaches.
+    *
+    * @param docs streaming frame with `vec_id` and `embedding`
+    * @param path s10 ledger root (one per corpus, s10LedgerPath-keyed)
+    */
+  def ingestKnnGraphStream(docs: DataFrame,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] = {
+    require(
+      graft.queries.SimilarityOps
+        .s8CommittedSegs(docs.sparkSession, path).nonEmpty,
+      s"kNN-graph ledger at $path has no committed segments — " +
+        "bootstrap it from the standing corpus (refreshKnnLedger) " +
+        "before attaching the stream; a cold-started stream would " +
+        "train the quantizer on its first micro-batch")
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.SimilarityOps.refreshKnnLedger(
+          batch.sparkSession, path,
+          batch.select(col("vec_id"), col("embedding")))
+      }
+  }
 }

@@ -714,6 +714,67 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       rm(new java.io.File(path)); rm(new java.io.File(ckpt))
     }
   }
+  test("ST14 streaming kNN-graph maintenance: micro-batched ledger " +
+      "equals the one-pass graph; replays idempotent; cold start refused") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosine
+    import graft.queries.SimilarityOps
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val path = s"/tmp/graft_state/graft_st14_$suffix"
+    val ckpt = s"/tmp/graft_state/graft_st14_ckpt_$suffix"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      // cold start refused (the quantizer would train on batch 1)
+      val cold = MemoryStream[(Long, Seq[Float])](spark)
+      an[IllegalArgumentException] should be thrownBy
+        StreamOps.ingestKnnGraphStream(
+          cold.toDF.toDF("vec_id", "embedding"), path)
+      // production shape: the standing corpus bootstraps the graph
+      SimilarityOps.refreshKnnLedger(spark, path,
+        e.filter(pmod(col("vec_id"), lit(3)) === 0))
+      val rows = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val in = MemoryStream[(Long, Seq[Float])](spark)
+      val q = StreamOps.ingestKnnGraphStream(
+          in.toDF.toDF("vec_id", "embedding"), path)
+        .option("checkpointLocation", ckpt).start()
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      def partFiles() = walk(new java.io.File(path))
+        .filter(_.getName.startsWith("part-"))
+        .map(f => (f.getPath, f.lastModified, f.length)).sortBy(_._1)
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        // at-least-once delivery: replaying a batch appends nothing
+        val files = partFiles()
+        in.addData(b2: _*); q.processAllAvailable()
+        partFiles() shouldBe files
+      } finally q.stop()
+      // the streamed ledger's merged graph is row-for-row the one-pass
+      // build against the STORED quantizer (the s10 contract)
+      val cents = spark.read.parquet(s"$path/centroids")
+      val nprobe = graft.queries.LshTuning.nprobeFor(
+        cents.count().toInt, SimilarityOps.nprobeFloor)
+      val assign = SimilarityOps.assignNearest(e, cents)
+      val probes = SimilarityOps.probeTopAgg(e, cents, nprobe)
+      val scored = probes.join(assign, Seq("cid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cosine", cosine(col("qe"), col("embedding")))
+        .select("qid", "vec_id", "cosine")
+      val ref = SimilarityOps.topKAgg(scored, SimilarityOps.KG,
+        ordered = true).collect().map(_.toSeq)
+      SimilarityOps.s10Graph(spark, path, None)
+        .orderBy("qid", "rank").collect().map(_.toSeq) shouldBe ref
+    } finally {
+      rm(new java.io.File(path)); rm(new java.io.File(ckpt))
+    }
+  }
+
   test("ST13 streaming classification: micro-batched scoring equals " +
       "the batch classifier; same-id replay is idempotent") {
     import spark.implicits._
