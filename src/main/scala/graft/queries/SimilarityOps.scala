@@ -1089,8 +1089,18 @@ object SimilarityOps extends QueryGroup {
     */
   private[graft] def refreshKnnLedger(s: SparkSession, path: String,
       prior: DataFrame): Unit = {
-    cleanTorn(s, path, Seq("assign", "probes", "edges", "ids"))
     val fs = fsOf(s, path)
+    // single-writer + crashed-compaction recovery: the s8 refresh
+    // contract verbatim (see refreshIvfLedger)
+    require(!fs.exists(hPath(path + "__compact_lock")),
+      s"compaction in progress on $path (lock present) — retry the " +
+        "append after it completes; if the compactor crashed, delete " +
+        "the lock after confirming none is live")
+    if (!fs.exists(hPath(path)) &&
+        fs.exists(hPath(path + "__compact_backup")))
+      require(fs.rename(hPath(path + "__compact_backup"), hPath(path)),
+        s"could not restore $path from its compaction backup")
+    cleanTorn(s, path, Seq("assign", "probes", "edges", "ids"))
     val centDir = s"$path/centroids"
 
     // write one segment under the marker protocol: assign/probes land
@@ -1176,6 +1186,65 @@ object SimilarityOps extends QueryGroup {
     tap.foreach(t => graft.sources.VerifyTap(
       all.select(col("qid"), col("vec_id")), t, coalesce = false))
     topKAgg(all, KG, ordered = false)
+  }
+
+  /** F16's rename-aside compaction for the s10 segment chain — the
+    * compactIvfLedger discipline over the graph ledger's four dirs:
+    * assign/probes/ids concatenate into a single seg-0 (written by the
+    * same cid-partitioned layout, so pruned reads stay bit-identical);
+    * EDGES compact to the per-qid top-KG of the union — the merge
+    * itself, exact and idempotent by the heap-merge property, so the
+    * merged-graph read is row-identical before and after (spec-gated).
+    * Same single-writer lock + whole-ledger swap: at every instant a
+    * full committed ledger exists under some path, and refreshKnnLedger
+    * restores a crashed swap's `__compact_backup` before appending.
+    */
+  private[graft] def compactKnnLedger(s: SparkSession,
+      path: String): Unit = {
+    val fs = fsOf(s, path)
+    val live = hPath(path)
+    val backup = hPath(path + "__compact_backup")
+    val lock = hPath(path + "__compact_lock")
+    fs.mkdirs(lock.getParent)
+    val acquired =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    require(acquired, s"compaction lock $lock already held — " +
+      "compactKnnLedger is single-writer; if the holder crashed, " +
+      "delete the lock after confirming no compactor is live")
+    try {
+      if (!fs.exists(live) && fs.exists(backup))
+        require(fs.rename(backup, live), s"could not restore $backup")
+      require(fs.exists(live), s"no s10 ledger at $path")
+      val segs = s8CommittedSegs(s, path)
+      if (segs.size > 1) {
+        val staging = path + "__compact_staging"
+        fs.delete(hPath(staging), true)
+        s.read.parquet(s"$path/centroids")
+          .write.mode("overwrite").parquet(s"$staging/centroids")
+        // consumed once each, wholly before the swap
+        s10SegUnion(s, path, "assign", None, s10AssignCols, segs)
+          .repartition(col("cid")).write.partitionBy("cid")
+          .mode("overwrite").parquet(s"$staging/assign/seg-0")
+        s10SegUnion(s, path, "probes", None, s10ProbeCols, segs)
+          .repartition(col("cid")).write.partitionBy("cid")
+          .mode("overwrite").parquet(s"$staging/probes/seg-0")
+        s.read.parquet(s"$staging/assign/seg-0").select("vec_id")
+          .write.mode("overwrite").parquet(s"$staging/ids/seg-0")
+        // edge fold = the merge read itself (exact, idempotent)
+        s10Graph(s, path, None)
+          .select(col("qid"), col("neighbor_id").as("vec_id"),
+            col("cosine"))
+          .write.mode("overwrite").parquet(s"$staging/edges/seg-0")
+        fs.mkdirs(hPath(s"$staging/commits"))
+        fs.create(hPath(s"$staging/commits/seg-0"), true).close()
+        fs.delete(backup, true)
+        require(fs.rename(live, backup), s"could not move $path aside")
+        try require(fs.rename(hPath(staging), live), "could not promote")
+        catch { case e: Throwable => fs.rename(backup, live); throw e }
+        fs.delete(backup, true)
+      }
+    } finally fs.delete(lock, false)
   }
 
   private val s10 = QueryDef(

@@ -242,7 +242,30 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
       val got = SimilarityOps.s10Graph(spark, path, None)
         .orderBy("qid", "rank").collect().map(_.toSeq)
       got shouldBe ref
-    } finally rm(new java.io.File(path))
+
+      // compaction: one segment, the merged graph row-identical, the
+      // whole-ledger swap crash-recoverable, appends keep working
+      SimilarityOps.compactKnnLedger(spark, path)
+      SimilarityOps.s8CommittedSegs(spark, path) shouldBe Seq(0)
+      SimilarityOps.s10Graph(spark, path, None)
+        .orderBy("qid", "rank").collect().map(_.toSeq) shouldBe ref
+      new java.io.File(path + "__compact_backup").exists() shouldBe false
+      SimilarityOps.refreshKnnLedger(spark, path, e) // idempotent no-op
+      SimilarityOps.s8CommittedSegs(spark, path) shouldBe Seq(0)
+      // crash window between the two renames: live gone, backup
+      // present — a refresh arriving first restores, never forks
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path + "__compact_backup"))
+      SimilarityOps.refreshKnnLedger(spark, path, e)
+      SimilarityOps.s10Graph(spark, path, None)
+        .orderBy("qid", "rank").collect().map(_.toSeq) shouldBe ref
+    } finally {
+      rm(new java.io.File(path))
+      rm(new java.io.File(path + "__compact_backup"))
+      rm(new java.io.File(path + "__compact_staging"))
+    }
   }
 
   test("S11 NN-descent: one round strictly lifts kNN-graph recall over " +
