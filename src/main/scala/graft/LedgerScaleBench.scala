@@ -183,7 +183,11 @@ object LedgerScaleBench {
     def ledgerOf(dir: String): String = {
       val e = Tables.load(spark, dir, "embeddings")
         .select("vec_id", "embedding")
-      val path = SimilarityOps.s10LedgerPath(dir)
+      // bench-private ledger path: the offset-id batch below must
+      // NEVER land in the query's own ledger (phantom vec_ids would
+      // drop out of the oracle's embeddings join and hash-mismatch
+      // any later driver verify at this SF)
+      val path = SimilarityOps.s10LedgerPath(dir) + "_growthbench"
       rm(new java.io.File(path))
       SimilarityOps.refreshKnnLedger(spark, path, e)
       path
