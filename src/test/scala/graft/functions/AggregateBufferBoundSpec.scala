@@ -18,9 +18,11 @@ class AggregateBufferBoundSpec extends AnyFunSuite with Matchers {
 
   private def mainSources: Seq[Path] = {
     val root = Paths.get("src/main/scala")
-    Files.walk(root).iterator().asScala
+    val stream = Files.walk(root)
+    try stream.iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
       .toSeq
+    finally stream.close()
   }
 
   test("every TypedImperativeAggregate declares BoundedPerKeyBuffer") {
