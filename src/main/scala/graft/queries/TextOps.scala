@@ -1293,7 +1293,87 @@ object TextOps extends QueryGroup {
        |  (source = cls) AS correct
        |FROM ranked WHERE r = 1 ORDER BY doc_id""".stripMargin))
 
+
+  // --------------------------------------------------------------- T22
+  // TOKEN-BUDGET temperature mixture — t16's quota fill measured in
+  // TOKENS, which is what a training run actually budgets (a source's
+  // contribution to a token-count-targeted mix, not a document count):
+  // per-source budget_i = max(1, ⌊T_tok · w_i⌋) with w_i =
+  // √tok_i / Σ√tok_j (the same α = 0.5 temperature flattening as t16,
+  // over TOKEN totals), filled greedily by ascending doc_id — a doc is
+  // kept iff the budget is not yet exhausted when it starts
+  // (cum_tok − n_tok < budget), so every source contributes at least
+  // its first document and the kept set is a per-source prefix.
+  //
+  // Scale shape: token counts are one narrow projection; the
+  // per-source running token count is GlobalOrder.withGlobalCumSum
+  // over (source, doc_id) — the t9 distributed prefix sum, NOT a
+  // per-source window wall — converted to per-source sums by
+  // subtracting each source's exclusive prefix offset (a G-row
+  // broadcast, the withGroupedRank trick applied to sums). Σ√tok
+  // accumulates as DECIMAL(18,9) (the t16/t13 order-free exactness
+  // discipline), so weights, budgets, and the kept set are
+  // bit-identical cross-engine.
+  private[queries] val mixTokT = 1000L // token target (binds at driver SFs)
+
+  private val t22 = QueryDef(
+    "t22_token_budget_mixture",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("n_tok"))
+      val stats = d.groupBy("source")
+        .agg(sum(col("n_tok")).as("tok_src"))
+        .withColumn("sqrt_d",
+          sqrt(col("tok_src").cast("double")).cast(DecimalType(18, 9)))
+      val total = stats.agg(sum(col("sqrt_d")).as("total_d"))
+      val budgets = stats.crossJoin(broadcast(total))
+        .select(col("source"),
+          greatest(lit(1L),
+            floor(lit(mixTokT.toDouble) *
+              (col("sqrt_d").cast("double") /
+                col("total_d").cast("double"))).cast(LongType))
+            .as("budget"))
+      val summed = graft.operators.GlobalOrder.withGlobalCumSum(
+        d, Seq(col("source"), col("doc_id")), "n_tok", "cum")
+      // per-source exclusive prefix offset: cum − n_tok is the global
+      // sum BEFORE each row, minimized at the source's first row
+      val offs = summed.groupBy("source")
+        .agg(min(col("cum") - col("n_tok")).as("__off"))
+      summed.join(broadcast(offs), "source")
+        .withColumn("cum_tok", col("cum") - col("__off"))
+        .join(broadcast(budgets), "source")
+        .filter(col("cum_tok") - col("n_tok") < col("budget"))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          col("cum_tok"), col("budget"))
+        .orderBy("source", "doc_id")
+    },
+    Some(s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), stats AS (
+       |  SELECT source, SUM(n_tok) AS tok_src,
+       |    CAST(sqrt(CAST(SUM(n_tok) AS DOUBLE)) AS DECIMAL(18,9)) AS sqrt_d
+       |  FROM d GROUP BY source
+       |), budgets AS (
+       |  SELECT source,
+       |    GREATEST(1, CAST(FLOOR($mixTokT *
+       |      (CAST(sqrt_d AS DOUBLE) / CAST(SUM(sqrt_d) OVER () AS DOUBLE)))
+       |      AS BIGINT)) AS budget
+       |  FROM stats
+       |), c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tok
+       |  FROM d
+       |)
+       |SELECT c.source, c.doc_id, c.n_tok, c.cum_tok, b.budget
+       |FROM c JOIN budgets b USING (source)
+       |WHERE c.cum_tok - c.n_tok < b.budget
+       |ORDER BY source, doc_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21)
+      t16, t17, t18, t19, t20, t21, t22)
 }

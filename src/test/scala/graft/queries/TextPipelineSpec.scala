@@ -156,6 +156,37 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     } finally rows.unpersist()
   }
 
+  test("t22: token-budget fill is a per-source prefix, every source " +
+    "represented, greedy boundary exact; no window wall in the plan") {
+    val df = run("t22_token_budget_mixture")
+    df.queryExecution.executedPlan.toString should not include "Window"
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bySrc = rows.groupBy(_._1)
+    val allSrc = graft.sources.Tables.load(spark, TestSpark.sfDir,
+      "documents").select("source").distinct().collect()
+      .map(_.getString(0)).toSet
+    bySrc.keySet shouldBe allSrc // GREATEST(1, …): all sources present
+    bySrc.foreach { case (src, ks) =>
+      val sorted = ks.sortBy(_._2)
+      // per-source prefix: cum_tok is the exact running sum of n_tok
+      sorted.map(_._3).scanLeft(0L)(_ + _).tail shouldBe sorted.map(_._4)
+      // greedy boundary: every kept doc STARTS within budget, and the
+      // last kept doc is the first to reach/cross it (nothing after
+      // it could be kept)
+      val budget = ks.head._5
+      sorted.foreach { case (_, _, n, cum, _) =>
+        (cum - n) should be < budget }
+      if (sorted.last._4 < budget) {
+        // budget not exhausted → the source's whole corpus was kept
+        val nDocs = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "documents").filter(org.apache.spark.sql.functions
+            .col("source") === src).count()
+        sorted.length.toLong shouldBe nDocs
+      }
+    }
+  }
+
   test("t12: chunks cover every token; overlap and stride hold exactly") {
     val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
       .select("doc_id", "text").collect()
