@@ -83,18 +83,34 @@ object JaccardNearDup {
     * corpora; the test suite cycles more).
     */
   private val hotHeadCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String), Array[Long]]()
 
   private[operators] def demotedByZipfHead(setsDf: DataFrame,
       toksCol: String): org.apache.spark.sql.Column = {
     if (hotHeadCache.size > 64) hotHeadCache.clear()
-    val hot = hotHeadCache.computeIfAbsent(
-      (setsDf.semanticHash(), toksCol),
-      _ => setsDf.select(explode(col(toksCol)).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= hotDfMin)
-        .orderBy(col("df").desc, col("tok")).limit(hotMaxSet)
-        .collect().map(_.getLong(0)).sorted)
+    // key widened past the 32-bit semanticHash (plan-string hash
+    // rides along) so a cross-corpus collision is implausible, and the
+    // corpus-scale collect runs OUTSIDE the map's bin lock
+    // (get → compute → putIfAbsent, not computeIfAbsent) so concurrent
+    // pairsAuto callers hashing to the same bin never block on a Spark
+    // job (r16 advisory); a lost race recomputes the same
+    // deterministic head — idempotent, and output-identical anyway by
+    // the pairs total-order contract
+    val key = (setsDf.semanticHash(),
+      setsDf.queryExecution.logical.toString.hashCode, toksCol)
+    val hot = {
+      val cached = hotHeadCache.get(key)
+      if (cached != null) cached
+      else {
+        val built = setsDf.select(explode(col(toksCol)).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= hotDfMin)
+          .orderBy(col("df").desc, col("tok")).limit(hotMaxSet)
+          .collect().map(_.getLong(0)).sorted
+        val prior = hotHeadCache.putIfAbsent(key, built)
+        if (prior != null) prior else built
+      }
+    }
     if (hot.isEmpty) col(toksCol)
     else org.apache.spark.sql.GraftBridge.column(
       graft.functions.DemoteHotTokens(

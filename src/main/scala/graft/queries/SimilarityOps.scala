@@ -591,6 +591,44 @@ object SimilarityOps extends QueryGroup {
   private def fsOf(s: SparkSession, p: String) =
     hPath(p).getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Append lease: entry-time lock checks alone leave a race — a
+    * compactor acquiring its lock while a multi-minute append is
+    * already in flight would snapshot the committed segs, rename the
+    * live dir aside, and promote staging; the in-flight segment lands
+    * in the backup and is deleted (r16 advisory). So appends HOLD an
+    * exclusive-create `__append_lock` for their whole duration and the
+    * compactor refuses while it exists — append-vs-compaction is
+    * serialized end-to-end in both directions (and concurrent appends,
+    * which would race the segment numbering, are serialized too). A
+    * hard crash leaves a stale lease that WEDGES rather than corrupts;
+    * recovery is deleting it after confirming no appender is live —
+    * the compact-lock discipline verbatim.
+    */
+  private def withAppendLease[A](fs: org.apache.hadoop.fs.FileSystem,
+      path: String)(body: => A): A = {
+    val lease = hPath(path + "__append_lock")
+    fs.mkdirs(lease.getParent)
+    val acquired =
+      try { fs.create(lease, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    require(acquired, s"append lease $lease already held — ledger " +
+      "appends are single-writer; if the holder crashed, delete the " +
+      "lease after confirming no appender is live")
+    try body finally fs.delete(lease, false)
+  }
+
+  /** The compactor's half of the lease protocol: called AFTER the
+    * compaction lock is acquired (so no new append can start — they
+    * check the compact lock first) but BEFORE any rename, refusing
+    * while an in-flight append holds its lease.
+    */
+  private def requireNoAppendInFlight(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
+    require(!fs.exists(hPath(path + "__append_lock")),
+      s"append in flight on $path (lease present) — retry compaction " +
+        "after it completes; if the appender crashed, delete the " +
+        "lease after confirming none is live")
+
   /** Committed segment numbers, ascending — the marker files are the
     * ledger's source of truth (metadata-sized listing, d9 class).
     */
@@ -682,7 +720,7 @@ object SimilarityOps extends QueryGroup {
     * re-assigned.
     */
   private[graft] def refreshIvfLedger(s: SparkSession, path: String,
-      prior: DataFrame): Unit = {
+      prior: DataFrame): Unit = withAppendLease(fsOf(s, path), path) {
     // a compaction that crashed between its two renames leaves the
     // ledger under __compact_backup and nothing live; restore it here
     // too (not just in compactIvfLedger) — otherwise this call would
@@ -690,7 +728,10 @@ object SimilarityOps extends QueryGroup {
     val fs0 = fsOf(s, path)
     // single-writer: an append racing a live compaction's rename-aside
     // window would land its segment in the dir about to be moved aside
-    // and silently vanish from the promoted ledger
+    // and silently vanish from the promoted ledger. Lease-then-check
+    // (the lease above is acquired FIRST): the compactor's order is
+    // lock-then-check-lease, so an interleaving can make both sides
+    // back off but never lets an append segment ride into the swap.
     require(!fs0.exists(hPath(path + "__compact_lock")),
       s"compaction in progress on $path (lock present) — retry the " +
         "append after it completes; if the compactor crashed, delete " +
@@ -757,6 +798,7 @@ object SimilarityOps extends QueryGroup {
       "compactIvfLedger is single-writer; if the holder crashed, " +
       "delete the lock after confirming no compactor is live")
     try {
+      requireNoAppendInFlight(fs, path)
       if (!fs.exists(live) && fs.exists(backup))
         require(fs.rename(backup, live), s"could not restore $backup")
       require(fs.exists(live), s"no s8 ledger at $path")
@@ -1088,7 +1130,7 @@ object SimilarityOps extends QueryGroup {
     * affected standing vectors' additions (header steps 1–3).
     */
   private[graft] def refreshKnnLedger(s: SparkSession, path: String,
-      prior: DataFrame): Unit = {
+      prior: DataFrame): Unit = withAppendLease(fsOf(s, path), path) {
     val fs = fsOf(s, path)
     // single-writer + crashed-compaction recovery: the s8 refresh
     // contract verbatim (see refreshIvfLedger)
@@ -1129,7 +1171,13 @@ object SimilarityOps extends QueryGroup {
       trainCentroids(prior, cells, n)
         .write.mode("overwrite").parquet(centDir)
       val cents = s.read.parquet(centDir)
-      val nprobe = LshTuning.nprobeFor(cells, nprobeFloor)
+      // nprobe keys off the STORED centroid count, not the requested
+      // cell count: trainCentroids' Lloyd step drops empty cells, and
+      // a divergence across an nprobe rounding boundary would give
+      // seg-0's persisted probes a different budget than every later
+      // segment and the from-scratch reference — silently breaking the
+      // incremental-≡-from-scratch contract (r16 advisory)
+      val nprobe = LshTuning.nprobeFor(cents.count().toInt, nprobeFloor)
       writeSeg(0,
         assignNearest(prior, cents).select("vec_id", "cid", "embedding"),
         probeTopAgg(prior, cents, nprobe)
@@ -1213,6 +1261,7 @@ object SimilarityOps extends QueryGroup {
       "compactKnnLedger is single-writer; if the holder crashed, " +
       "delete the lock after confirming no compactor is live")
     try {
+      requireNoAppendInFlight(fs, path)
       if (!fs.exists(live) && fs.exists(backup))
         require(fs.rename(backup, live), s"could not restore $backup")
       require(fs.exists(live), s"no s10 ledger at $path")

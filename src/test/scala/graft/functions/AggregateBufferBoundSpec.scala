@@ -16,26 +16,46 @@ import org.scalatest.matchers.should.Matchers
   */
 class AggregateBufferBoundSpec extends AnyFunSuite with Matchers {
 
-  private def mainSources: Seq[Path] = {
-    val root = Paths.get("src/main/scala")
+  /** Every compiled main class under the graft package — walked from
+    * the build output so the gate sees exactly what ships, loaded
+    * WITHOUT static init. Reflection (not a source-text scan): a
+    * substring gate is file-granular (one compliant aggregate hides a
+    * second non-compliant one in the same file) and blind to
+    * inheritance through an intermediate base class (r16 advisory).
+    */
+  private def graftClasses: Seq[Class[_]] = {
+    val root = Paths.get("target/scala-2.13/classes")
+    val loader = getClass.getClassLoader
     val stream = Files.walk(root)
     try stream.iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
+      .filter(p => p.toString.endsWith(".class"))
+      .flatMap { p =>
+        val name = root.relativize(p).toString
+          .stripSuffix(".class").replace(java.io.File.separatorChar, '.')
+        try Some(Class.forName(name, false, loader))
+        catch { case _: Throwable => None }
+      }
       .toSeq
     finally stream.close()
   }
 
-  test("every TypedImperativeAggregate declares BoundedPerKeyBuffer") {
-    val offenders = mainSources.flatMap { p =>
-      val src = Files.readString(p)
-      if (src.contains("extends TypedImperativeAggregate") &&
-          !src.contains("with BoundedPerKeyBuffer"))
-        Some(p.toString)
-      else None
-    }
-    withClue("TypedImperativeAggregate without a declared per-key " +
-      "buffer bound (see BoundedPerKeyBuffer's scaladoc for why the " +
-      "1M-key ObjectHashAggregate threshold requires it): ") {
+  test("every TypedImperativeAggregate subclass mixes in " +
+      "BoundedPerKeyBuffer") {
+    val aggBase = Class.forName(
+      "org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate")
+    val bound = classOf[BoundedPerKeyBuffer]
+    val classes = graftClasses
+    // self-check: the walk actually found the known aggregates — an
+    // empty scan must fail loudly, not pass vacuously
+    classes.count(c => aggBase.isAssignableFrom(c) &&
+      !c.isInterface) should be >= 2
+    val offenders = classes.filter { c =>
+      aggBase.isAssignableFrom(c) && !c.isInterface &&
+        c != aggBase && !bound.isAssignableFrom(c)
+    }.map(_.getName)
+    withClue("TypedImperativeAggregate subclass without a declared " +
+      "per-key buffer bound (see BoundedPerKeyBuffer's scaladoc for " +
+      "why the 1M-key ObjectHashAggregate threshold requires it): ") {
       offenders shouldBe empty
     }
   }

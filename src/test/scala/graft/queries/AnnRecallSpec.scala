@@ -196,6 +196,49 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("S8 ledger append lease: an in-flight append blocks the " +
+      "compactor and concurrent appends for its WHOLE duration") {
+    import org.apache.spark.sql.functions._
+    val path = s"/tmp/graft_state/graft_s8_lease_${java.util.UUID
+      .randomUUID().toString.take(8)}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      SimilarityOps.refreshIvfLedger(spark, path,
+        e.filter(pmod(col("vec_id"), lit(4)) === 0))
+      SimilarityOps.refreshIvfLedger(spark, path, e) // 2-segment chain
+      // an appender mid-flight holds its lease: the entry-time
+      // compact-lock check alone would let a compactor that starts
+      // DURING the append snapshot the segs and swap the live dir
+      // aside, deleting the in-flight segment with the backup — the
+      // lease closes that window end-to-end (r16 advisory)
+      val lease = new java.io.File(path + "__append_lock")
+      lease.createNewFile() shouldBe true
+      an[IllegalArgumentException] should be thrownBy
+        SimilarityOps.compactIvfLedger(spark, path)
+      // a failed compaction attempt releases its own lock, never the
+      // appender's lease
+      new java.io.File(path + "__compact_lock").exists() shouldBe false
+      lease.exists() shouldBe true
+      // concurrent appends (which would race the segment numbering)
+      // are serialized by the same lease
+      an[IllegalArgumentException] should be thrownBy
+        SimilarityOps.refreshIvfLedger(spark, path, e)
+      lease.delete() shouldBe true
+      // append complete: compaction proceeds
+      SimilarityOps.compactIvfLedger(spark, path)
+      SimilarityOps.s8CommittedSegs(spark, path) shouldBe Seq(0)
+      // appends release their lease on success and on refusal
+      lease.exists() shouldBe false
+    } finally {
+      rm(new java.io.File(path))
+      rm(new java.io.File(path + "__append_lock"))
+      rm(new java.io.File(path + "__compact_lock"))
+    }
+  }
+
   test("S10 incremental kNN graph: merged ledger equals the one-pass " +
       "build against the stored quantizer; appends idempotent + batch-sized") {
     import org.apache.spark.sql.functions._
