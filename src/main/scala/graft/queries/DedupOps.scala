@@ -1057,11 +1057,17 @@ object DedupOps extends QueryGroup {
   // document excises to empty clean_text (every token sits in some
   // non-first duplicated span): positional excision is the contract
   // here; dropping whole-dup docs is d1/d7's job upstream.
-  private val spanK = 8
-  private val d11 = QueryDef(
-    "d11_span_dedup",
-    (s, dir) => {
-      val sparkDocs = docs(s, dir).select(col("doc_id"), col("text"))
+  private[queries] val spanK = 8
+
+  /** d11's span-excision body over an arbitrary (doc_id, text) frame —
+    * shared by d11 (whole corpus) and the composed pipeline p3 (the
+    * near-dup keepers). Output: (doc_id, n_spans, n_removed,
+    * clean_text), unordered; "first occurrence" is global over the
+    * INPUT frame (restricting the frame restricts the ownership
+    * universe — pipeline semantics, stage input = prior stage output).
+    */
+  private[queries] def spanExciseOver(docsIn: DataFrame): DataFrame = {
+      val sparkDocs = docsIn.select(col("doc_id"), col("text"))
       val occ = sparkDocs
         .select(col("doc_id"), posexplode(org.apache.spark.sql.GraftBridge.column(
           graft.functions.WordGramHashes(
@@ -1103,8 +1109,11 @@ object DedupOps extends QueryGroup {
             .otherwise(array_join(filter(toks,
               (_, i) => !array_contains(ps, i + 1)), " "))
             .as("clean_text"))
-        .orderBy("doc_id")
-    },
+  }
+
+  private val d11 = QueryDef(
+    "d11_span_dedup",
+    (s, dir) => spanExciseOver(docs(s, dir)).orderBy("doc_id"),
     Some(s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
        |occ AS (SELECT doc_id, i AS pos,
        |    array_to_string(words[i:i+${spanK - 1}],' ') AS g
@@ -1389,42 +1398,47 @@ object DedupOps extends QueryGroup {
   // same cosine filter, and re-derives the components via the
   // recursive min-label CTE (the d6/d10 pattern) — the graph, the
   // threshold filter, and the clustering are all cross-checked.
-  private val d15 = QueryDef(
-    "d15_semantic_keep",
-    (s, dir) => {
-      // the kNN edges are output-sized: checkpoint so CC's sym union
-      // + rounds replay the edge table, not the graph-build lineage
-      // (the d6/d7/d10 discipline)
-      // ScratchCache, NOT localCheckpoint: the pin must replay blocks
-      // (d6/d10 discipline), but localCheckpoint materializes through
-      // the toRdd path, which at sf10 measured 367 s vs 145 s for the
-      // identical plan through a normal action — the candidate join's
-      // skewed cells lose their adaptive handling there (LedgerScale-
-      // Bench d15 A/B)
-      val edges = graft.operators.ScratchCache.scratch(
-        SimilarityOps.knnGraphEdges(s, dir, Some("d15_cand"))
-          .filter(col("cosine") >= cosT)
-          .select(col("qid").as("src"), col("neighbor_id").as("dst")))
-      // CC sees only edge-TOUCHED vectors: a vector with no edge over
-      // the threshold is its own component and keeps itself by
-      // definition, so it must not ride the O(rounds) label
-      // propagation — at sf10 that cut the CC input from 200k nodes to
-      // the near-dup minority and d15 from 251 to ~s9-plus-CC seconds
-      val touched = graft.operators.ScratchCache.scratch(
-        edges.select(col("src").as("id"))
-          .unionByName(edges.select(col("dst").as("id")))
-          .distinct())
-      val nodes = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id").as("id"))
-      val clustered = graft.operators.ConnectedComponents
-        .run(touched, edges)
-        .filter(col("id") === col("component")) // keepers label themselves
-        .select(col("id").as("vec_id"))
-      val singletons = nodes.join(touched, Seq("id"), "left_anti")
-        .select(col("id").as("vec_id"))
-      clustered.unionByName(singletons).orderBy("vec_id")
-    },
-    Some(s"""WITH RECURSIVE ${SimilarityOps.knnGraphCtes("d15_cand")},
+  /** The SemDeDup keep-rule over the corpus kNN graph from `source` —
+    * d15 (rebuild) and d15l (ledger) share this body; only the graph
+    * source and tap name differ.
+    */
+  private[graft] def semanticKeepOver(s: SparkSession, dir: String,
+      source: SimilarityOps.KnnGraphSource, tap: String): DataFrame = {
+    // the kNN edges are output-sized: checkpoint so CC's sym union
+    // + rounds replay the edge table, not the graph-build lineage
+    // (the d6/d7/d10 discipline)
+    // ScratchCache, NOT localCheckpoint: the pin must replay blocks
+    // (d6/d10 discipline), but localCheckpoint materializes through
+    // the toRdd path, which at sf10 measured 367 s vs 145 s for the
+    // identical plan through a normal action — the candidate join's
+    // skewed cells lose their adaptive handling there (LedgerScale-
+    // Bench d15 A/B)
+    val edges = graft.operators.ScratchCache.scratch(
+      SimilarityOps.knnGraph(s, dir, Some(tap), source)
+        .filter(col("cosine") >= cosT)
+        .select(col("qid").as("src"), col("neighbor_id").as("dst")))
+    // CC sees only edge-TOUCHED vectors: a vector with no edge over
+    // the threshold is its own component and keeps itself by
+    // definition, so it must not ride the O(rounds) label
+    // propagation — at sf10 that cut the CC input from 200k nodes to
+    // the near-dup minority and d15 from 251 to ~s9-plus-CC seconds
+    val touched = graft.operators.ScratchCache.scratch(
+      edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id")))
+        .distinct())
+    val nodes = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"))
+    val clustered = graft.operators.ConnectedComponents
+      .run(touched, edges)
+      .filter(col("id") === col("component")) // keepers label themselves
+      .select(col("id").as("vec_id"))
+    val singletons = nodes.join(touched, Seq("id"), "left_anti")
+      .select(col("id").as("vec_id"))
+    clustered.unionByName(singletons).orderBy("vec_id")
+  }
+
+  private def semanticKeepOracle(tap: String): String =
+    s"""WITH RECURSIVE ${SimilarityOps.knnGraphCtes(tap)},
        |good AS (
        |  SELECT qid AS i, vec_id AS j FROM granked WHERE cosine >= $cosT
        |),
@@ -1437,9 +1451,30 @@ object DedupOps extends QueryGroup {
        |)
        |SELECT node AS vec_id FROM reach
        |GROUP BY node HAVING node = MIN(lab)
-       |ORDER BY vec_id""".stripMargin))
+       |ORDER BY vec_id""".stripMargin
+
+  private val d15 = QueryDef(
+    "d15_semantic_keep",
+    (s, dir) => semanticKeepOver(s, dir, SimilarityOps.RebuildGraph,
+      "d15_cand"),
+    Some(semanticKeepOracle("d15_cand")))
+
+  // The ledger-sourced twin (the d8/d8i discipline): identical
+  // keep-rule, graph READ from the maintained s10 ledger instead of
+  // rebuilt. This is the production daily shape — r16's d15 paid the
+  // s9 build TWICE (tap + pin, ~150 s of its 175 s sf10 wall); here
+  // the edge input is a partition-committed parquet read, so the wall
+  // is ~CC + read. Oracle identical: the tap carries the ledger's
+  // per-segment edge union and DuckDB re-derives graph, threshold,
+  // and components from scratch.
+  private val d15l = QueryDef(
+    "d15l_semantic_keep_ledger",
+    (s, dir) => semanticKeepOver(s, dir,
+      SimilarityOps.LedgerGraph(SimilarityOps.s10LedgerPath(dir)),
+      "d15l_cand"),
+    Some(semanticKeepOracle("d15l_cand")))
 
   override val queries: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d8i, d9, d10, d11, d12, d13, d14,
-      d15)
+      d15, d15l)
 }

@@ -987,6 +987,37 @@ object SimilarityOps extends QueryGroup {
     (s, dir) => knnGraphEdges(s, dir, Some("s9_cand")).orderBy("qid", "rank"),
     Some(knnGraphOracle))
 
+  /** Graph-source seam for every consumer of the corpus kNN graph
+    * (d15's SemDeDup keep-rule, s11's NN-descent): REBUILD pays the
+    * one-shot s9 build (n^1.5 candidate compute — fine weekly);
+    * LEDGER reads the maintained s10 segment chain instead — the
+    * production daily path, ~CC + a partition-pruned read. Both arms
+    * emit the same (qid, rank, neighbor_id, cosine) shape and both
+    * carry the two-stage oracle tap, so consumers stay oracle-checked
+    * under either source. Ledger ≡ rebuild row-for-row when the
+    * ledger was bootstrapped on the same corpus (AnnRecallSpec's
+    * merged-equals-one-pass contract + deterministic training;
+    * spec-gated in DedupConsistencySpec).
+    */
+  private[graft] sealed trait KnnGraphSource
+  private[graft] case object RebuildGraph extends KnnGraphSource
+  private[graft] case class LedgerGraph(path: String) extends KnnGraphSource
+
+  /** The corpus kNN edges from `source` (see [[KnnGraphSource]]).
+    * Ledger mode ensures the ledger exists first — an absent ledger
+    * bootstraps on the full corpus (one s9-cost build, amortized over
+    * every later daily read); an existing one ingests only novel
+    * vectors (O(batch)) — then merges the committed segments.
+    */
+  private[graft] def knnGraph(s: SparkSession, dir: String,
+      tap: Option[String], source: KnnGraphSource): DataFrame =
+    source match {
+      case RebuildGraph => knnGraphEdges(s, dir, tap)
+      case LedgerGraph(path) =>
+        refreshKnnLedger(s, path, emb(s, dir))
+        s10Graph(s, path, tap)
+    }
+
   /** The kNN-graph oracle's CTE block, shared by s9 (reported
     * directly) and d15's SemDeDup keep-rule: the tap carries candidate
     * IDS; DuckDB re-joins the embeddings table per side (the same
@@ -1394,21 +1425,42 @@ object SimilarityOps extends QueryGroup {
         col("cosine"), col("rank"))
   }
 
+  /** One NN-descent round over the corpus graph from `source`,
+    * reported in the driver shape — s11 (rebuild) and s11l (ledger)
+    * share this body; only the graph source and tap name differ.
+    */
+  private[graft] def descentOver(s: SparkSession, dir: String,
+      source: KnnGraphSource, tap: String): DataFrame = {
+    val base = knnGraph(s, dir, None, source)
+      .select(col("qid"), col("neighbor_id").as("vec_id"),
+        col("cosine"))
+    nnDescentRound(s, dir, base, Some(tap))
+      .select(col("qid"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("qid", "rank")
+  }
+
   private val s11 = QueryDef(
     "s11_knn_descent",
-    (s, dir) => {
-      val base = knnGraphEdges(s, dir, None)
-        .select(col("qid"), col("neighbor_id").as("vec_id"),
-          col("cosine"))
-      nnDescentRound(s, dir, base, Some("s11_cand"))
-        .select(col("qid"), col("rank"),
-          col("vec_id").as("neighbor_id"), col("cosine"))
-        .orderBy("qid", "rank")
-    },
+    (s, dir) => descentOver(s, dir, RebuildGraph, "s11_cand"),
     Some(s"""WITH ${knnGraphCtes("s11_cand")}
        |SELECT qid, rank, vec_id AS neighbor_id, cosine
        |FROM granked ORDER BY qid, rank""".stripMargin))
 
+  // The ledger-sourced twin (the d8/d8i discipline): identical descent
+  // round, base graph READ from the maintained s10 ledger instead of
+  // rebuilt — the production daily path (the rebuild's n^1.5 candidate
+  // compute happens at most once, at an absent-ledger bootstrap). Its
+  // own tap carries base ∪ novel ids, so DuckDB cross-checks cosines,
+  // the expansion's disjointness, and the merge exactly as for s11.
+  private val s11l = QueryDef(
+    "s11l_knn_descent_ledger",
+    (s, dir) => descentOver(s, dir, LedgerGraph(s10LedgerPath(dir)),
+      "s11l_cand"),
+    Some(s"""WITH ${knnGraphCtes("s11l_cand")}
+       |SELECT qid, rank, vec_id AS neighbor_id, cosine
+       |FROM granked ORDER BY qid, rank""".stripMargin))
+
   override val queries: Seq[QueryDef] =
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11)
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s11l)
 }

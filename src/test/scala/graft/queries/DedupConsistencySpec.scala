@@ -731,4 +731,36 @@ class DedupConsistencySpec extends AnyFunSuite with Matchers {
     got.toSeq shouldBe expect.toSeq
     got.length should be < ids.length // non-vacuous: something dropped
   }
+
+  test("d15l/s11l ledger twins ≡ rebuild row-for-row when the ledger " +
+      "is bootstrapped on the same corpus") {
+    // the twin contract the graph-source seam stands on: a ledger
+    // bootstrapped on the full corpus trains the SAME quantizer as
+    // the rebuild (deterministic training), and the merged-segment
+    // read equals the one-pass build against the stored quantizer
+    // (AnnRecallSpec's S10 contract) — so every consumer downstream
+    // of the seam must emit identical rows under either source
+    val path = s"/tmp/graft_state/graft_twin_${java.util.UUID
+      .randomUUID().toString.take(8)}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      SimilarityOps.refreshKnnLedger(spark, path, e)
+      val led = SimilarityOps.LedgerGraph(path)
+      val keepR = DedupOps.semanticKeepOver(spark, TestSpark.sfDir,
+        SimilarityOps.RebuildGraph, "d15_twin_r").collect()
+      val keepL = DedupOps.semanticKeepOver(spark, TestSpark.sfDir,
+        led, "d15_twin_l").collect()
+      keepL.toSeq shouldBe keepR.toSeq
+      keepR.length should be > 0
+      val descR = SimilarityOps.descentOver(spark, TestSpark.sfDir,
+        SimilarityOps.RebuildGraph, "s11_twin_r").collect()
+      val descL = SimilarityOps.descentOver(spark, TestSpark.sfDir,
+        led, "s11_twin_l").collect()
+      descL.toSeq shouldBe descR.toSeq
+      descR.length should be > 0
+    } finally rm(new java.io.File(path))
+  }
 }
