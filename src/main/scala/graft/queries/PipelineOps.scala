@@ -244,5 +244,214 @@ object PipelineOps extends QueryGroup {
        |WHERE r.rn <= q.quota
        |ORDER BY source, rn""".stripMargin))
 
-  override val queries: Seq[QueryDef] = Seq(p1, p2)
+  // ---------------------------------------------------------------- P3
+  // The COMPLETE modern pipeline — p2's chain with the two stages a
+  // production curation run adds between dedup and decontamination:
+  // span-grain excision and PII scrubbing. Every stage is the repo's
+  // already-verified operator body, composed as one lazy plan:
+  //
+  //   near-dup collapse (d7 keepers) → SPAN dedup (d11's excision of
+  //   every non-first duplicated 8-gram span, ownership scoped to the
+  //   keeper corpus — pipeline semantics) → PII scrub (t15's redaction
+  //   over the rebuilt text, with the deterministic planting so the
+  //   stage provably rewrites) → FUZZY decontamination (t20 over the
+  //   PROCESSED text — eval holdout split on the processed frame) →
+  //   trained NB keep-rule (t21: model fit on the RAW %5 train split —
+  //   the filter model sees raw data; only the scored set shrinks with
+  //   the pipeline) → TOKEN-budget temperature mixture (t22 over the
+  //   kept set's processed-text token counts).
+  //
+  // Pin discipline (the p2 lesson, applied up front): `processed` is
+  // output-sized and consumed five ways (decontamination shingles,
+  // survivor join, three NB-scoring consumptions via survivors, the
+  // final token count) — localCheckpoint'd so none replays the
+  // keeper-CC + excision subplan; `kept` likewise feeds the mixture's
+  // stats and rank passes. The DuckDB oracle chains the SAME stage
+  // CTEs — keeperCtes verbatim, d11's excision/rebuild block over the
+  // keeper docs (the rebuilt-text list comprehension), t15's
+  // inject/redact faces via piiInjectSql/redactSql, t20's pair CTEs
+  // over the processed shingles, t21's model/scoring block verbatim,
+  // t22's budget fill — so the end-to-end composition is hash-gated.
+  private val p3 = QueryDef(
+    "p3_training_corpus_v3",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      // stage 1: near-dup collapse — keep one doc per Jaccard cluster
+      val kdocs = d.join(DedupOps.keeperIds(s, dir), "doc_id")
+      // stage 2: span-grain dedup over the keeper corpus
+      val excised = DedupOps.spanExciseOver(kdocs)
+        .select(col("doc_id"), col("clean_text"))
+      // stage 3: PII scrub over the rebuilt text (deterministic
+      // planting first — both engines plant identical strings)
+      val scrubbed = TextOps.redactPiiProjection(
+        excised.select(col("doc_id"),
+          TextOps.piiInjectCol(col("clean_text")).as("text")))
+      val processed = scrubbed
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(d.select("doc_id", "source"), "doc_id")
+        .localCheckpoint()
+      // stage 4: fuzzy decontamination on the PROCESSED text
+      val contam = TextOps.fuzzyContamPairsOver(processed)
+        .select("doc_id").distinct()
+      val survivors = processed
+        .filter(col("doc_id") % TextOps.t20Mod =!= 0)
+        .join(contam, Seq("doc_id"), "left_anti")
+      // stage 5: trained keep-rule — NB fit on the raw %5 train split,
+      // survivors kept when the classifier agrees with their source
+      val saltW =
+        if (CorpusStats.nDocs(s, dir) >= TextOps.lmSaltMinDocs)
+          TextOps.lmSaltBuckets else 0
+      val m = TextOps.nbTrain(
+        d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L))
+      val kept = TextOps.nbClassify(survivors, m, saltW)
+        .filter(col("correct")).select("doc_id")
+        .join(processed, "doc_id")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " "))
+            .cast(org.apache.spark.sql.types.LongType).as("n_tok"))
+        .localCheckpoint()
+      // stage 6: token-budget temperature mixture over the kept set
+      TextOps.tokenBudgetSelect(kept).orderBy("source", "doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${DedupOps.keeperCtes},
+       |kw AS (
+       |  SELECT d0.doc_id, string_split(d0.text, ' ') AS words
+       |  FROM documents d0 JOIN keepers USING (doc_id)
+       |), socc AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(words[i:i+${DedupOps.spanK - 1}], ' ') AS g
+       |  FROM kw, unnest(generate_series(1,
+       |    greatest(len(words)-${DedupOps.spanK - 1}, 0))) AS t(i)
+       |), sstat AS (
+       |  SELECT g, COUNT(*) AS cnt, MIN((doc_id, pos)) AS own
+       |  FROM socc GROUP BY g
+       |), sexc AS (
+       |  SELECT o.doc_id, o.pos FROM socc o JOIN sstat st USING (g)
+       |  WHERE st.cnt >= 2 AND (o.doc_id, o.pos) <> st.own
+       |), smark AS (
+       |  SELECT DISTINCT doc_id, pos + dd AS p
+       |  FROM sexc, unnest(generate_series(0, ${DedupOps.spanK - 1})) AS t(dd)
+       |), srm AS (
+       |  SELECT doc_id, list(p) AS ps FROM smark GROUP BY doc_id
+       |), clean AS (
+       |  SELECT kw.doc_id,
+       |    coalesce(array_to_string([words[i] for i in range(1, len(words)+1)
+       |      if NOT list_contains(coalesce(srm.ps, []), i)], ' '), '') AS ctext
+       |  FROM kw LEFT JOIN srm USING (doc_id)
+       |), inj AS (
+       |  SELECT doc_id, ${TextOps.piiInjectSql("ctext")} AS text
+       |  FROM clean
+       |), scrub AS (
+       |  SELECT doc_id, ${TextOps.redactSql("text")} AS ptext FROM inj
+       |), proc AS (
+       |  SELECT sc.doc_id, d0.source, sc.ptext
+       |  FROM scrub sc JOIN documents d0 USING (doc_id)
+       |), pw AS (
+       |  SELECT doc_id, string_split(ptext, ' ') AS pws FROM proc
+       |), psh AS (
+       |  SELECT doc_id,
+       |    list_distinct([list_aggregate(pws[i:i+2], 'string_agg', ' ')
+       |                   for i in range(1, len(pws)-1)]) AS sh2
+       |  FROM pw
+       |), ptok AS (SELECT doc_id, unnest(sh2) AS t FROM psh),
+       |pcnt AS (SELECT doc_id, len(sh2) AS n FROM psh),
+       |ppairs AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS eval_id, COUNT(*) AS shared
+       |  FROM ptok a JOIN ptok b ON a.t = b.t
+       |  WHERE a.doc_id % ${TextOps.t20Mod} <> 0
+       |    AND b.doc_id % ${TextOps.t20Mod} = 0
+       |  GROUP BY 1, 2
+       |), pcontam AS (
+       |  SELECT DISTINCT ppairs.doc_id FROM ppairs
+       |  JOIN pcnt ca ON ca.doc_id = ppairs.doc_id
+       |  JOIN pcnt cb ON cb.doc_id = eval_id
+       |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE)
+       |    >= ${TextOps.t20T}
+       |), d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+       |), tw AS (
+       |  SELECT source, unnest(ws) AS w FROM d WHERE doc_id % 5 <> 0
+       |), ncnt AS (
+       |  SELECT source, w, COUNT(*) AS c FROM tw GROUP BY source, w
+       |), tokc AS (
+       |  SELECT source, COUNT(*) AS tok_c FROM tw GROUP BY source
+       |), vocab AS (
+       |  SELECT COUNT(DISTINCT w) AS V FROM tw
+       |), classes AS (
+       |  SELECT source, COUNT(*) AS n_c FROM d WHERE doc_id % 5 <> 0
+       |  GROUP BY source
+       |), total AS (
+       |  SELECT COUNT(*) AS n FROM d WHERE doc_id % 5 <> 0
+       |), priors AS (
+       |  SELECT source AS cls,
+       |    CAST(ln(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+       |      AS DECIMAL(18,9)) AS prior
+       |  FROM classes CROSS JOIN total
+       |), model AS (
+       |  SELECT source AS cls, w,
+       |    CAST(ln(CAST(c + 1 AS DOUBLE)) AS DECIMAL(18,9)) AS lpc
+       |  FROM ncnt
+       |), base AS (
+       |  SELECT source AS cls,
+       |    CAST(ln(CAST(tok_c + V AS DOUBLE)) AS DECIMAL(18,9)) AS lbase
+       |  FROM tokc CROSS JOIN vocab
+       |), surv AS (
+       |  SELECT p.doc_id, p.source, string_split(p.ptext, ' ') AS ws
+       |  FROM proc p
+       |  WHERE p.doc_id % ${TextOps.t20Mod} <> 0
+       |    AND p.doc_id NOT IN (SELECT doc_id FROM pcontam)
+       |), ew AS (
+       |  SELECT doc_id, unnest(ws) AS w FROM surv
+       |), iv AS (
+       |  SELECT ew.doc_id, ew.w FROM ew
+       |  JOIN (SELECT DISTINCT w FROM tw) vw ON vw.w = ew.w
+       |), nd AS (
+       |  SELECT doc_id, COUNT(*) AS n_w FROM iv GROUP BY doc_id
+       |), sums AS (
+       |  SELECT iv.doc_id, model.cls, SUM(model.lpc) AS slp
+       |  FROM iv JOIN model ON model.w = iv.w
+       |  GROUP BY iv.doc_id, model.cls
+       |), scored AS (
+       |  SELECT surv.doc_id, surv.source, priors.cls,
+       |    priors.prior + COALESCE(sums.slp, CAST(0 AS DECIMAL(18,9)))
+       |      - COALESCE(nd.n_w, 0) * base.lbase AS score
+       |  FROM surv CROSS JOIN priors
+       |  JOIN base ON base.cls = priors.cls
+       |  LEFT JOIN nd ON nd.doc_id = surv.doc_id
+       |  LEFT JOIN sums ON sums.doc_id = surv.doc_id
+       |    AND sums.cls = priors.cls
+       |), ranked_cls AS (
+       |  SELECT doc_id, source, cls,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, cls) AS r
+       |  FROM scored
+       |), kept AS (
+       |  SELECT source, doc_id FROM ranked_cls WHERE r = 1 AND source = cls
+       |), ktok AS (
+       |  SELECT k.source, k.doc_id,
+       |    CAST(len(string_split(p.ptext, ' ')) AS BIGINT) AS n_tok
+       |  FROM kept k JOIN proc p ON p.doc_id = k.doc_id
+       |), s22 AS (
+       |  SELECT source,
+       |    CAST(sqrt(CAST(SUM(n_tok) AS DOUBLE)) AS DECIMAL(18,9)) AS sqrt_d
+       |  FROM ktok GROUP BY source
+       |), b22 AS (
+       |  SELECT source, GREATEST(1, CAST(FLOOR(${TextOps.mixTokT} *
+       |    (CAST(sqrt_d AS DOUBLE) / CAST(SUM(sqrt_d) OVER () AS DOUBLE)))
+       |    AS BIGINT)) AS budget
+       |  FROM s22
+       |), c22 AS (
+       |  SELECT source, doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tok
+       |  FROM ktok
+       |)
+       |SELECT c22.source, c22.doc_id, c22.n_tok, c22.cum_tok, b22.budget
+       |FROM c22 JOIN b22 USING (source)
+       |WHERE c22.cum_tok - c22.n_tok < b22.budget
+       |ORDER BY source, doc_id""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(p1, p2, p3)
 }

@@ -713,24 +713,27 @@ object TextOps extends QueryGroup {
       lit(piiPhone), lit("<PHONE>")),
       lit(piiIp), lit("<IP>")).as("clean_text"))
 
-  private val t15 = QueryDef(
-    "t15_redact_pii",
-    (s, dir) => {
-      val injected = docs(s, dir).select(col("doc_id"), concat(col("text"),
-        when(pmod(col("doc_id"), lit(7)) === 0,
-          concat(lit(" reach u"), col("doc_id").cast("string"),
-            lit("@mail.example.com"))).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(11)) === 0,
-          concat(lit(" call 415-555-"),
-            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(13)) === 0,
-          concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
-            lit("."), pmod(expr("doc_id div 256"), lit(256)).cast("string"),
-            lit(".7"))).otherwise(lit(""))).as("text"))
-      redactPiiProjection(injected).orderBy("doc_id")
-    },
-    Some(s"""WITH inj AS (SELECT doc_id, text ||
+  /** Deterministic PII planting from doc_id arithmetic — shared by t15
+    * (over raw text) and the composed pipeline p3 (over the excised
+    * text), so the scrub stage provably rewrites on any corpus. The
+    * input frame must carry the `doc_id` column.
+    */
+  private[queries] def piiInjectCol(text: Column): Column = concat(text,
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(lit(" reach u"), col("doc_id").cast("string"),
+        lit("@mail.example.com"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(11)) === 0,
+      concat(lit(" call 415-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(13)) === 0,
+      concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(expr("doc_id div 256"), lit(256)).cast("string"),
+        lit(".7"))).otherwise(lit("")))
+
+  /** [[piiInjectCol]]'s DuckDB face over a text expression. */
+  private[queries] def piiInjectSql(textExpr: String): String =
+    s"""$textExpr ||
        |  CASE WHEN doc_id % 7 = 0
        |    THEN ' reach u' || doc_id || '@mail.example.com' ELSE '' END ||
        |  CASE WHEN doc_id % 11 = 0
@@ -738,15 +741,26 @@ object TextOps extends QueryGroup {
        |    ELSE '' END ||
        |  CASE WHEN doc_id % 13 = 0
        |    THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id // 256) % 256) || '.7'
-       |    ELSE '' END AS text
+       |    ELSE '' END""".stripMargin
+
+  /** [[redactPiiProjection]]'s rewrite chain, DuckDB face. */
+  private[queries] def redactSql(textExpr: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($textExpr,
+       |    '$piiEmail', '<EMAIL>', 'g'), '$piiPhone', '<PHONE>', 'g'),
+       |    '$piiIp', '<IP>', 'g')""".stripMargin
+
+  private val t15 = QueryDef(
+    "t15_redact_pii",
+    (s, dir) => redactPiiProjection(docs(s, dir)
+      .select(col("doc_id"), piiInjectCol(col("text")).as("text")))
+      .orderBy("doc_id"),
+    Some(s"""WITH inj AS (SELECT doc_id, ${piiInjectSql("text")} AS text
        |  FROM documents)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '$piiEmail')) AS BIGINT) AS n_email,
        |  CAST(len(regexp_extract_all(text, '$piiPhone')) AS BIGINT) AS n_phone,
        |  CAST(len(regexp_extract_all(text, '$piiIp')) AS BIGINT) AS n_ip,
-       |  regexp_replace(regexp_replace(regexp_replace(text,
-       |    '$piiEmail', '<EMAIL>', 'g'), '$piiPhone', '<PHONE>', 'g'),
-       |    '$piiIp', '<IP>', 'g') AS clean_text
+       |  ${redactSql("text")} AS clean_text
        |FROM inj ORDER BY doc_id""".stripMargin))
 
   // --------------------------------------------------------------- T16
@@ -1049,11 +1063,19 @@ object TextOps extends QueryGroup {
     * broadcast-index / prefix-explode / in-row-verify scale plan.
     */
   private[queries] def fuzzyContamPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame = fuzzyContamPairsOver(docs(s, dir))
+
+  /** [[fuzzyContamPairs]] over an arbitrary (doc_id, text) frame — the
+    * composed pipeline p3 decontaminates its PROCESSED text (post
+    * span-excision + scrub), not the raw corpus, so the frame is a
+    * parameter. Same holdout split, same broadcast-index /
+    * prefix-explode / in-row-verify plan.
+    */
+  private[queries] def fuzzyContamPairsOver(d0: DataFrame): DataFrame = {
       import org.apache.spark.sql.GraftBridge.{column, expression}
       val t = t20T
       val sh = graft.operators.ScratchCache.scratch(
-        docs(s, dir).select(col("doc_id"),
+        d0.select(col("doc_id"),
           column(graft.functions.WordGramHashes(
             expression(col("text")), 3, distinctSorted = true)).as("sh"))
           .withColumn("n", size(col("sh"))))
@@ -1316,11 +1338,12 @@ object TextOps extends QueryGroup {
   // bit-identical cross-engine.
   private[queries] val mixTokT = 1000L // token target (binds at driver SFs)
 
-  private val t22 = QueryDef(
-    "t22_token_budget_mixture",
-    (s, dir) => {
-      val d = docs(s, dir).select(col("source"), col("doc_id"),
-        size(words(col("text"))).cast(LongType).as("n_tok"))
+  /** t22's body over an arbitrary (source, doc_id, n_tok) frame —
+    * shared by t22 (whole corpus) and the composed pipeline p3 (the
+    * kept set's processed-text token counts). Output: the selected
+    * (source, doc_id, n_tok, cum_tok, budget) rows, unordered.
+    */
+  private[queries] def tokenBudgetSelect(d: DataFrame): DataFrame = {
       val stats = d.groupBy("source")
         .agg(sum(col("n_tok")).as("tok_src"))
         .withColumn("sqrt_d",
@@ -1345,8 +1368,14 @@ object TextOps extends QueryGroup {
         .filter(col("cum_tok") - col("n_tok") < col("budget"))
         .select(col("source"), col("doc_id"), col("n_tok"),
           col("cum_tok"), col("budget"))
-        .orderBy("source", "doc_id")
-    },
+  }
+
+  private val t22 = QueryDef(
+    "t22_token_budget_mixture",
+    (s, dir) => tokenBudgetSelect(
+      docs(s, dir).select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("n_tok")))
+      .orderBy("source", "doc_id"),
     Some(s"""WITH d AS (
        |  SELECT source, doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

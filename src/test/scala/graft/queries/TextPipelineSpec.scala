@@ -403,4 +403,32 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
       t.codePoints().count() + t.split(" ").count(_.nonEmpty)).sum
     totalTokens should be < totalSyms
   }
+
+  test("p3 seam: span excision does not erase the fuzzy-decontamination " +
+      "signal when the overlap carries no duplicated span") {
+    // On the copy-generated driver corpora, every fuzzy-contaminated
+    // pair shares long spans, so p3's excision stage removes the
+    // contamination before t20 sees it (pcontam = 0 at all driver
+    // SFs — excising the duplicated text IS a decontamination). This
+    // constructs the case the ordering must still catch: an eval item
+    // sharing MANY 3-grams with a corpus doc (Jaccard 50/86 ≈ 0.58 ≥
+    // t20T) but zero duplicated 8-gram spans (same 7-word runs,
+    // different order — no shared run exceeds spanK−1 words), so the
+    // pair must survive excision + scrub and fire the contam stage.
+    import spark.implicits._
+    val runs = (0 until 10).map(r =>
+      (0 until 7).map(i => s"w${r}_$i").mkString(" "))
+    // 118 % 59 == 0 → the eval side; neither id trips the PII planting
+    val df = Seq((1L, runs.mkString(" ")),
+      (118L, runs.reverse.mkString(" "))).toDF("doc_id", "text")
+    val clean = DedupOps.spanExciseOver(df)
+    clean.filter(col("n_removed") > 0).count() shouldBe 0L // no excision
+    val processed = TextOps.redactPiiProjection(
+      clean.select(col("doc_id"),
+        TextOps.piiInjectCol(col("clean_text")).as("text")))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val pairs = TextOps.fuzzyContamPairsOver(processed).collect()
+    pairs.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id")))
+      .toSeq should contain((1L, 118L))
+  }
 }
