@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.TextOps,
     graft.queries.DedupOps,
     graft.queries.SimilarityOps,
+    graft.queries.CurationOps,
     graft.queries.MultimodalOps,
     graft.queries.PipelineOps)
 

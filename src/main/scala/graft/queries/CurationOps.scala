@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.sources.Tables
+
+/** Cluster-balanced corpus curation — the mixture family (t8/t16/t22)
+  * keyed by SEMANTIC CLUSTER instead of by `source`. Modern curation
+  * (SemDeDup / DoReMi-adjacent) balances what the corpus is *about*,
+  * not where it came from: per-cluster quotas flatten topic skew the
+  * same way t16's temperature flattens source skew.
+  *
+  * Reference scope: the reference engine has no clustering surface at
+  * all (lib/Database/Migrator/Core.pm is a DDL migration runner); this
+  * family is part of the assignment's LLM-pipeline surface.
+  */
+object CurationOps extends QueryGroup {
+
+  // target sampled corpus size (driver SFs carry 500–5000 vectors)
+  private[queries] val clusterMixT = 100L
+
+  // ---------------------------------------------------------------- C1
+  // Cluster-balanced mixture: assign every vector to its nearest
+  // coarse-quantizer centroid (the s3/s10 quantizer — trained on a
+  // hash-sample, never a full-corpus scan), then fill per-CLUSTER
+  // quotas quota_c = max(1, ⌊T·w_c⌋), w_c = √n_c / Σ√n_c (α = 0.5
+  // temperature over cluster occupancy), deterministically by
+  // ascending vec_id through the grouped range rank.
+  //
+  // Scale shape: the centroid table is cells-bounded and BROADCAST
+  // everywhere it appears; assignment is one corpus scan + the
+  // partial-agg argmax (max_by — map-side combine ships ≤ 1 row per
+  // vector per partition, never an n×cells window); the quota table is
+  // cells-bounded and broadcast back onto the rank. The only
+  // corpus-sized shuffles are the assignment argmax and the grouped
+  // range rank over the narrow (cid, vec_id) projection — both
+  // unavoidable for the semantics, both partial-agg/range-partition
+  // friendly at 100 TB. Plan-gated in PlanSpec (broadcasts + no
+  // window wall + narrow shuffles).
+  //
+  // Oracle: the s3 pattern inverted — the CENTROIDS ride a VerifyTap
+  // (cells-bounded, the only stage DuckDB cannot re-derive is the
+  // Lloyd training), and DuckDB recomputes the ENTIRE assignment from
+  // the tapped centroid table with the s1-discipline left-to-right
+  // cosine fold (bit-exact cross-engine, so the argmax decisions are
+  // identical), then re-derives stats, quotas, ranks, and the selected
+  // set from scratch.
+  private val c1 = QueryDef(
+    "c1_cluster_mixture",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val cells = LshTuning.ivfCellsFor(n, SimilarityOps.ivfCellsFloor)
+      val cents = graft.sources.VerifyTap(
+        SimilarityOps.trainCentroids(e, cells, n), "c1_cents")
+      val assign = SimilarityOps.assignNearest(e, cents)
+        .select(col("vec_id"), col("cid"))
+      val stats = assign.groupBy("cid").agg(count(lit(1)).as("n_cid"))
+        .withColumn("sqrt_d",
+          sqrt(col("n_cid").cast("double")).cast(DecimalType(18, 9)))
+      val total = stats.agg(sum(col("sqrt_d")).as("total_d"))
+      val quotas = stats.crossJoin(broadcast(total))
+        .withColumn("weight",
+          col("sqrt_d").cast("double") / col("total_d").cast("double"))
+        .select(col("cid"), col("n_cid"), col("weight"),
+          greatest(lit(1L),
+            floor(lit(clusterMixT.toDouble) * col("weight"))
+              .cast(LongType)).as("quota"))
+      val ranked = graft.operators.GlobalOrder.withGroupedRank(
+        assign, Seq("cid"), Seq(col("vec_id")), "rn")
+      ranked.join(broadcast(quotas), "cid")
+        .filter(col("rn") <= col("quota"))
+        .select(col("cid"), col("vec_id"), col("rn"),
+          col("n_cid"), col("weight"), col("quota"))
+        .orderBy("cid", "vec_id")
+    },
+    Some(s"""WITH cents AS (
+       |  SELECT cid, cv
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/c1_cents/*.parquet')
+       |), scored AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(cv[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)
+       |    / ( sqrt(list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y))
+       |      * sqrt(list_reduce(list_prepend(0.0, [(cv[i]::DOUBLE)*(cv[i]::DOUBLE) for i in range(1, len(cv)+1)]), (x,y) -> x+y)) ) AS sim
+       |  FROM embeddings e CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                         ORDER BY sim DESC, cid) AS r
+       |    FROM scored) t WHERE r = 1
+       |), stats AS (
+       |  SELECT cid, COUNT(*) AS n_cid,
+       |    CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,9)) AS sqrt_d
+       |  FROM assign GROUP BY cid
+       |), quotas AS (
+       |  SELECT cid, CAST(n_cid AS BIGINT) AS n_cid,
+       |    CAST(sqrt_d AS DOUBLE) / CAST(SUM(sqrt_d) OVER () AS DOUBLE) AS weight,
+       |    GREATEST(1, CAST(FLOOR($clusterMixT *
+       |      (CAST(sqrt_d AS DOUBLE) / CAST(SUM(sqrt_d) OVER () AS DOUBLE)))
+       |      AS BIGINT)) AS quota
+       |  FROM stats
+       |), ranked AS (
+       |  SELECT cid, vec_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id)
+       |      AS BIGINT) AS rn
+       |  FROM assign
+       |)
+       |SELECT r.cid, r.vec_id, r.rn, q.n_cid, q.weight, q.quota
+       |FROM ranked r JOIN quotas q USING (cid)
+       |WHERE r.rn <= q.quota
+       |ORDER BY cid, vec_id""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(c1)
+}

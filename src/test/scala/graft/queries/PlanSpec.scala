@@ -229,6 +229,24 @@ class PlanSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("c1: centroid + quota tables broadcast; assignment is a " +
+      "partial-agg argmax, no per-vector window; no cartesian") {
+    // the cluster-balanced mixture's scale contract: the cells-bounded
+    // centroid and quota tables ride BroadcastExchange (never shuffle
+    // the corpus against them), the per-vector argmax plans as the
+    // max_by partial aggregate (a window here would shuffle all
+    // n×cells scored rows into per-vector reducers), and the grouped
+    // range rank keeps the no-Window discipline. The only
+    // corpus-sized exchanges are the assignment argmax and the rank
+    // over the narrow (cid, vec_id) projection.
+    val p = plan("c1_cluster_mixture")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p.linesIterator.count(_.contains("BroadcastExchange")) should be >= 2
+    p should include("max_by")
+    p.linesIterator.count(_.contains("partial_max_by")) should be >= 1
+  }
+
   test("q5/q7/q36: few-group rankings avoid the per-group window too") {
     // the same wall at relational scale: rank/top-k/lag partitioned by
     // a handful of values (5 segments, 5 priorities, ~10 sources).
