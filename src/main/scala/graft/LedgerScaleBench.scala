@@ -180,20 +180,31 @@ object LedgerScaleBench {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
     // fresh standing ledgers (bootstrap untimed — the one-time s9-cost
     // build; the number at stake is the DAILY append)
-    def ledgerOf(dir: String): String = {
+    def ledgerOf(dir: String, slim: Boolean = false): String = {
       val e = Tables.load(spark, dir, "embeddings")
         .select("vec_id", "embedding")
       // bench-private ledger path: the offset-id batch below must
       // NEVER land in the query's own ledger (phantom vec_ids would
       // drop out of the oracle's embeddings join and hash-mismatch
       // any later driver verify at this SF)
-      val path = SimilarityOps.s10LedgerPath(dir) + "_growthbench"
+      val path = SimilarityOps.s10LedgerPath(dir) + "_growthbench" +
+        (if (slim) "_slim" else "")
       rm(new java.io.File(path))
-      SimilarityOps.refreshKnnLedger(spark, path, e)
+      SimilarityOps.refreshKnnLedger(spark, path, e, slimProbes = slim)
       path
     }
     val p1x = ledgerOf(small)
     val p10x = ledgerOf(big)
+    val p1xS = ledgerOf(small, slim = true)
+    val p10xS = ledgerOf(big, slim = true)
+    def du(path: String): String = {
+      def sz(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(sz).sum
+        else f.length()
+      f"${sz(new java.io.File(path + "/probes")) / 1048576.0}%.1f MiB"
+    }
+    println(s"[ledger] probes_bytes fat_1x=${du(p1x)} slim_1x=${du(p1xS)} " +
+      s"fat_10x=${du(p10x)} slim_10x=${du(p10xS)}")
     // the fixed daily batch: novel ids against BOTH corpora
     val batch = Tables.load(spark, small, "embeddings")
       .filter(pmod(col("vec_id"), lit(8)) === 5)
@@ -221,6 +232,14 @@ object LedgerScaleBench {
     timeRead(p10x, "s10_read_warmup_10x")
     timeAppend(p10x, "s10_append_batch_vs_10x_graph")
     timeRead(p10x, "s10_read_vs_10x_graph")
+    // the slim-probes arm, same window (same batch, same corpora):
+    // what not storing qe ×nprobe costs at append time
+    timeRead(p1xS, "s10slim_read_warmup_1x")
+    timeAppend(p1xS, "s10slim_append_batch_vs_1x_graph")
+    timeRead(p1xS, "s10slim_read_vs_1x_graph")
+    timeRead(p10xS, "s10slim_read_warmup_10x")
+    timeAppend(p10xS, "s10slim_append_batch_vs_10x_graph")
+    timeRead(p10xS, "s10slim_read_vs_10x_graph")
     spark.stop()
   }
 

@@ -16,15 +16,21 @@ import graft.sources.Tables
   * linear candidates vs the base build's n^1.5, so its relative price
   * FALLS as n grows).
   *
-  * Run: `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.RecallCurve [rounds]"`
-  * Prints `[curve] round=N recall=R novel_pairs=P sec=S`; recorded in
-  * BASELINE.md §recall-curve.
+  * Run: `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.RecallCurve
+  * [rounds] [workK] [nprobeBoost]"` — workK is the descent's internal
+  * working width (Dong 2011's sample-rate knob; the final prune back
+  * to KG is reported as a last `pruned` line when workK > KG), and
+  * nprobeBoost adds cells to the seed build's probe budget. Prints
+  * `[curve] round=N recall=R ... sec=S`; recorded in BASELINE.md
+  * §recall-curve.
   */
 object RecallCurve {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.01")
     val rounds = args.headOption.map(_.toInt).getOrElse(2)
+    val workK = args.lift(1).map(_.toInt).getOrElse(SimilarityOps.KG)
+    val nprobeBoost = args.lift(2).map(_.toInt).getOrElse(0)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-recall-curve")
     spark.sparkContext.setLogLevel("WARN")
@@ -45,14 +51,23 @@ object RecallCurve {
       .select("qid", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+    // recall is always measured on the PRUNED top-KG view — a wider
+    // working graph (workK > KG) must not inflate the statistic by
+    // counting its extra edges
     def recallOf(edges: org.apache.spark.sql.DataFrame): Double = {
-      val got = edges.select("qid", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = SimilarityOps.topKAgg(
+          edges.select("qid", "vec_id", "cosine"),
+          SimilarityOps.KG, ordered = false)
+        .select(col("qid"), col("neighbor_id").as("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       got.intersect(truth).size.toDouble / truth.size
     }
 
+    println(s"[curve] arms rounds=$rounds workK=$workK " +
+      s"nprobeBoost=$nprobeBoost sf=$sfDir")
     var t0 = System.nanoTime()
-    var g = SimilarityOps.knnGraphEdges(spark, sfDir, None)
+    var g = SimilarityOps.knnGraphEdges(spark, sfDir, None,
+        nprobeBoost, workK)
       .select(col("qid"), col("neighbor_id").as("vec_id"), col("cosine"))
       .localCheckpoint()
     println(f"[curve] round=0 recall=${recallOf(g)}%.4f novel_pairs=0 " +
@@ -61,7 +76,7 @@ object RecallCurve {
     (1 to rounds).foreach { r =>
       t0 = System.nanoTime()
       val prevG = g
-      g = SimilarityOps.nnDescentRound(spark, sfDir, g)
+      g = SimilarityOps.nnDescentRound(spark, sfDir, g, workK = workK)
         .select("qid", "vec_id", "cosine").localCheckpoint()
       g.count() // forces the round before the clock stops
       val sec = (System.nanoTime() - t0) / 1e9

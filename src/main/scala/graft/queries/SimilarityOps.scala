@@ -961,11 +961,12 @@ object SimilarityOps extends QueryGroup {
     * two-stage oracle. See the S9 header for the scale analysis.
     */
   private[graft] def knnGraphEdges(s: SparkSession, dir: String,
-      tap: Option[String]): DataFrame = {
+      tap: Option[String], nprobeBoost: Int = 0, k: Int = KG)
+      : DataFrame = {
     val e = emb(s, dir)
     val n = e.count()
     val ivfCells = LshTuning.ivfCellsFor(n, ivfCellsFloor)
-    val nprobe = LshTuning.nprobeFor(ivfCells, nprobeFloor)
+    val nprobe = LshTuning.nprobeFor(ivfCells, nprobeFloor) + nprobeBoost
     val cents = trainCentroids(e, ivfCells, n)
     val assign = assignNearest(e, cents)
     val probes = probeTopAgg(e, cents, nprobe)
@@ -979,7 +980,7 @@ object SimilarityOps extends QueryGroup {
     val scored = cand
       .withColumn("cosine", cosine(col("qe"), col("embedding")))
       .select("qid", "vec_id", "cosine")
-    topKAgg(scored, KG, ordered = false)
+    topKAgg(scored, k, ordered = false)
   }
 
   private val s9 = QueryDef(
@@ -1146,6 +1147,31 @@ object SimilarityOps extends QueryGroup {
   private def s10ProbeCols = Seq(col("qid"), col("qe"),
     col("cid").cast(LongType).as("cid"))
 
+  // SLIM-probes layout (the measured storage arm): probes store
+  // (qid, cid) only — the query vector does NOT ride ×nprobe. At
+  // 100 TB the fat layout multiplies the corpus' vector bytes by the
+  // probe budget; the slim arm trades that for re-deriving qe at
+  // append time by an id-keyed join against the ledger's own assign
+  // rows (standing side: an UNPRUNED but column-pruned scan of
+  // assign — (vec_id, embedding) only; batch side: the batch's own
+  // assign seg). Layout is fixed at bootstrap via a marker file;
+  // appends and compaction follow the stored layout. Both arms'
+  // merged reads are row-identical (spec-gated twin).
+  private def s10SlimMarker(path: String) = s"$path/__slim_probes"
+  private[graft] def s10IsSlim(s: SparkSession, path: String): Boolean =
+    fsOf(s, path).exists(hPath(s10SlimMarker(path)))
+  private def s10ProbeColsOf(slim: Boolean): Seq[Column] =
+    if (slim) Seq(col("qid"), col("cid").cast(LongType).as("cid"))
+    else s10ProbeCols
+
+  /** Re-attach the probe rows' query vectors from an assign-side
+    * (vec_id, embedding) source — the slim arm's read-time join.
+    */
+  private def attachQe(probes: DataFrame, assignSrc: DataFrame)
+      : DataFrame =
+    probes.join(assignSrc.select(col("vec_id").as("qid"),
+      col("embedding").as("qe")), Seq("qid"))
+
   /** Score + per-qid top-KG of one segment's candidate additions. */
   private def s10SegEdges(cand: DataFrame): DataFrame =
     topKAgg(cand.filter(col("qid") =!= col("vec_id"))
@@ -1161,7 +1187,8 @@ object SimilarityOps extends QueryGroup {
     * affected standing vectors' additions (header steps 1–3).
     */
   private[graft] def refreshKnnLedger(s: SparkSession, path: String,
-      prior: DataFrame): Unit = withAppendLease(fsOf(s, path), path) {
+      prior: DataFrame, slimProbes: Boolean = false): Unit =
+      withAppendLease(fsOf(s, path), path) {
     val fs = fsOf(s, path)
     // single-writer + crashed-compaction recovery: the s8 refresh
     // contract verbatim (see refreshIvfLedger)
@@ -1175,6 +1202,13 @@ object SimilarityOps extends QueryGroup {
         s"could not restore $path from its compaction backup")
     cleanTorn(s, path, Seq("assign", "probes", "edges", "ids"))
     val centDir = s"$path/centroids"
+
+    // layout is fixed at bootstrap; appends follow the STORED layout
+    // (an append's slimProbes arg is ignored once the ledger exists —
+    // mixing layouts across segments would corrupt the probe reads)
+    val slim =
+      if (s8CommittedSegs(s, path).isEmpty) slimProbes
+      else s10IsSlim(s, path)
 
     // write one segment under the marker protocol: assign/probes land
     // first (each consumed ONCE — edge joins read the written segs
@@ -1190,13 +1224,15 @@ object SimilarityOps extends QueryGroup {
       s.read.parquet(s"$path/assign/seg-$k").select("vec_id")
         .write.mode("overwrite").parquet(s"$path/ids/seg-$k")
       val a = s.read.parquet(s"$path/assign/seg-$k").select(s10AssignCols: _*)
-      val p = s.read.parquet(s"$path/probes/seg-$k").select(s10ProbeCols: _*)
+      val p = s.read.parquet(s"$path/probes/seg-$k")
+        .select(s10ProbeColsOf(slim): _*)
       edgesOf(a, p).write.mode("overwrite").parquet(s"$path/edges/seg-$k")
       fs.mkdirs(hPath(s"$path/commits"))
       fs.create(hPath(s"$path/commits/seg-$k"), true).close()
     }
 
     if (s8CommittedSegs(s, path).isEmpty) {
+      if (slim) fs.create(hPath(s10SlimMarker(path)), true).close()
       val n = prior.count()
       val cells = LshTuning.ivfCellsFor(n, ivfCellsFloor)
       trainCentroids(prior, cells, n)
@@ -1212,9 +1248,12 @@ object SimilarityOps extends QueryGroup {
       writeSeg(0,
         assignNearest(prior, cents).select("vec_id", "cid", "embedding"),
         probeTopAgg(prior, cents, nprobe)
-          .select(col("qid"), col("qe"), col("cid"))) {
+          .select((if (slim) Seq(col("qid"), col("cid"))
+            else Seq(col("qid"), col("qe"), col("cid"))): _*)) {
         // segment 0's edges = the s9 graph of the bootstrap corpus
-        (a, p) => s10SegEdges(p.join(a, Seq("cid")))
+        // (slim: qe re-attaches from the segment's own assign rows)
+        (a, p) =>
+          s10SegEdges((if (slim) attachQe(p, a) else p).join(a, Seq("cid")))
       }
     } else {
       val novel = prior
@@ -1229,7 +1268,13 @@ object SimilarityOps extends QueryGroup {
         writeSeg(k,
           assignNearest(novel, cents).select("vec_id", "cid", "embedding"),
           probeTopAgg(novel, cents, nprobe)
-            .select(col("qid"), col("qe"), col("cid"))) { (bAssign, bProbes) =>
+            .select((if (slim) Seq(col("qid"), col("cid"))
+              else Seq(col("qid"), col("qe"), col("cid"))): _*)) {
+            (bAssign, bProbes0) =>
+          // slim: the batch probes' qe re-attaches from the batch's
+          // own assign seg (batch-sized id join)
+          val bProbes =
+            if (slim) attachQe(bProbes0, bAssign) else bProbes0
           // both cid lists are ≤ cells longs (the s8 probedCids class
           // of driver-sized collect — bounded by the centroid count at
           // ANY batch size)
@@ -1242,9 +1287,18 @@ object SimilarityOps extends QueryGroup {
             s10SegUnion(s, path, "assign", Some(probedCids),
               s10AssignCols, oldSegs).unionByName(bAssign), Seq("cid"))
           // (2) affected standing vectors vs the batch (pruned to the
-          //     batch's home cells)
-          val candOld = s10SegUnion(s, path, "probes", Some(batchCids),
-            s10ProbeCols, oldSegs).join(bAssign, Seq("cid"))
+          //     batch's home cells). Slim: the standing probes' qe
+          //     re-attaches from the standing assign union — UNPRUNED
+          //     by cid (a probe row's home cell isn't its probed cell)
+          //     but column-pruned to (vec_id, embedding): the measured
+          //     append-time price of not storing qe ×nprobe
+          val oldProbes0 = s10SegUnion(s, path, "probes",
+            Some(batchCids), s10ProbeColsOf(slim), oldSegs)
+          val candOld = (if (slim)
+              attachQe(oldProbes0, s10SegUnion(s, path, "assign", None,
+                Seq(col("vec_id"), col("embedding")), oldSegs))
+            else oldProbes0)
+            .select(s10ProbeCols: _*).join(bAssign, Seq("cid"))
           s10SegEdges(candNew.unionByName(candOld))
         }
       }
@@ -1306,9 +1360,14 @@ object SimilarityOps extends QueryGroup {
         s10SegUnion(s, path, "assign", None, s10AssignCols, segs)
           .repartition(col("cid")).write.partitionBy("cid")
           .mode("overwrite").parquet(s"$staging/assign/seg-0")
-        s10SegUnion(s, path, "probes", None, s10ProbeCols, segs)
+        s10SegUnion(s, path, "probes", None,
+            s10ProbeColsOf(s10IsSlim(s, path)), segs)
           .repartition(col("cid")).write.partitionBy("cid")
           .mode("overwrite").parquet(s"$staging/probes/seg-0")
+        // the layout marker must survive the swap — a compacted slim
+        // ledger whose marker vanished would read probes as fat
+        if (s10IsSlim(s, path))
+          fs.create(hPath(s"$staging/__slim_probes"), true).close()
         s.read.parquet(s"$staging/assign/seg-0").select("vec_id")
           .write.mode("overwrite").parquet(s"$staging/ids/seg-0")
         // edge fold = the merge read itself (exact, idempotent)
@@ -1381,7 +1440,8 @@ object SimilarityOps extends QueryGroup {
     * `nnDescentRound(s, dir, nnDescentRound(s, dir, base))`.
     */
   private[graft] def nnDescentRound(s: SparkSession, dir: String,
-      base0: DataFrame, tap: Option[String] = None): DataFrame = {
+      base0: DataFrame, tap: Option[String] = None,
+      workK: Int = KG): DataFrame = {
     val base = base0.select(col("qid"), col("vec_id"), col("cosine"))
       .localCheckpoint()
     // every frame below descends from `base`, so unions of a frame
@@ -1393,7 +1453,7 @@ object SimilarityOps extends QueryGroup {
       s.createDataFrame(df.rdd, df.schema)
     // (1) bounded symmetric adjacency
     val rev = fresh(topKAgg(base.select(col("vec_id").as("qid"),
-        col("qid").as("vec_id"), col("cosine")), KG, ordered = false)
+        col("qid").as("vec_id"), col("cosine")), workK, ordered = false)
       .select(col("qid"), col("neighbor_id").as("vec_id")))
     // pinned: output-sized, reused on BOTH sides of the expansion
     // self-join
@@ -1420,9 +1480,40 @@ object SimilarityOps extends QueryGroup {
     val all = base.unionByName(scored)
     tap.foreach(t => graft.sources.VerifyTap(
       all.select(col("qid"), col("vec_id")), t, coalesce = false))
-    topKAgg(all, KG, ordered = false)
+    topKAgg(all, workK, ordered = false)
       .select(col("qid"), col("neighbor_id").as("vec_id"),
         col("cosine"), col("rank"))
+  }
+
+  /** The PRODUCTION-recall kNN-graph build — the measured configuration
+    * that clears the 0.8 recall@[[KG]] floor the one-round s11 curve
+    * plateaus under (0.692 at sf0.1: the IVF seed bounds candidate
+    * diversity, not round count). Three levers, each measured
+    * head-to-head in BASELINE §recall-curve (r17):
+    *   - the seed graph keeps an internal working width K′ = 2·KG
+    *     (Dong 2011's sample-rate knob: a wider working list feeds the
+    *     expansion more distinct middle nodes — the diversity the seed
+    *     lacked);
+    *   - the seed build probes one extra cell (nprobeBoost = 1);
+    *   - `rounds` descent iterations at width K′, pruned to KG once at
+    *     the end (prune-early loses exactly the diversity the width
+    *     bought).
+    * Cost stays linear-per-round (the degree cap scales with K′:
+    * candidates ≤ 4·K′²·n); the measured curve puts the combined
+    * config at recall@5 ≥ 0.8 at sf0.1 for rounds = 2 (floored in
+    * AnnRecallSpec).
+    */
+  private[graft] def knnGraphRefined(s: SparkSession, dir: String,
+      rounds: Int = 2, workK: Int = 2 * KG, nprobeBoost: Int = 1)
+      : DataFrame = {
+    var g = knnGraphEdges(s, dir, None, nprobeBoost, workK)
+      .select(col("qid"), col("neighbor_id").as("vec_id"), col("cosine"))
+    (1 to rounds).foreach { _ =>
+      g = nnDescentRound(s, dir, g, None, workK)
+        .select("qid", "vec_id", "cosine")
+    }
+    topKAgg(g.select(col("qid"), col("vec_id"), col("cosine")),
+      KG, ordered = false)
   }
 
   /** One NN-descent round over the corpus graph from `source`,

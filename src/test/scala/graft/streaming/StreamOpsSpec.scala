@@ -775,6 +775,70 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("ST14 recovery: kill between micro-batches, resume from the " +
+      "checkpoint — recovered ledger equals the uninterrupted build") {
+    // the ST9-pattern recovery case ST14 lacked (r16 verdict #7): the
+    // driver dies AFTER batch 1 commits, batch 2 arrives while the
+    // query is down, a fresh query resumes from the SAME checkpoint.
+    // Exactly-once: the restart must replay only the unprocessed
+    // offsets; the marker protocol + novelty anti-join make a replayed
+    // offset a no-op, so the final ledger is row-for-row the one-pass
+    // reference against the stored quantizer.
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosine
+    import graft.queries.SimilarityOps
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val path = s"/tmp/graft_state/graft_st14r_$suffix"
+    val ckpt = s"/tmp/graft_state/graft_st14r_ckpt_$suffix"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      SimilarityOps.refreshKnnLedger(spark, path,
+        e.filter(pmod(col("vec_id"), lit(3)) === 0))
+      val rows = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val in = MemoryStream[(Long, Seq[Float])](spark)
+      def start() = StreamOps.ingestKnnGraphStream(
+          in.toDF.toDF("vec_id", "embedding"), path)
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try { in.addData(b1: _*); q1.processAllAvailable() }
+      finally q1.stop() // the kill
+      in.addData(b2: _*) // arrives while the query is down
+      val q2 = start() // resume from the same checkpoint
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      def partFiles() = walk(new java.io.File(path))
+        .filter(_.getName.startsWith("part-"))
+        .map(f => (f.getPath, f.lastModified, f.length)).sortBy(_._1)
+      try {
+        q2.processAllAvailable()
+        // post-recovery replay stays a no-op (at-least-once armor)
+        val files = partFiles()
+        in.addData(b2: _*); q2.processAllAvailable()
+        partFiles() shouldBe files
+      } finally q2.stop()
+      val cents = spark.read.parquet(s"$path/centroids")
+      val nprobe = graft.queries.LshTuning.nprobeFor(
+        cents.count().toInt, SimilarityOps.nprobeFloor)
+      val assign = SimilarityOps.assignNearest(e, cents)
+      val probes = SimilarityOps.probeTopAgg(e, cents, nprobe)
+      val scored = probes.join(assign, Seq("cid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cosine", cosine(col("qe"), col("embedding")))
+        .select("qid", "vec_id", "cosine")
+      val ref = SimilarityOps.topKAgg(scored, SimilarityOps.KG,
+        ordered = true).collect().map(_.toSeq)
+      SimilarityOps.s10Graph(spark, path, None)
+        .orderBy("qid", "rank").collect().map(_.toSeq) shouldBe ref
+    } finally {
+      rm(new java.io.File(path)); rm(new java.io.File(ckpt))
+    }
+  }
+
   test("ST13 streaming classification: micro-batched scoring equals " +
       "the batch classifier; same-id replay is idempotent") {
     import spark.implicits._
