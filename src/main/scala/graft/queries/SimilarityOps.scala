@@ -1124,7 +1124,7 @@ object SimilarityOps extends QueryGroup {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(f.getAbsolutePath.getBytes("UTF-8"))
       .take(16).map("%02x".format(_)).mkString
-    s"/tmp/graft_state/graft_s10_knn_${f.getName}_${digest}_p1"
+    s"/tmp/graft_state/graft_s10_knn_${f.getName}_${digest}_p2"
   }
 
   /** Union read of the committed segments' `sub` dir, each scan pruned
@@ -1147,16 +1147,22 @@ object SimilarityOps extends QueryGroup {
   private def s10ProbeCols = Seq(col("qid"), col("qe"),
     col("cid").cast(LongType).as("cid"))
 
-  // SLIM-probes layout (the measured storage arm): probes store
-  // (qid, cid) only — the query vector does NOT ride ×nprobe. At
-  // 100 TB the fat layout multiplies the corpus' vector bytes by the
-  // probe budget; the slim arm trades that for re-deriving qe at
+  // SLIM-probes layout — the SHIPPED default (r17, measured): probes
+  // store (qid, cid) only — the query vector does NOT ride ×nprobe.
+  // At 100 TB the fat layout multiplies the corpus' vector bytes by
+  // the probe budget; the slim arm trades that for re-deriving qe at
   // append time by an id-keyed join against the ledger's own assign
   // rows (standing side: an UNPRUNED but column-pruned scan of
   // assign — (vec_id, embedding) only; batch side: the batch's own
-  // assign seg). Layout is fixed at bootstrap via a marker file;
-  // appends and compaction follow the stored layout. Both arms'
-  // merged reads are row-identical (spec-gated twin).
+  // assign seg). Measured same-window (LedgerScaleBench s10, BASELINE
+  // §recall-curve): 60× less probe storage (90.2 → 1.5 MiB at the 10×
+  // corpus) for +9% append wall (8.87 → 9.66 s) and identical reads —
+  // slim ships as the default; fat stays the documented twin
+  // (slimProbes = false). Layout is fixed at bootstrap via a marker
+  // file; appends and compaction follow the stored layout. Both arms'
+  // merged reads are row-identical (spec-gated twin). The default
+  // flip bumps the ledger path suffix to _p2 (a layout change never
+  // reinterprets old state).
   private def s10SlimMarker(path: String) = s"$path/__slim_probes"
   private[graft] def s10IsSlim(s: SparkSession, path: String): Boolean =
     fsOf(s, path).exists(hPath(s10SlimMarker(path)))
@@ -1187,7 +1193,7 @@ object SimilarityOps extends QueryGroup {
     * affected standing vectors' additions (header steps 1–3).
     */
   private[graft] def refreshKnnLedger(s: SparkSession, path: String,
-      prior: DataFrame, slimProbes: Boolean = false): Unit =
+      prior: DataFrame, slimProbes: Boolean = true): Unit =
       withAppendLease(fsOf(s, path), path) {
     val fs = fsOf(s, path)
     // single-writer + crashed-compaction recovery: the s8 refresh

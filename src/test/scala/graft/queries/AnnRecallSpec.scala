@@ -623,8 +623,9 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
       val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
           "embeddings").select("vec_id", "embedding")
       val boot = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
-      SimilarityOps.refreshKnnLedger(spark, fat, boot)
-      SimilarityOps.refreshKnnLedger(spark, slim, boot, slimProbes = true)
+      SimilarityOps.refreshKnnLedger(spark, fat, boot,
+        slimProbes = false)
+      SimilarityOps.refreshKnnLedger(spark, slim, boot) // slim default
       SimilarityOps.s10IsSlim(spark, slim) shouldBe true
       SimilarityOps.s10IsSlim(spark, fat) shouldBe false
       // the slim probes really drop the riding vector
