@@ -13,7 +13,8 @@ object PlanDump {
         "q43_exact_quantiles", "s9_knn_graph",
         "t21_quality_classifier", "p2_training_corpus_v2",
         "s10_knn_incremental", "s11_knn_descent",
-        "d15_semantic_keep").foreach { n =>
+        "d15_semantic_keep", "d15l_semantic_keep_ledger",
+        "p3_training_corpus_v3", "c1_cluster_mixture").foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)

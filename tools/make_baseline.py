@@ -22,6 +22,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main(sf_dir, out_dir, md_path=None):
     con = duckdb.connect()
+    # Bounded memory so an oracle that exceeds the host (p3's chained
+    # recursive-CC x span-explode x NB closure at sf0.1 OOM-killed the
+    # process at DuckDB's default config) raises a catchable
+    # OutOfMemoryException and records a FAILED row instead of taking
+    # the whole run down. In-memory queries are unaffected (none of
+    # the other oracles approaches the limit).
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duck_tmp'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
