@@ -1402,7 +1402,114 @@ object TextOps extends QueryGroup {
        |WHERE c.cum_tok - c.n_tok < b.budget
        |ORDER BY source, doc_id""".stripMargin))
 
+  // --------------------------------------------------------------- T23
+  // EPOCH mixture with a repeat cap — the data-constrained-scaling
+  // knob (Muennighoff 2023; the LLaMA-recipe up-sampling): when the
+  // temperature-flattened token budget b_i = ⌊α·Σtok·w_i⌋ EXCEEDS a
+  // low-resource source's token count, the source REPEATS — e_i =
+  // min(maxRep, b_i div tok_i) full epochs (every doc, epochs 1..e_i)
+  // plus a partial epoch (e_i + 1) filled greedily by ascending doc_id
+  // under the remaining budget (the t22 prefix rule) — while a
+  // high-resource source subsets (e_i = 0, partial epoch only = the
+  // t22 shape). The cap bounds up-sampling: past ~4 repeats extra
+  // epochs of the same tokens stop buying loss (the data-constrained
+  // scaling result), so r_i is zeroed when the cap binds. α = 2 makes
+  // the op non-vacuous at every SF by construction (the total budget
+  // is 2× the corpus, so sources at/below the mean repeat).
+  //
+  // Scale shape: the epochs/budgets table is G-row and BROADCASTS;
+  // full epochs are one explode(sequence(1, e_i)) — output ≤ maxRep×
+  // corpus, linear; the partial epoch rides the same t9 distributed
+  // prefix sum as t22 (no per-source window). All budget arithmetic
+  // follows the t22/t16 DECIMAL(18,9) + left-assoc double discipline,
+  // integer div for epoch counts — bit-identical cross-engine.
+  private[queries] val epochAlpha = 2.0
+  private[queries] val epochMaxRep = 3L
+
+  private val t23 = QueryDef(
+    "t23_epoch_mixture",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("n_tok"))
+      val stats = d.groupBy("source")
+        .agg(sum(col("n_tok")).as("tok_src"))
+        .withColumn("sqrt_d",
+          sqrt(col("tok_src").cast("double")).cast(DecimalType(18, 9)))
+      val total = stats.agg(sum(col("sqrt_d")).as("total_d"),
+        sum(col("tok_src")).as("tot_all"))
+      val eb = stats.crossJoin(broadcast(total))
+        .withColumn("budget",
+          greatest(lit(1L), floor(lit(epochAlpha) *
+            col("tot_all").cast("double") *
+            (col("sqrt_d").cast("double") / col("total_d").cast("double")))
+            .cast(LongType)))
+        .withColumn("e_full",
+          least(lit(epochMaxRep), expr("budget div tok_src")))
+        .withColumn("rem",
+          when(col("e_full") < epochMaxRep,
+            col("budget") - col("e_full") * col("tok_src"))
+            .otherwise(lit(0L)))
+        .select("source", "tok_src", "budget", "e_full", "rem")
+      val full = d.join(broadcast(eb.filter(col("e_full") >= 1)), "source")
+        .select(col("source"), col("doc_id"),
+          explode(sequence(lit(1L), col("e_full"))).as("epoch"),
+          col("n_tok"))
+      val summed = graft.operators.GlobalOrder.withGlobalCumSum(
+        d, Seq(col("source"), col("doc_id")), "n_tok", "cum")
+      val offs = summed.groupBy("source")
+        .agg(min(col("cum") - col("n_tok")).as("__off"))
+      val partial = summed.join(broadcast(offs), "source")
+        .withColumn("cum_tok", col("cum") - col("__off"))
+        .join(broadcast(eb), "source")
+        .filter(col("cum_tok") - col("n_tok") < col("rem"))
+        .select(col("source"), col("doc_id"),
+          (col("e_full") + 1L).as("epoch"), col("n_tok"))
+      full.unionByName(partial).orderBy("source", "doc_id", "epoch")
+    },
+    Some(s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), stats AS (
+       |  SELECT source, SUM(n_tok) AS tok_src,
+       |    CAST(sqrt(CAST(SUM(n_tok) AS DOUBLE)) AS DECIMAL(18,9)) AS sqrt_d
+       |  FROM d GROUP BY source
+       |), eb AS (
+       |  SELECT source, tok_src,
+       |    GREATEST(1, CAST(FLOOR($epochAlpha *
+       |      CAST(SUM(tok_src) OVER () AS DOUBLE) *
+       |      (CAST(sqrt_d AS DOUBLE) / CAST(SUM(sqrt_d) OVER () AS DOUBLE)))
+       |      AS BIGINT)) AS budget
+       |  FROM stats
+       |), eb2 AS (
+       |  SELECT source, tok_src, budget,
+       |    CAST(LEAST($epochMaxRep, budget // tok_src) AS BIGINT) AS e_full,
+       |    CAST(CASE WHEN LEAST($epochMaxRep, budget // tok_src) < $epochMaxRep
+       |         THEN budget - LEAST($epochMaxRep, budget // tok_src) * tok_src
+       |         ELSE 0 END AS BIGINT) AS rem
+       |  FROM eb
+       |), full_ AS (
+       |  SELECT d.source, d.doc_id, CAST(g.epoch AS BIGINT) AS epoch, d.n_tok
+       |  FROM d JOIN eb2 USING (source),
+       |    unnest(generate_series(1, eb2.e_full)) AS g(epoch)
+       |  WHERE eb2.e_full >= 1
+       |), c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tok
+       |  FROM d
+       |), partial AS (
+       |  SELECT c.source, c.doc_id, eb2.e_full + 1 AS epoch, c.n_tok
+       |  FROM c JOIN eb2 USING (source)
+       |  WHERE c.cum_tok - c.n_tok < eb2.rem
+       |)
+       |SELECT source, doc_id, epoch, n_tok FROM full_
+       |UNION ALL
+       |SELECT source, doc_id, epoch, n_tok FROM partial
+       |ORDER BY source, doc_id, epoch""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22)
+      t16, t17, t18, t19, t20, t21, t22, t23)
 }

@@ -187,6 +187,43 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("t23: epoch mixture repeats low-resource sources under the cap; " +
+    "full epochs are whole-corpus copies, the partial epoch a prefix; " +
+    "no window wall") {
+    val df = run("t23_epoch_mixture")
+    df.queryExecution.executedPlan.toString should not include "Window"
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3)))
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir,
+      "documents").select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val docsBySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    rows.groupBy(_._1).foreach { case (src, ks) =>
+      val byEpoch = ks.groupBy(_._3)
+      val epochs = byEpoch.keySet.toSeq.sorted
+      // contiguous epochs from 1; cap + partial bound the count
+      epochs shouldBe (1L to epochs.max)
+      epochs.max should be <= (TextOps.epochMaxRep + 1)
+      // α = 2 non-vacuousness: with the budget at 2× the corpus, every
+      // source repeats at least once (full epoch 1 + epoch 2 exist)
+      epochs.max should be >= 2L
+      val lastFull = byEpoch.filter { case (e, v) =>
+        v.map(_._2).toSet == docsBySrc(src) }.keySet
+      // full epochs are exact whole-corpus copies, and they are the
+      // leading epochs (a partial epoch can only be the last)
+      lastFull should contain(1L)
+      val partials = epochs.filterNot(lastFull)
+      partials.length should be <= 1
+      partials.foreach { e =>
+        e shouldBe epochs.max
+        // the partial epoch is a doc_id PREFIX of the source's corpus
+        val kept = byEpoch(e).map(_._2).toSet
+        val prefix = docsBySrc(src).toSeq.sorted.take(kept.size).toSet
+        kept shouldBe prefix
+      }
+    }
+  }
+
   test("t12: chunks cover every token; overlap and stride hold exactly") {
     val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
       .select("doc_id", "text").collect()
