@@ -114,5 +114,75 @@ object CurationOps extends QueryGroup {
        |WHERE r.rn <= q.quota
        |ORDER BY cid, vec_id""".stripMargin))
 
-  override val queries: Seq[QueryDef] = Seq(c1)
+  // ---------------------------------------------------------------- C2
+  // Cluster-balanced TOKEN budget — c1's quota fill measured in TOKENS
+  // (t22's budget semantics keyed by semantic cluster): what a
+  // curation run actually allocates is a token budget per topic, not a
+  // document count. Assignment is c1's (same tapped-centroid oracle
+  // pattern, own tap); token counts ride the 1:1 doc_id = vec_id
+  // alignment of the documents/embeddings tables; the fill is the
+  // shared tokenBudgetSelect keyed by cid — budget_c = max(1,
+  // ⌊T_tok·w_c⌋), w_c = √tok_c / Σ√tok_c, greedy doc_id prefix per
+  // cluster. Same scale shape as c1 + t22: cells-bounded broadcasts,
+  // the assignment argmax, the narrow (cid, doc_id, n_tok) prefix sum.
+  private val c2 = QueryDef(
+    "c2_cluster_token_budget",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val cells = LshTuning.ivfCellsFor(n, SimilarityOps.ivfCellsFloor)
+      val cents = graft.sources.VerifyTap(
+        SimilarityOps.trainCentroids(e, cells, n), "c2_cents")
+      val assign = SimilarityOps.assignNearest(e, cents)
+        .select(col("vec_id").as("doc_id"), col("cid"))
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      TextOps.tokenBudgetSelect(assign.join(toks, "doc_id")
+          .select(col("cid"), col("doc_id"), col("n_tok")), "cid")
+        .orderBy("cid", "doc_id")
+    },
+    Some(s"""WITH cents AS (
+       |  SELECT cid, cv
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/c2_cents/*.parquet')
+       |), scored AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(cv[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)
+       |    / ( sqrt(list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y))
+       |      * sqrt(list_reduce(list_prepend(0.0, [(cv[i]::DOUBLE)*(cv[i]::DOUBLE) for i in range(1, len(cv)+1)]), (x,y) -> x+y)) ) AS sim
+       |  FROM embeddings e CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id AS doc_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                         ORDER BY sim DESC, cid) AS r
+       |    FROM scored) t WHERE r = 1
+       |), d AS (
+       |  SELECT a.cid, a.doc_id,
+       |    CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_tok
+       |  FROM assign a JOIN documents doc USING (doc_id)
+       |), stats AS (
+       |  SELECT cid, SUM(n_tok) AS tok_src,
+       |    CAST(sqrt(CAST(SUM(n_tok) AS DOUBLE)) AS DECIMAL(18,9)) AS sqrt_d
+       |  FROM d GROUP BY cid
+       |), budgets AS (
+       |  SELECT cid,
+       |    GREATEST(1, CAST(FLOOR(${TextOps.mixTokT} *
+       |      (CAST(sqrt_d AS DOUBLE) / CAST(SUM(sqrt_d) OVER () AS DOUBLE)))
+       |      AS BIGINT)) AS budget
+       |  FROM stats
+       |), c AS (
+       |  SELECT cid, doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY cid ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tok
+       |  FROM d
+       |)
+       |SELECT c.cid, c.doc_id, c.n_tok, c.cum_tok, b.budget
+       |FROM c JOIN budgets b USING (cid)
+       |WHERE c.cum_tok - c.n_tok < b.budget
+       |ORDER BY cid, doc_id""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(c1, c2)
 }

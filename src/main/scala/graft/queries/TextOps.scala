@@ -1338,35 +1338,37 @@ object TextOps extends QueryGroup {
   // bit-identical cross-engine.
   private[queries] val mixTokT = 1000L // token target (binds at driver SFs)
 
-  /** t22's body over an arbitrary (source, doc_id, n_tok) frame —
-    * shared by t22 (whole corpus) and the composed pipeline p3 (the
-    * kept set's processed-text token counts). Output: the selected
-    * (source, doc_id, n_tok, cum_tok, budget) rows, unordered.
+  /** t22's body over an arbitrary (`key`, doc_id, n_tok) frame —
+    * shared by t22 (whole corpus, key = source), the composed pipeline
+    * p3 (the kept set's processed-text token counts), and c2 (key =
+    * semantic cluster id). Output: the selected (`key`, doc_id, n_tok,
+    * cum_tok, budget) rows, unordered.
     */
-  private[queries] def tokenBudgetSelect(d: DataFrame): DataFrame = {
-      val stats = d.groupBy("source")
+  private[queries] def tokenBudgetSelect(d: DataFrame,
+      key: String = "source"): DataFrame = {
+      val stats = d.groupBy(key)
         .agg(sum(col("n_tok")).as("tok_src"))
         .withColumn("sqrt_d",
           sqrt(col("tok_src").cast("double")).cast(DecimalType(18, 9)))
       val total = stats.agg(sum(col("sqrt_d")).as("total_d"))
       val budgets = stats.crossJoin(broadcast(total))
-        .select(col("source"),
+        .select(col(key),
           greatest(lit(1L),
             floor(lit(mixTokT.toDouble) *
               (col("sqrt_d").cast("double") /
                 col("total_d").cast("double"))).cast(LongType))
             .as("budget"))
       val summed = graft.operators.GlobalOrder.withGlobalCumSum(
-        d, Seq(col("source"), col("doc_id")), "n_tok", "cum")
-      // per-source exclusive prefix offset: cum − n_tok is the global
-      // sum BEFORE each row, minimized at the source's first row
-      val offs = summed.groupBy("source")
+        d, Seq(col(key), col("doc_id")), "n_tok", "cum")
+      // per-key exclusive prefix offset: cum − n_tok is the global
+      // sum BEFORE each row, minimized at the key's first row
+      val offs = summed.groupBy(key)
         .agg(min(col("cum") - col("n_tok")).as("__off"))
-      summed.join(broadcast(offs), "source")
+      summed.join(broadcast(offs), key)
         .withColumn("cum_tok", col("cum") - col("__off"))
-        .join(broadcast(budgets), "source")
+        .join(broadcast(budgets), key)
         .filter(col("cum_tok") - col("n_tok") < col("budget"))
-        .select(col("source"), col("doc_id"), col("n_tok"),
+        .select(col(key), col("doc_id"), col("n_tok"),
           col("cum_tok"), col("budget"))
   }
 

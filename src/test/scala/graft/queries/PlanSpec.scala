@@ -239,12 +239,16 @@ class PlanSpec extends AnyFunSuite with Matchers {
     // range rank keeps the no-Window discipline. The only
     // corpus-sized exchanges are the assignment argmax and the rank
     // over the narrow (cid, vec_id) projection.
-    val p = plan("c1_cluster_mixture")
-    p should not include "Window"
-    p should not include "CartesianProduct"
-    p.linesIterator.count(_.contains("BroadcastExchange")) should be >= 2
-    p should include("max_by")
-    p.linesIterator.count(_.contains("partial_max_by")) should be >= 1
+    Seq("c1_cluster_mixture", "c2_cluster_token_budget").foreach { name =>
+      withClue(name) {
+        val p = plan(name)
+        p should not include "Window"
+        p should not include "CartesianProduct"
+        p.linesIterator.count(_.contains("BroadcastExchange")) should be >= 2
+        p should include("max_by")
+        p.linesIterator.count(_.contains("partial_max_by")) should be >= 1
+      }
+    }
   }
 
   test("q5/q7/q36: few-group rankings avoid the per-group window too") {
