@@ -14,7 +14,8 @@ object PlanDump {
         "t21_quality_classifier", "p2_training_corpus_v2",
         "s10_knn_incremental", "s11_knn_descent",
         "d15_semantic_keep", "d15l_semantic_keep_ledger",
-        "p3_training_corpus_v3", "c1_cluster_mixture").foreach { n =>
+        "p3_training_corpus_v3", "c1_cluster_mixture",
+        "t23_epoch_mixture", "c2_cluster_token_budget").foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
