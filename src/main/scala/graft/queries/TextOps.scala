@@ -1511,7 +1511,90 @@ object TextOps extends QueryGroup {
        |SELECT source, doc_id, epoch, n_tok FROM partial
        |ORDER BY source, doc_id, epoch""".stripMargin))
 
+  // --------------------------------------------------------------- T24
+  // QUALITY-greedy token-budget fill — the curriculum/selection shape
+  // of the FineWeb-Edu class of pipelines: under each source's
+  // √-temperature token budget (t22's budgets), take the BEST
+  // documents first — the fill order is (quality_score desc, doc_id),
+  // not ascending doc_id — so the selected set is each source's
+  // highest-quality prefix that fits the budget. Reuses t2's scoring
+  // columns (cross-engine-exact ratio arithmetic, so the DESC ordering
+  // agrees bit-for-bit; doc_id breaks ties) and the t22 machinery: the
+  // per-source running token count is the t9 distributed prefix sum
+  // over the (source, score desc, doc_id) range order — a source's
+  // first row in the global order is its best document, so the same
+  // min(cum − n_tok) exclusive-offset trick applies — and the G-row
+  // budget/offset tables broadcast. No per-source window (plan-gated
+  // with t22's).
+  private val t24 = QueryDef(
+    "t24_quality_budget_fill",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .select(col("source") +: col("doc_id") +: qualityColumns("text"): _*)
+        .select(col("source"), col("doc_id"), col("quality_score"),
+          col("n_words").cast(LongType).as("n_tok"))
+      val stats = d.groupBy("source")
+        .agg(sum(col("n_tok")).as("tok_src"))
+        .withColumn("sqrt_d",
+          sqrt(col("tok_src").cast("double")).cast(DecimalType(18, 9)))
+      val total = stats.agg(sum(col("sqrt_d")).as("total_d"))
+      val budgets = stats.crossJoin(broadcast(total))
+        .select(col("source"),
+          greatest(lit(1L),
+            floor(lit(mixTokT.toDouble) *
+              (col("sqrt_d").cast("double") /
+                col("total_d").cast("double"))).cast(LongType))
+            .as("budget"))
+      val summed = graft.operators.GlobalOrder.withGlobalCumSum(
+        d, Seq(col("source"), col("quality_score").desc, col("doc_id")),
+        "n_tok", "cum")
+      val offs = summed.groupBy("source")
+        .agg(min(col("cum") - col("n_tok")).as("__off"))
+      summed.join(broadcast(offs), "source")
+        .withColumn("cum_tok", col("cum") - col("__off"))
+        .join(broadcast(budgets), "source")
+        .filter(col("cum_tok") - col("n_tok") < col("budget"))
+        .select(col("source"), col("doc_id"), col("quality_score"),
+          col("n_tok"), col("cum_tok"), col("budget"))
+        .orderBy("source", "doc_id")
+    },
+    Some(s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    (CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.5
+       |      + (CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.1
+       |      AS quality_score,
+       |    CAST(n_words AS BIGINT) AS n_tok
+       |  FROM (
+       |    SELECT source, doc_id,
+       |      len(string_split(text,' ')) AS n_words,
+       |      ${oHits(Seq("the", "a", "of"))} AS n_stopwords,
+       |      length(replace(text, ' ', '')) AS n_alpha
+       |    FROM documents)
+       |), stats AS (
+       |  SELECT source, SUM(n_tok) AS tok_src,
+       |    CAST(sqrt(CAST(SUM(n_tok) AS DOUBLE)) AS DECIMAL(18,9)) AS sqrt_d
+       |  FROM d GROUP BY source
+       |), budgets AS (
+       |  SELECT source,
+       |    GREATEST(1, CAST(FLOOR($mixTokT *
+       |      (CAST(sqrt_d AS DOUBLE) / CAST(SUM(sqrt_d) OVER () AS DOUBLE)))
+       |      AS BIGINT)) AS budget
+       |  FROM stats
+       |), c AS (
+       |  SELECT source, doc_id, quality_score, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source
+       |      ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tok
+       |  FROM d
+       |)
+       |SELECT c.source, c.doc_id, c.quality_score, c.n_tok, c.cum_tok,
+       |  b.budget
+       |FROM c JOIN budgets b USING (source)
+       |WHERE c.cum_tok - c.n_tok < b.budget
+       |ORDER BY source, doc_id""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }

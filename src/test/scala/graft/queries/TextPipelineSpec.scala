@@ -224,6 +224,46 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("t24: quality-budget fill equals the single-node greedy " +
+    "reference exactly; fill order is by score, not doc_id; no window") {
+    val df = run("t24_quality_budget_fill")
+    df.queryExecution.executedPlan.toString should not include "Window"
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // single-node reference: per source, sort by (score desc, doc_id),
+    // greedily keep while the doc STARTS under the budget
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir,
+      "documents").select("source", "doc_id", "text").collect()
+      .map { r =>
+        val (src, id, text) = (r.getString(0), r.getLong(1), r.getString(2))
+        val w = text.split(" ")
+        val nStop = w.count(Set("the", "a", "of"))
+        val nAlpha = text.replace(" ", "").length
+        val score = nStop.toDouble / w.length * 0.5 +
+          nAlpha.toDouble / w.length * 0.1
+        (src, id, score, w.length.toLong)
+      }
+    val budgets = got.map(r => r._1 -> r._6).toMap
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val sorted = ds.sortBy(d => (-d._3, d._2))
+      var cum = 0L
+      sorted.flatMap { d =>
+        val keep = cum < budgets(src)
+        cum += d._4
+        if (keep) Some((src, d._2, d._3, d._4, cum, budgets(src))) else None
+      }
+    }.toSet
+    got.toSet shouldBe expect
+    // the greedy order is genuinely score-driven somewhere: at least
+    // one source's selected set is NOT an ascending-doc_id prefix
+    val idPrefix = got.groupBy(_._1).forall { case (src, ks) =>
+      val ids = ks.map(_._2).toSet
+      val all = docs.filter(_._1 == src).map(_._2).sorted
+      ids == all.take(ids.size).toSet
+    }
+    idPrefix shouldBe false
+  }
+
   test("t12: chunks cover every token; overlap and stride hold exactly") {
     val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
       .select("doc_id", "text").collect()
