@@ -1211,9 +1211,14 @@ object SimilarityOps extends QueryGroup {
 
     // layout is fixed at bootstrap; appends follow the STORED layout
     // (an append's slimProbes arg is ignored once the ledger exists —
-    // mixing layouts across segments would corrupt the probe reads)
+    // mixing layouts across segments would corrupt the probe reads).
+    // A marker left by a bootstrap that crashed before seg-0's commit
+    // is equally authoritative: the replay must keep the layout the
+    // torn attempt declared, whatever arg it now receives — otherwise
+    // the marker and the re-written probes could disagree.
     val slim =
-      if (s8CommittedSegs(s, path).isEmpty) slimProbes
+      if (s8CommittedSegs(s, path).isEmpty)
+        s10IsSlim(s, path) || slimProbes
       else s10IsSlim(s, path)
 
     // write one segment under the marker protocol: assign/probes land

@@ -647,6 +647,20 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
       spark.read.parquet(s"$slim/probes/seg-0")
         .columns shouldNot contain("qe")
       graphOf(slim) shouldBe ref
+      // torn-bootstrap replay: a marker left by a bootstrap that
+      // crashed before seg-0's commit is authoritative — a replay
+      // requesting the OTHER layout must keep the declared one, so
+      // marker and probe files can never disagree
+      val torn = s"/tmp/graft_state/graft_s10_spec_torn_$suffix"
+      try {
+        new java.io.File(torn).mkdirs()
+        new java.io.File(s"$torn/__slim_probes").createNewFile()
+        SimilarityOps.refreshKnnLedger(spark, torn, boot,
+          slimProbes = false)
+        SimilarityOps.s10IsSlim(spark, torn) shouldBe true
+        spark.read.parquet(s"$torn/probes/seg-0")
+          .columns shouldNot contain("qe")
+      } finally rm(new java.io.File(torn))
     } finally { rm(new java.io.File(fat)); rm(new java.io.File(slim)) }
   }
 }
