@@ -190,6 +190,10 @@ object LedgerScaleBench {
       val path = SimilarityOps.s10LedgerPath(dir) + "_growthbench" +
         (if (slim) "_slim" else "")
       rm(new java.io.File(path))
+      // a previously crashed bench leaves lock SIBLINGS (outside the
+      // dir rm just removed) that would wedge this fresh build
+      Seq("__append_lock", "__compact_lock", "__compact_staging",
+        "__compact_backup").foreach(s => rm(new java.io.File(path + s)))
       SimilarityOps.refreshKnnLedger(spark, path, e, slimProbes = slim)
       path
     }

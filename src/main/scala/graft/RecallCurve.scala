@@ -18,11 +18,11 @@ import graft.sources.Tables
   *
   * Run: `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.RecallCurve
   * [rounds] [workK] [nprobeBoost]"` — workK is the descent's internal
-  * working width (Dong 2011's sample-rate knob; the final prune back
-  * to KG is reported as a last `pruned` line when workK > KG), and
-  * nprobeBoost adds cells to the seed build's probe budget. Prints
-  * `[curve] round=N recall=R ... sec=S`; recorded in BASELINE.md
-  * §recall-curve.
+  * working width (Dong 2011's sample-rate knob; every per-round
+  * recall is computed on the PRUNED top-KG view, so a wider working
+  * graph never inflates the statistic), and nprobeBoost adds cells to
+  * the seed build's probe budget. Prints `[curve] round=N recall=R
+  * ... sec=S`; recorded in BASELINE.md §recall-curve.
   */
 object RecallCurve {
   def main(args: Array[String]): Unit = {

@@ -88,8 +88,12 @@ object JaccardNearDup {
   private[operators] def demotedByZipfHead(setsDf: DataFrame,
       toksCol: String): org.apache.spark.sql.Column = {
     if (hotHeadCache.size > 64) hotHeadCache.clear()
-    // key widened past the 32-bit semanticHash (plan-string hash
-    // rides along) so a cross-corpus collision is implausible, and the
+    // key widened past the 32-bit semanticHash (CANONICALIZED
+    // plan-string hash rides along — the raw plan string embeds fresh
+    // exprIds, which would give logically-equal frames built
+    // separately different keys and defeat the memo's documented
+    // cross-build purpose; canonicalization normalizes them) so a
+    // cross-corpus collision is implausible, and the
     // corpus-scale collect runs OUTSIDE the map's bin lock
     // (get → compute → putIfAbsent, not computeIfAbsent) so concurrent
     // pairsAuto callers hashing to the same bin never block on a Spark
@@ -97,7 +101,8 @@ object JaccardNearDup {
     // deterministic head — idempotent, and output-identical anyway by
     // the pairs total-order contract
     val key = (setsDf.semanticHash(),
-      setsDf.queryExecution.logical.toString.hashCode, toksCol)
+      setsDf.queryExecution.logical.canonicalized.toString.hashCode,
+      toksCol)
     val hot = {
       val cached = hotHeadCache.get(key)
       if (cached != null) cached

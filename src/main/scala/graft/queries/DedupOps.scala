@@ -1466,7 +1466,15 @@ object DedupOps extends QueryGroup {
   // the edge input is a partition-committed parquet read, so the wall
   // is ~CC + read. Oracle identical: the tap carries the ledger's
   // per-segment edge union and DuckDB re-derives graph, threshold,
-  // and components from scratch.
+  // and components from scratch. The ledger is SHARED persisted state
+  // with s10/s11l — that is the point (consumers read the index the
+  // pipeline maintains) — so the stored quantizer reflects whichever
+  // run bootstrapped it first (s10's subset-bootstrap scenario vs a
+  // full-corpus bootstrap here): rows can differ across that history,
+  // but every run stays hash-green under any order because the tap
+  // carries the ACTUAL candidates the ledger produced; exact
+  // rebuild-equality is asserted where it is defined — against a
+  // fresh same-corpus ledger (DedupConsistencySpec twin).
   private val d15l = QueryDef(
     "d15l_semantic_keep_ledger",
     (s, dir) => semanticKeepOver(s, dir,

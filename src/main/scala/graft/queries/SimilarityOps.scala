@@ -599,35 +599,104 @@ object SimilarityOps extends QueryGroup {
     * exclusive-create `__append_lock` for their whole duration and the
     * compactor refuses while it exists — append-vs-compaction is
     * serialized end-to-end in both directions (and concurrent appends,
-    * which would race the segment numbering, are serialized too). A
-    * hard crash leaves a stale lease that WEDGES rather than corrupts;
-    * recovery is deleting it after confirming no appender is live —
-    * the compact-lock discipline verbatim.
+    * which would race the segment numbering, are serialized too).
+    *
+    * Crash recovery (r17): the lease RECORDS ITS HOLDER's pid, and an
+    * acquirer finding a lease whose recorded process is no longer
+    * alive reclaims it (read → verify-still-dead → delete → retry
+    * once). Without this a hard crash mid-append would WEDGE every
+    * later append — in particular a streaming replay from the
+    * checkpoint, which must self-heal (the refresh itself is already
+    * crash-safe via the marker protocol; the lease only serializes).
+    * Creation is ATOMIC O_EXCL via nio for file-scheme paths —
+    * Hadoop's RawLocalFileSystem create(overwrite = false) is
+    * check-then-create, a TOCTOU hole — and exclusive fs.create
+    * elsewhere; on a non-local FS where pid liveness means nothing the
+    * wedge + manual-delete contract stands (documented residual: two
+    * acquirers observing the same dead-pid lease race the reclaim; the
+    * CREATE_NEW after it is still atomic, so exactly one proceeds).
     */
+  private def pidAlive(pid: Long): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"/proc/$pid"))
+
+  private def localPathOf(p: org.apache.hadoop.fs.Path)
+      : Option[java.nio.file.Path] = {
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      Some(java.nio.file.Paths.get(uri.getPath))
+    else None
+  }
+
+  /** Atomically create `lease` recording our pid; false if held. */
+  private def tryAcquireLease(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path): Boolean = {
+    val pid = ProcessHandle.current().pid().toString.getBytes("UTF-8")
+    localPathOf(lease) match {
+      case Some(lp) =>
+        try {
+          java.nio.file.Files.write(lp, pid,
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      case None =>
+        try {
+          val out = fs.create(lease, false)
+          out.write(pid); out.close(); true
+        } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** Reclaim `lease` iff its recorded holder is provably dead (local
+    * FS only). Returns true when the lease was removed.
+    */
+  private def reclaimIfDead(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path): Boolean =
+    localPathOf(lease).exists { lp =>
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(lp), "UTF-8").trim
+        val dead = txt.nonEmpty && txt.forall(_.isDigit) &&
+          !pidAlive(txt.toLong)
+        // verify-then-delete: only remove what we judged dead
+        dead && {
+          val again = new String(
+            java.nio.file.Files.readAllBytes(lp), "UTF-8").trim
+          again == txt && java.nio.file.Files.deleteIfExists(lp)
+        }
+      } catch { case _: java.io.IOException => false }
+    }
+
   private def withAppendLease[A](fs: org.apache.hadoop.fs.FileSystem,
       path: String)(body: => A): A = {
     val lease = hPath(path + "__append_lock")
     fs.mkdirs(lease.getParent)
-    val acquired =
-      try { fs.create(lease, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    require(acquired, s"append lease $lease already held — ledger " +
-      "appends are single-writer; if the holder crashed, delete the " +
-      "lease after confirming no appender is live")
+    val acquired = tryAcquireLease(fs, lease) ||
+      (reclaimIfDead(fs, lease) && tryAcquireLease(fs, lease))
+    require(acquired, s"append lease $lease already held by a live " +
+      "process — ledger appends are single-writer; if the holder " +
+      "crashed on a non-local FS, delete the lease after confirming " +
+      "no appender is live")
     try body finally fs.delete(lease, false)
   }
 
   /** The compactor's half of the lease protocol: called AFTER the
     * compaction lock is acquired (so no new append can start — they
     * check the compact lock first) but BEFORE any rename, refusing
-    * while an in-flight append holds its lease.
+    * while an in-flight append holds its lease (a dead holder's lease
+    * is reclaimed first, as in [[withAppendLease]]).
     */
   private def requireNoAppendInFlight(
-      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
-    require(!fs.exists(hPath(path + "__append_lock")),
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val lease = hPath(path + "__append_lock")
+    if (fs.exists(lease)) reclaimIfDead(fs, lease)
+    require(!fs.exists(lease),
       s"append in flight on $path (lease present) — retry compaction " +
-        "after it completes; if the appender crashed, delete the " +
-        "lease after confirming none is live")
+        "after it completes; if the appender crashed on a non-local " +
+        "FS, delete the lease after confirming none is live")
+  }
 
   /** Committed segment numbers, ascending — the marker files are the
     * ledger's source of truth (metadata-sized listing, d9 class).
@@ -966,8 +1035,16 @@ object SimilarityOps extends QueryGroup {
     val e = emb(s, dir)
     val n = e.count()
     val ivfCells = LshTuning.ivfCellsFor(n, ivfCellsFloor)
-    val nprobe = LshTuning.nprobeFor(ivfCells, nprobeFloor) + nprobeBoost
     val cents = trainCentroids(e, ivfCells, n)
+    // nprobe keys off the TRAINED centroid count, not the requested
+    // cell count: Lloyd drops empty cells, and a divergence across an
+    // nprobe rounding boundary would give the rebuild a different
+    // probe budget than the ledger (refreshKnnLedger keys off the
+    // stored count) — silently breaking the d15l/s11l ledger-≡-rebuild
+    // twin contract (r17 review; the same hazard the r16 advisory
+    // closed on the ledger's own two branches)
+    val nprobe = LshTuning.nprobeFor(cents.count().toInt, nprobeFloor) +
+      nprobeBoost
     val assign = assignNearest(e, cents)
     val probes = probeTopAgg(e, cents, nprobe)
     val cand = assign.join(probes, Seq("cid"))

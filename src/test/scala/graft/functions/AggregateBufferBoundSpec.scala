@@ -24,7 +24,12 @@ class AggregateBufferBoundSpec extends AnyFunSuite with Matchers {
     * inheritance through an intermediate base class (r16 advisory).
     */
   private def graftClasses: Seq[Class[_]] = {
-    val root = Paths.get("target/scala-2.13/classes")
+    // derive the output dir from the LOADED trait's code source — a
+    // hardcoded target/scala-N.NN/classes would either miss the build
+    // after a Scala bump (throwing) or, worse, scan a stale sibling
+    // output and pass the gate against classes that no longer ship
+    val root = Paths.get(classOf[BoundedPerKeyBuffer]
+      .getProtectionDomain.getCodeSource.getLocation.toURI)
     val loader = getClass.getClassLoader
     val stream = Files.walk(root)
     try stream.iterator().asScala

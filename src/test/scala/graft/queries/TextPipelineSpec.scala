@@ -198,20 +198,24 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
       "documents").select("source", "doc_id").collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val docsBySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // α = 2 non-vacuousness: the budget guarantee covers sources
+    // AT/BELOW the √-weighted mean, not every source (a heavily
+    // skewed corpus leaves its largest source budget < tok_src) —
+    // so the repeat assertion quantifies existentially
+    rows.groupBy(_._1).values.map(_.map(_._3).max).max should be >= 2L
     rows.groupBy(_._1).foreach { case (src, ks) =>
       val byEpoch = ks.groupBy(_._3)
       val epochs = byEpoch.keySet.toSeq.sorted
       // contiguous epochs from 1; cap + partial bound the count
       epochs shouldBe (1L to epochs.max)
       epochs.max should be <= (TextOps.epochMaxRep + 1)
-      // α = 2 non-vacuousness: with the budget at 2× the corpus, every
-      // source repeats at least once (full epoch 1 + epoch 2 exist)
-      epochs.max should be >= 2L
       val lastFull = byEpoch.filter { case (e, v) =>
         v.map(_._2).toSet == docsBySrc(src) }.keySet
-      // full epochs are exact whole-corpus copies, and they are the
-      // leading epochs (a partial epoch can only be the last)
-      lastFull should contain(1L)
+      // full epochs are exact whole-corpus copies and are the LEADING
+      // epochs (a partial epoch can only be the last); a pure-subset
+      // source (e_full = 0, budget < tok_src) has none
+      if (lastFull.nonEmpty)
+        lastFull.toSeq.sorted shouldBe (1L to lastFull.max)
       val partials = epochs.filterNot(lastFull)
       partials.length should be <= 1
       partials.foreach { e =>
