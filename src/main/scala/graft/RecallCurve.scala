@@ -63,11 +63,23 @@ object RecallCurve {
       got.intersect(truth).size.toDouble / truth.size
     }
 
+    // seed arm: "rebuild" (default) = the s9-style IVF build at
+    // workK/nprobeBoost; "ledger" = the maintained s10 graph read from
+    // its standing ledger (bootstrapped full-corpus if absent) — the
+    // F18 production-wiring measurement: what the descent rounds buy
+    // when the seed is the KG-wide graph the pipeline already owns.
+    val mode = args.lift(3).getOrElse("rebuild")
     println(s"[curve] arms rounds=$rounds workK=$workK " +
-      s"nprobeBoost=$nprobeBoost sf=$sfDir")
+      s"nprobeBoost=$nprobeBoost mode=$mode sf=$sfDir")
     var t0 = System.nanoTime()
-    var g = SimilarityOps.knnGraphEdges(spark, sfDir, None,
+    var g = (mode match {
+      case "ledger" =>
+        val path = SimilarityOps.s10LedgerPath(sfDir)
+        SimilarityOps.refreshKnnLedger(spark, path, e)
+        SimilarityOps.s10Graph(spark, path, None)
+      case _ => SimilarityOps.knnGraphEdges(spark, sfDir, None,
         nprobeBoost, workK)
+    })
       .select(col("qid"), col("neighbor_id").as("vec_id"), col("cosine"))
       .localCheckpoint()
     println(f"[curve] round=0 recall=${recallOf(g)}%.4f novel_pairs=0 " +

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -11,6 +11,18 @@ import graft.sources.Tables
   * (SemDeDup / DoReMi-adjacent) balances what the corpus is *about*,
   * not where it came from: per-cluster quotas flatten topic skew the
   * same way t16's temperature flattens source skew.
+  *
+  * Each mixture ships as a TWIN PAIR (the d15/d15l discipline): the
+  * self-contained arm TRAINS the coarse quantizer per run (its tapped
+  * centroids give the strongest oracle — DuckDB re-derives the entire
+  * assignment bit-exactly), while the `*l` ledger arm reads the STORED
+  * s8 quantizer through [[SimilarityOps.quantizerCentroids]] — the
+  * production daily shape: a curation run balances by the clusters the
+  * pipeline MAINTAINS, and pays no per-run Lloyd constant (r17
+  * verdict: that constant was c1/c2's whole gap vs their DuckDB rows).
+  * Twin ≡ retrain on a fresh same-corpus-bootstrapped ledger is
+  * spec-gated (deterministic training + fixed-centroid assignment —
+  * the s8 contract); both arms are driver-oracled from their own taps.
   *
   * Reference scope: the reference engine has no clustering surface at
   * all (lib/Database/Migrator/Core.pm is a DDL migration runner); this
@@ -23,22 +35,23 @@ object CurationOps extends QueryGroup {
 
   // ---------------------------------------------------------------- C1
   // Cluster-balanced mixture: assign every vector to its nearest
-  // coarse-quantizer centroid (the s3/s10 quantizer — trained on a
-  // hash-sample, never a full-corpus scan), then fill per-CLUSTER
-  // quotas quota_c = max(1, ⌊T·w_c⌋), w_c = √n_c / Σ√n_c (α = 0.5
+  // coarse-quantizer centroid, then fill per-CLUSTER quotas
+  // quota_c = max(1, ⌊T·w_c⌋), w_c = √n_c / Σ√n_c (α = 0.5
   // temperature over cluster occupancy), deterministically by
   // ascending vec_id through the grouped range rank.
   //
   // Scale shape: the centroid table is cells-bounded and BROADCAST
-  // everywhere it appears; assignment is one corpus scan + the
-  // partial-agg argmax (max_by — map-side combine ships ≤ 1 row per
-  // vector per partition, never an n×cells window); the quota table is
-  // cells-bounded and broadcast back onto the rank. The only
-  // corpus-sized shuffles are the assignment argmax and the grouped
-  // range rank over the narrow (cid, vec_id) projection — both
-  // unavoidable for the semantics, both partial-agg/range-partition
-  // friendly at 100 TB. Plan-gated in PlanSpec (broadcasts + no
-  // window wall + narrow shuffles).
+  // everywhere it appears; assignment is one corpus scan + the native
+  // fixed-width ArgMaxId partial-agg argmax (HashAggregateExec —
+  // map-side combine ships ≤ 1 slim (vec_id, cid) row per vector per
+  // partition, never an n×cells window, and r18's fixed-width buffer
+  // keeps it off the SortAggregate path that sorted the whole scored
+  // cross join); the quota table is cells-bounded and broadcast back
+  // onto the rank. The only corpus-sized shuffles are the assignment
+  // argmax and the grouped range rank over the narrow (cid, vec_id)
+  // projection — both unavoidable for the semantics, both
+  // partial-agg/range-partition friendly at 100 TB. Plan-gated in
+  // PlanSpec (broadcasts + no window wall + hash-agg argmax).
   //
   // Oracle: the s3 pattern inverted — the CENTROIDS ride a VerifyTap
   // (cells-bounded, the only stage DuckDB cannot re-derive is the
@@ -47,39 +60,53 @@ object CurationOps extends QueryGroup {
   // cosine fold (bit-exact cross-engine, so the argmax decisions are
   // identical), then re-derives stats, quotas, ranks, and the selected
   // set from scratch.
-  private val c1 = QueryDef(
-    "c1_cluster_mixture",
-    (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val n = e.count()
-      val cells = LshTuning.ivfCellsFor(n, SimilarityOps.ivfCellsFloor)
-      val cents = graft.sources.VerifyTap(
-        SimilarityOps.trainCentroids(e, cells, n), "c1_cents")
-      val assign = SimilarityOps.assignNearest(e, cents)
-        .select(col("vec_id"), col("cid"))
-      val stats = assign.groupBy("cid").agg(count(lit(1)).as("n_cid"))
-        .withColumn("sqrt_d",
-          sqrt(col("n_cid").cast("double")).cast(DecimalType(18, 9)))
-      val total = stats.agg(sum(col("sqrt_d")).as("total_d"))
-      val quotas = stats.crossJoin(broadcast(total))
-        .withColumn("weight",
-          col("sqrt_d").cast("double") / col("total_d").cast("double"))
-        .select(col("cid"), col("n_cid"), col("weight"),
-          greatest(lit(1L),
-            floor(lit(clusterMixT.toDouble) * col("weight"))
-              .cast(LongType)).as("quota"))
-      val ranked = graft.operators.GlobalOrder.withGroupedRank(
-        assign, Seq("cid"), Seq(col("vec_id")), "rn")
-      ranked.join(broadcast(quotas), "cid")
-        .filter(col("rn") <= col("quota"))
-        .select(col("cid"), col("vec_id"), col("rn"),
-          col("n_cid"), col("weight"), col("quota"))
-        .orderBy("cid", "vec_id")
-    },
-    Some(s"""WITH cents AS (
+  /** The c1 mixture above a (tapped) centroid table — c1 (retrain) and
+    * c1l (stored quantizer) share this body.
+    */
+  private def clusterMixture(s: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val assign = SimilarityOps.assignCids(e, cents)
+    val stats = assign.groupBy("cid").agg(count(lit(1)).as("n_cid"))
+      .withColumn("sqrt_d",
+        sqrt(col("n_cid").cast("double")).cast(DecimalType(18, 9)))
+    val total = stats.agg(sum(col("sqrt_d")).as("total_d"))
+    val quotas = stats.crossJoin(broadcast(total))
+      .withColumn("weight",
+        col("sqrt_d").cast("double") / col("total_d").cast("double"))
+      .select(col("cid"), col("n_cid"), col("weight"),
+        greatest(lit(1L),
+          floor(lit(clusterMixT.toDouble) * col("weight"))
+            .cast(LongType)).as("quota"))
+    val ranked = graft.operators.GlobalOrder.withGroupedRank(
+      assign, Seq("cid"), Seq(col("vec_id")), "rn")
+    ranked.join(broadcast(quotas), "cid")
+      .filter(col("rn") <= col("quota"))
+      .select(col("cid"), col("vec_id"), col("rn"),
+        col("n_cid"), col("weight"), col("quota"))
+      .orderBy("cid", "vec_id")
+  }
+
+  /** Tapped per-run-trained centroids (c1/c2's arm). */
+  private def trainedCents(s: SparkSession, dir: String,
+      tap: String): DataFrame =
+    graft.sources.VerifyTap(
+      SimilarityOps.quantizerCentroids(s, dir,
+        SimilarityOps.TrainQuantizer), tap)
+
+  /** Tapped stored-s8-quantizer centroids (c1l/c2l's arm). */
+  private def storedCents(s: SparkSession, dir: String,
+      tap: String): DataFrame =
+    graft.sources.VerifyTap(
+      SimilarityOps.quantizerCentroids(s, dir,
+        SimilarityOps.StoredQuantizer(SimilarityOps.s8LedgerPath(dir))),
+      tap)
+
+  private def centsCte(tap: String): String =
+    s"""cents AS (
        |  SELECT cid, cv
-       |  FROM read_parquet('${graft.sources.VerifyTap.root}/c1_cents/*.parquet')
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/$tap/*.parquet')
        |), scored AS (
        |  SELECT e.vec_id, c.cid,
        |    list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(cv[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)
@@ -92,7 +119,10 @@ object CurationOps extends QueryGroup {
        |      ROW_NUMBER() OVER (PARTITION BY vec_id
        |                         ORDER BY sim DESC, cid) AS r
        |    FROM scored) t WHERE r = 1
-       |), stats AS (
+       |)""".stripMargin
+
+  private def c1Oracle(tap: String): String =
+    s"""WITH ${centsCte(tap)}, stats AS (
        |  SELECT cid, COUNT(*) AS n_cid,
        |    CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,9)) AS sqrt_d
        |  FROM assign GROUP BY cid
@@ -112,7 +142,25 @@ object CurationOps extends QueryGroup {
        |SELECT r.cid, r.vec_id, r.rn, q.n_cid, q.weight, q.quota
        |FROM ranked r JOIN quotas q USING (cid)
        |WHERE r.rn <= q.quota
-       |ORDER BY cid, vec_id""".stripMargin))
+       |ORDER BY cid, vec_id""".stripMargin
+
+  private val c1 = QueryDef(
+    "c1_cluster_mixture",
+    (s, dir) => clusterMixture(s, dir, trainedCents(s, dir, "c1_cents")),
+    Some(c1Oracle("c1_cents")))
+
+  // The ledger-sourced twin: identical mixture, centroids READ from
+  // the maintained s8 IVF ledger — no per-run Lloyd training (the
+  // production daily shape and the r17-verdict perf fix). Oracle
+  // identical in structure: its own tap carries the ACTUAL stored
+  // centroids, so DuckDB re-derives the full assignment and fill from
+  // them — hash-green under any ledger history (the d15l argument);
+  // exact twin ≡ retrain equality is asserted where it is defined,
+  // against a fresh same-corpus-bootstrapped ledger (CurationSpec).
+  private val c1l = QueryDef(
+    "c1l_cluster_mixture_ledger",
+    (s, dir) => clusterMixture(s, dir, storedCents(s, dir, "c1l_cents")),
+    Some(c1Oracle("c1l_cents")))
 
   // ---------------------------------------------------------------- C2
   // Cluster-balanced TOKEN budget — c1's quota fill measured in TOKENS
@@ -124,44 +172,30 @@ object CurationOps extends QueryGroup {
   // shared tokenBudgetSelect keyed by cid — budget_c = max(1,
   // ⌊T_tok·w_c⌋), w_c = √tok_c / Σ√tok_c, greedy doc_id prefix per
   // cluster. Same scale shape as c1 + t22: cells-bounded broadcasts,
-  // the assignment argmax, the narrow (cid, doc_id, n_tok) prefix sum.
-  private val c2 = QueryDef(
-    "c2_cluster_token_budget",
-    (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val n = e.count()
-      val cells = LshTuning.ivfCellsFor(n, SimilarityOps.ivfCellsFloor)
-      val cents = graft.sources.VerifyTap(
-        SimilarityOps.trainCentroids(e, cells, n), "c2_cents")
-      val assign = SimilarityOps.assignNearest(e, cents)
-        .select(col("vec_id").as("doc_id"), col("cid"))
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
-      TextOps.tokenBudgetSelect(assign.join(toks, "doc_id")
-          .select(col("cid"), col("doc_id"), col("n_tok")), "cid")
-        .orderBy("cid", "doc_id")
-    },
-    Some(s"""WITH cents AS (
-       |  SELECT cid, cv
-       |  FROM read_parquet('${graft.sources.VerifyTap.root}/c2_cents/*.parquet')
-       |), scored AS (
-       |  SELECT e.vec_id, c.cid,
-       |    list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(cv[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)
-       |    / ( sqrt(list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y))
-       |      * sqrt(list_reduce(list_prepend(0.0, [(cv[i]::DOUBLE)*(cv[i]::DOUBLE) for i in range(1, len(cv)+1)]), (x,y) -> x+y)) ) AS sim
-       |  FROM embeddings e CROSS JOIN cents c
-       |), assign AS (
-       |  SELECT vec_id AS doc_id, cid FROM (
-       |    SELECT vec_id, cid,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id
-       |                         ORDER BY sim DESC, cid) AS r
-       |    FROM scored) t WHERE r = 1
-       |), d AS (
-       |  SELECT a.cid, a.doc_id,
+  // the hash-agg assignment argmax, the narrow (cid, doc_id, n_tok)
+  // prefix sum.
+  /** The c2 token-budget fill above a (tapped) centroid table — c2
+    * (retrain) and c2l (stored quantizer) share this body.
+    */
+  private def clusterTokenBudget(s: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val assign = SimilarityOps.assignCids(e, cents)
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    TextOps.tokenBudgetSelect(assign.join(toks, "doc_id")
+        .select(col("cid"), col("doc_id"), col("n_tok")), "cid")
+      .orderBy("cid", "doc_id")
+  }
+
+  private def c2Oracle(tap: String): String =
+    s"""WITH ${centsCte(tap)}, d AS (
+       |  SELECT a.cid, a.vec_id AS doc_id,
        |    CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_tok
-       |  FROM assign a JOIN documents doc USING (doc_id)
+       |  FROM assign a JOIN documents doc ON doc.doc_id = a.vec_id
        |), stats AS (
        |  SELECT cid, SUM(n_tok) AS tok_src,
        |    CAST(sqrt(CAST(SUM(n_tok) AS DOUBLE)) AS DECIMAL(18,9)) AS sqrt_d
@@ -182,7 +216,29 @@ object CurationOps extends QueryGroup {
        |SELECT c.cid, c.doc_id, c.n_tok, c.cum_tok, b.budget
        |FROM c JOIN budgets b USING (cid)
        |WHERE c.cum_tok - c.n_tok < b.budget
-       |ORDER BY cid, doc_id""".stripMargin))
+       |ORDER BY cid, doc_id""".stripMargin
 
-  override val queries: Seq[QueryDef] = Seq(c1, c2)
+  private val c2 = QueryDef(
+    "c2_cluster_token_budget",
+    (s, dir) => clusterTokenBudget(s, dir,
+      trainedCents(s, dir, "c2_cents")),
+    Some(c2Oracle("c2_cents")))
+
+  // c2's ledger-sourced twin — see c1l's header.
+  private val c2l = QueryDef(
+    "c2l_cluster_token_budget_ledger",
+    (s, dir) => clusterTokenBudget(s, dir,
+      storedCents(s, dir, "c2l_cents")),
+    Some(c2Oracle("c2l_cents")))
+
+  /** Spec seam: the shared bodies above fixed centroid frames, so
+    * CurationSpec can prove twin ≡ retrain on a fresh ledger without
+    * going through the taps.
+    */
+  private[queries] def mixtureOver(s: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = clusterMixture(s, dir, cents)
+  private[queries] def tokenBudgetOver(s: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = clusterTokenBudget(s, dir, cents)
+
+  override val queries: Seq[QueryDef] = Seq(c1, c1l, c2, c2l)
 }

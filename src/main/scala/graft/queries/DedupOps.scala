@@ -1461,10 +1461,11 @@ object DedupOps extends QueryGroup {
 
   // The ledger-sourced twin (the d8/d8i discipline): identical
   // keep-rule, graph READ from the maintained s10 ledger instead of
-  // rebuilt. This is the production daily shape — r16's d15 paid the
-  // s9 build TWICE (tap + pin, ~150 s of its 175 s sf10 wall); here
-  // the edge input is a partition-committed parquet read, so the wall
-  // is ~CC + read. Oracle identical: the tap carries the ledger's
+  // rebuilt. This is the production daily shape — the rebuild twin
+  // pays the one-shot n^1.5 graph build (ONCE since r18's tap-routed
+  // knnGraphEdges; r16/r17 paid it twice — tap + pin); here the edge
+  // input is a partition-committed parquet read, so the wall is
+  // ~CC + read. Oracle identical: the tap carries the ledger's
   // per-segment edge union and DuckDB re-derives graph, threshold,
   // and components from scratch. The ledger is SHARED persisted state
   // with s10/s11l — that is the point (consumers read the index the

@@ -150,7 +150,17 @@ object SimilarityOps extends QueryGroup {
     * hash-verifiable two-stage oracle.
     */
   private def lshQueryCandidates(s: SparkSession, dir: String,
-      tap: String): DataFrame = {
+      tap: String): DataFrame =
+    lshCandidatesOver(s, dir, tap, col("vec_id") < NQ, lit(true))
+
+  /** The generalized LSH candidate stage: query side = rows matching
+    * `queryPred` (must stay request/suite-sized — it broadcasts), data
+    * side = rows matching `dataPred`. s2/s7 use (vec_id < NQ, all);
+    * t25's decontamination probes the eval-suite holdout against the
+    * non-holdout corpus.
+    */
+  private[graft] def lshCandidatesOver(s: SparkSession, dir: String,
+      tap: String, queryPred: Column, dataPred: Column): DataFrame = {
     val e = emb(s, dir)
     val n = e.count()
     val lshBits = s2Bits(n)
@@ -169,8 +179,8 @@ object SimilarityOps extends QueryGroup {
         .select(col(idCol), col("embedding"),
           posexplode(array((0 until lshTables).map(t => col(s"h$t")): _*)))
         .toDF(idCol, "embedding", "table", "bucket")
-    val dataB = buckets(e, "vec_id")
-    val queryB = buckets(e.filter(col("vec_id") < NQ), "qid")
+    val dataB = buckets(e.filter(dataPred), "vec_id")
+    val queryB = buckets(e.filter(queryPred), "qid")
       .withColumnRenamed("embedding", "qe")
     graft.sources.VerifyTap(
       dataB.join(broadcast(queryB), Seq("table", "bucket"))
@@ -251,21 +261,44 @@ object SimilarityOps extends QueryGroup {
   private val lloydIters = 3
 
   // Single-centroid ASSIGNMENT is a partial-agg argmax, not a
-  // window: max_by over (sim, -cid) reproduces the (sim desc, cid
-  // asc) rank rule exactly, and map-side combine ships ≤ 1 row per
-  // vector per partition — where `row_number() OVER (PARTITION BY
-  // vec_id)` shuffled ALL n×cells scored rows into per-vector
-  // reducers, in the final assignment AND in every Lloyd iteration.
-  // Shared by s3 (in-query index) and s8 (persisted-index ingest).
+  // window: the native [[graft.functions.ArgMaxId]] aggregate
+  // reproduces the (sim desc, cid asc) rank rule exactly, and
+  // map-side combine ships ≤ 1 row per vector per partition — where
+  // `row_number() OVER (PARTITION BY vec_id)` shuffled ALL n×cells
+  // scored rows into per-vector reducers, in the final assignment AND
+  // in every Lloyd iteration. The embedding rides as a GROUP KEY
+  // (vec_id is unique, so the groups are identical) and the aggregate
+  // buffer is fixed-width (double, long) — the whole agg plans as
+  // HashAggregateExec, not the SortAggregate pair the earlier
+  // `max_by(cid, struct(sim, -cid))` + `first(embedding)` formulation
+  // forced: a struct/array BUFFER disqualifies the hash map, and the
+  // partial SortAggregate then sorts (and at sf10, spills) the entire
+  // n×cells scored cross join before reducing it (r17 verdict's c1
+  // SortAggregate watch; plan-gated in PlanSpec, result equality in
+  // ArgMaxIdSpec). Shared by s3 (in-query index), s8/s10
+  // (persisted-index ingest) and c1/c2 (via [[assignCids]]).
   private[graft] def assignNearest(df: DataFrame,
       cents: DataFrame): DataFrame = {
     val scored = df.crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("embedding"), col("cv")))
-    scored.groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"),
-        max_by(col("cid"),
-          struct(col("sim"), (-col("cid")).as("nc"))).as("cid"))
+    scored.groupBy("vec_id", "embedding")
+      .agg(graft.functions.ArgMaxId
+        .argMaxIdByScore(col("sim"), col("cid")).as("cid"))
+      .select(col("vec_id"), col("embedding"), col("cid"))
   }
+
+  /** [[assignNearest]] without the embedding riding: (vec_id, cid)
+    * only — the shuffle carries 24-byte rows instead of the vector
+    * bytes. For consumers that only need the assignment (c1/c2's
+    * cluster mixtures); index builders keep [[assignNearest]].
+    */
+  private[graft] def assignCids(df: DataFrame,
+      cents: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(graft.functions.ArgMaxId
+        .argMaxIdByScore(col("sim"), col("cid")).as("cid"))
 
   // Multi-centroid PROBE SELECTION runs only over the NQ query
   // rows (8 here; always request-sized, never corpus-sized), so a
@@ -601,23 +634,42 @@ object SimilarityOps extends QueryGroup {
     * serialized end-to-end in both directions (and concurrent appends,
     * which would race the segment numbering, are serialized too).
     *
-    * Crash recovery (r17): the lease RECORDS ITS HOLDER's pid, and an
-    * acquirer finding a lease whose recorded process is no longer
-    * alive reclaims it (read → verify-still-dead → delete → retry
-    * once). Without this a hard crash mid-append would WEDGE every
-    * later append — in particular a streaming replay from the
-    * checkpoint, which must self-heal (the refresh itself is already
-    * crash-safe via the marker protocol; the lease only serializes).
-    * Creation is ATOMIC O_EXCL via nio for file-scheme paths —
-    * Hadoop's RawLocalFileSystem create(overwrite = false) is
-    * check-then-create, a TOCTOU hole — and exclusive fs.create
-    * elsewhere; on a non-local FS where pid liveness means nothing the
-    * wedge + manual-delete contract stands (documented residual: two
-    * acquirers observing the same dead-pid lease race the reclaim; the
-    * CREATE_NEW after it is still atomic, so exactly one proceeds).
+    * Crash recovery (r17; hardened r18): the lease RECORDS ITS
+    * HOLDER — `pid@hostname` — and an acquirer finding a lease whose
+    * recorded process is provably dead reclaims it (read →
+    * verify-still-dead → delete → retry once). Without this a hard
+    * crash mid-append would WEDGE every later append — in particular
+    * a streaming replay from the checkpoint, which must self-heal
+    * (the refresh itself is already crash-safe via the marker
+    * protocol; the lease only serializes). Creation is ATOMIC O_EXCL
+    * via nio for file-scheme paths — Hadoop's RawLocalFileSystem
+    * create(overwrite = false) is check-then-create, a TOCTOU hole —
+    * and exclusive fs.create elsewhere.
+    *
+    * "Provably dead" is deliberately narrow (r17 advisory): the
+    * recorded HOSTNAME must match this machine and procfs must exist —
+    * a pid number means nothing on another NFS client or a non-procfs
+    * OS, where a LIVE holder would be judged dead and double-writer
+    * corruption follows. Anywhere liveness can't be proven, the
+    * documented wedge + manual-delete contract stands. And the
+    * read-verify-delete itself is SERIALIZED by an exclusive
+    * cross-process FileLock on a sibling `__reclaim_mutex` (r17
+    * advisory, medium): without it, acquirer A could read a dead-pid
+    * lease, stall, and its pending delete would remove the LIVE lease
+    * acquirer B had meanwhile reclaimed and re-created — two
+    * appenders racing the segment numbering, the exact corruption the
+    * lease exists to prevent. Under the mutex, B's re-created lease
+    * is re-read by A's verify step and judged live, so A backs off.
     */
   private def pidAlive(pid: Long): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(s"/proc/$pid"))
+
+  private def procfsAvailable: Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/proc"))
+
+  private def localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.io.IOException => "unknown-host" }
 
   private def localPathOf(p: org.apache.hadoop.fs.Path)
       : Option[java.nio.file.Path] = {
@@ -627,14 +679,17 @@ object SimilarityOps extends QueryGroup {
     else None
   }
 
-  /** Atomically create `lease` recording our pid; false if held. */
+  /** Atomically create `lease` recording `pid@hostname`; false if
+    * held.
+    */
   private def tryAcquireLease(fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path): Boolean = {
-    val pid = ProcessHandle.current().pid().toString.getBytes("UTF-8")
+    val holder = s"${ProcessHandle.current().pid()}@$localHost"
+      .getBytes("UTF-8")
     localPathOf(lease) match {
       case Some(lp) =>
         try {
-          java.nio.file.Files.write(lp, pid,
+          java.nio.file.Files.write(lp, holder,
             java.nio.file.StandardOpenOption.CREATE_NEW)
           true
         } catch {
@@ -644,28 +699,53 @@ object SimilarityOps extends QueryGroup {
       case None =>
         try {
           val out = fs.create(lease, false)
-          out.write(pid); out.close(); true
+          out.write(holder); out.close(); true
         } catch { case _: java.io.IOException => false }
     }
   }
 
+  /** True iff the recorded holder is PROVABLY dead: the lease names
+    * THIS host (a pid is meaningless on another NFS client), procfs
+    * exists to ask, and the pid is gone. A legacy pid-only lease
+    * (pre-r18) is judged on the same procfs test — it was written by
+    * a local-FS run. Anything unprovable is NOT dead: wedge, don't
+    * corrupt.
+    */
+  private def holderProvablyDead(txt: String): Boolean = {
+    def deadPid(p: String): Boolean = procfsAvailable &&
+      p.nonEmpty && p.forall(_.isDigit) && !pidAlive(p.toLong)
+    txt.split("@") match {
+      case Array(p, h) => h == localHost && deadPid(p)
+      case Array(p) => deadPid(p) // legacy pid-only lease
+      case _ => false
+    }
+  }
+
   /** Reclaim `lease` iff its recorded holder is provably dead (local
-    * FS only). Returns true when the lease was removed.
+    * FS only). Returns true when the lease was removed. The whole
+    * read-verify-delete runs under an exclusive cross-process
+    * FileLock on a sibling mutex so a stalled reclaimer can never
+    * delete a lease a faster reclaimer has re-acquired (see
+    * [[withAppendLease]]'s header).
     */
   private def reclaimIfDead(fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path): Boolean =
     localPathOf(lease).exists { lp =>
+      val mutex = java.nio.file.Paths.get(
+        lp.toString + "__reclaim_mutex")
       try {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(lp), "UTF-8").trim
-        val dead = txt.nonEmpty && txt.forall(_.isDigit) &&
-          !pidAlive(txt.toLong)
-        // verify-then-delete: only remove what we judged dead
-        dead && {
-          val again = new String(
-            java.nio.file.Files.readAllBytes(lp), "UTF-8").trim
-          again == txt && java.nio.file.Files.deleteIfExists(lp)
-        }
+        val ch = java.nio.channels.FileChannel.open(mutex,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock() // exclusive, blocks across processes
+          try {
+            val txt = new String(
+              java.nio.file.Files.readAllBytes(lp), "UTF-8").trim
+            holderProvablyDead(txt) &&
+              java.nio.file.Files.deleteIfExists(lp)
+          } finally lock.release()
+        } finally ch.close()
       } catch { case _: java.io.IOException => false }
     }
 
@@ -1029,9 +1109,15 @@ object SimilarityOps extends QueryGroup {
     * unordered, with the candidate ids tapped under `tap` for the
     * two-stage oracle. See the S9 header for the scale analysis.
     */
-  private[graft] def knnGraphEdges(s: SparkSession, dir: String,
-      tap: Option[String], nprobeBoost: Int = 0, k: Int = KG)
-      : DataFrame = {
+  /** The scored candidate stage of the corpus kNN-graph build —
+    * everything BELOW the oracle tap (train, assign, probe, candidate
+    * join, cosine), one codegen pipeline. Factored so PlanSpec can
+    * gate the plan that actually does the corpus-scale work: with the
+    * tap-routed build (r18), the post-tap plan only shows the tap
+    * read + heap (the s8Candidates precedent).
+    */
+  private[graft] def knnGraphScored(s: SparkSession, dir: String,
+      nprobeBoost: Int = 0): DataFrame = {
     val e = emb(s, dir)
     val n = e.count()
     val ivfCells = LshTuning.ivfCellsFor(n, ivfCellsFloor)
@@ -1049,15 +1135,31 @@ object SimilarityOps extends QueryGroup {
     val probes = probeTopAgg(e, cents, nprobe)
     val cand = assign.join(probes, Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
-    // oracle tap (ids only, side effect — see the header comment);
-    // None skips the write for consumers that verify further up
-    // (s11 taps its own merged candidate union instead)
-    tap.foreach(t => graft.sources.VerifyTap(
-      cand.select(col("qid"), col("vec_id")), t, coalesce = false))
-    val scored = cand
-      .withColumn("cosine", cosine(col("qe"), col("embedding")))
+    cand.withColumn("cosine", cosine(col("qe"), col("embedding")))
       .select("qid", "vec_id", "cosine")
-    topKAgg(scored, k, ordered = false)
+  }
+
+  private[graft] def knnGraphEdges(s: SparkSession, dir: String,
+      tap: Option[String], nprobeBoost: Int = 0, k: Int = KG)
+      : DataFrame = {
+    val scored = knnGraphScored(s, dir, nprobeBoost)
+    // Oracle tap: the plan ROUTES THROUGH the tap (r18) — the tap
+    // write is the single execution of the candidate join, scoring
+    // included, and the top-k heap reads the 24 B/row (qid, vec_id,
+    // cosine) parquet back. r17's side-effect tap executed the
+    // n^1.5-candidate join TWICE (once to write ids, once when the
+    // returned plan was consumed) — d15's sf10 wall was ~2× the build
+    // for exactly this reason (r17 verdict #4). The r14 measurements
+    // that rejected tap-routing were for the VECTOR-carrying tap
+    // (qe+embedding per candidate, ~20× these bytes); the scored tap
+    // keeps the join+cosine inside one codegen stage and writes only
+    // ids+score. The extra cosine column is invisible to the oracle
+    // (knnGraphCtes selects qid, vec_id and re-scores from the
+    // embeddings table). None still skips the tap entirely (s11 taps
+    // its own merged union; knnGraphRefined verifies via recall).
+    val out = tap.fold(scored)(t =>
+      graft.sources.VerifyTap(scored, t, coalesce = false))
+    topKAgg(out, k, ordered = false)
   }
 
   private val s9 = QueryDef(
@@ -1087,14 +1189,68 @@ object SimilarityOps extends QueryGroup {
     * every later daily read); an existing one ingests only novel
     * vectors (O(batch)) — then merges the committed segments.
     */
+  /** Bounded retry for READ-path ledger refreshes (r17 advisory): a
+    * query consuming the ledger (d15l/s11l/c1l's ensure-exists
+    * refresh) that collides with a concurrent appender's fail-fast
+    * lease should degrade to WAITING, not throw — the appender's work
+    * is exactly what the reader wants to see. Writers keep fail-fast:
+    * an ingest pipeline racing itself is a bug to surface. Linear
+    * backoff, ~30 s worst case, then the original error propagates.
+    */
+  private def withLeaseRetry[A](attempts: Int = 5)(body: => A): A = {
+    def go(i: Int): A =
+      try body catch {
+        case e: IllegalArgumentException if i < attempts &&
+            e.getMessage != null &&
+            (e.getMessage.contains("append lease") ||
+              e.getMessage.contains("compaction in progress")) =>
+          Thread.sleep(2000L * i)
+          go(i + 1)
+      }
+    go(1)
+  }
+
   private[graft] def knnGraph(s: SparkSession, dir: String,
       tap: Option[String], source: KnnGraphSource): DataFrame =
     source match {
       case RebuildGraph => knnGraphEdges(s, dir, tap)
       case LedgerGraph(path) =>
-        refreshKnnLedger(s, path, emb(s, dir))
+        withLeaseRetry() { refreshKnnLedger(s, path, emb(s, dir)) }
         s10Graph(s, path, tap)
     }
+
+  /** Quantizer-source seam (r18 — the [[KnnGraphSource]] pattern for
+    * the COARSE QUANTIZER): consumers that need a cluster assignment
+    * (c1/c2's cluster-balanced mixtures) either TRAIN per run (the
+    * self-contained oracle-heavy twin) or read the STORED centroids of
+    * the s8 IVF retrieval ledger — the quantizer the pipeline already
+    * maintains, trained ONCE at bootstrap and fixed thereafter (the
+    * s8 contract that makes assignment deterministic and incremental ≡
+    * from-scratch provable). The production run should not pay — or
+    * drift with — a per-run Lloyd retraining: r17 measured the
+    * retraining constant as c1/c2's entire gap over their DuckDB rows
+    * (which start from tapped centroids and skip training).
+    */
+  private[graft] sealed trait QuantizerSource
+  private[graft] case object TrainQuantizer extends QuantizerSource
+  private[graft] case class StoredQuantizer(path: String)
+      extends QuantizerSource
+
+  /** The centroid table from `source`. Stored mode ensures the s8
+    * ledger exists first — an absent ledger bootstraps on the full
+    * corpus (one training, amortized over every later read).
+    */
+  private[graft] def quantizerCentroids(s: SparkSession, dir: String,
+      source: QuantizerSource): DataFrame = source match {
+    case TrainQuantizer =>
+      val e = emb(s, dir)
+      val n = e.count()
+      trainCentroids(e, LshTuning.ivfCellsFor(n, ivfCellsFloor), n)
+    case StoredQuantizer(path) =>
+      if (s8CommittedSegs(s, path).isEmpty)
+        withLeaseRetry() { refreshIvfLedger(s, path, emb(s, dir)) }
+      s.read.parquet(s"$path/centroids")
+  }
 
   /** The kNN-graph oracle's CTE block, shared by s9 (reported
     * directly) and d15's SemDeDup keep-rule: the tap carries candidate
@@ -1604,6 +1760,29 @@ object SimilarityOps extends QueryGroup {
       KG, ordered = false)
   }
 
+  /** [[knnGraphRefined]] THROUGH THE LEDGER (r18, F18's production
+    * wiring): the maintained s10 graph seeds `rounds` descent
+    * iterations at working width `workK`, pruned to [[KG]] at the end.
+    * The stored base is KG-wide (the ledger's layout), not the
+    * rebuild-refined config's 2·KG seed — round 1's expansion rebuilds
+    * the working width (novel candidates merge at workK), so the
+    * recall floor is reachable WITHOUT ever paying the n^1.5 seed
+    * rebuild: daily cost = O(batch) ledger maintenance + linear
+    * descent rounds. Measured on the recall curve (BASELINE
+    * §recall-curve, ledger arm) and floored in AnnRecallSpec.
+    */
+  private[graft] def knnGraphRefinedLedger(s: SparkSession, dir: String,
+      path: String, rounds: Int = 2, workK: Int = 2 * KG): DataFrame = {
+    withLeaseRetry() { refreshKnnLedger(s, path, emb(s, dir)) }
+    var g = s10Graph(s, path, None)
+      .select(col("qid"), col("neighbor_id").as("vec_id"), col("cosine"))
+    (1 to rounds).foreach { _ =>
+      g = nnDescentRound(s, dir, g, None, workK)
+        .select("qid", "vec_id", "cosine")
+    }
+    topKAgg(g, KG, ordered = false)
+  }
+
   /** One NN-descent round over the corpus graph from `source`,
     * reported in the driver shape — s11 (rebuild) and s11l (ledger)
     * share this body; only the graph source and tap name differ.
@@ -1640,6 +1819,100 @@ object SimilarityOps extends QueryGroup {
        |SELECT qid, rank, vec_id AS neighbor_id, cosine
        |FROM granked ORDER BY qid, rank""".stripMargin))
 
+  // --------------------------------------------------------------- S12
+  // PREDICATE-FILTERED ANN (r18): top-k neighbors per query SUBJECT TO
+  // a metadata predicate on the 1:1 documents join — the retrieval
+  // mode a RAG/curation user actually runs ("nearest English docs",
+  // "same source family", "after this date"). s1–s8 rank the whole
+  // corpus; here the predicate must not cost a corpus pass of its own:
+  //   - candidates come from the PERSISTED s8 IVF ledger's pruned
+  //     probe (nprobe/cells of the index's bytes, the s8 plan);
+  //   - the predicate lands as a PUSHED FILTER on the documents scan
+  //     (PushedFilters, plan-gated — never a post-join filter over
+  //     scored rows), and the request-bounded candidate set BROADCASTS
+  //     into that scan: predicate application is scan-speed with zero
+  //     shuffle at any corpus size;
+  //   - only predicate-surviving candidates pay the exact-cosine
+  //     re-rank into the bounded heap.
+  // Oracle: the s2/s3 two-stage tap one step further — the tap carries
+  // the PRE-predicate candidates (qid, vec_id, qe, embedding), and
+  // DuckDB re-applies the predicate from the documents table, then
+  // re-scores and re-ranks: the predicate join, the cosines, and the
+  // top-k are all cross-checked above the tap. Recall vs the
+  // predicate-filtered exact brute force is floored in AnnRecallSpec
+  // (the filtered corpus is SMALLER than the index's, so the same
+  // probe budget covers more of it — recall ≥ the unfiltered s3/s8
+  // floor by construction of the candidate set).
+  private[graft] val s12Lang = "en"
+  private val s12 = QueryDef(
+    "s12_ann_filtered",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val path = s8LedgerPath(dir)
+      // ensure-exists, read-path contract (bounded lease retry)
+      withLeaseRetry() { refreshIvfLedger(s, path, e) }
+      val cand = graft.sources.VerifyTap(
+        s8Probe(s, path, e.filter(col("vec_id") < NQ)), "s12_cand",
+        coalesce = false)
+      val allowed = Tables.load(s, dir, "documents")
+        .filter(col("lang") === s12Lang)
+        .select(col("doc_id").as("vec_id"))
+      val scored = allowed.join(broadcast(cand), Seq("vec_id"))
+        .withColumn("cosine", cosine(col("qe"), col("embedding")))
+        .select("qid", "vec_id", "cosine")
+      topKAgg(scored)
+    },
+    Some(s"""WITH cand AS (
+       |  SELECT qid, vec_id, qe, embedding
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/s12_cand/*.parquet')
+       |), allowed AS (
+       |  SELECT doc_id FROM documents WHERE lang = '$s12Lang'
+       |), scored AS (
+       |  SELECT qid, vec_id,
+       |    list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)
+       |    / ( sqrt(list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(qe[i]::DOUBLE) for i in range(1, len(qe)+1)]), (x,y) -> x+y))
+       |      * sqrt(list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)) ) AS cosine
+       |  FROM cand JOIN allowed ON allowed.doc_id = cand.vec_id
+       |), ranked AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank,
+       |    cosine
+       |  FROM scored
+       |)
+       |SELECT qid, rank, vec_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin))
+
+  // --------------------------------------------------------------- T25
+  // (machinery for TextOps' t25_embedding_decontam — the family file
+  // owns the QueryDef; the LSH internals live here with s2/s7.)
+  //
+  // EMBEDDING-SPACE DECONTAMINATION: t6/t20 catch verbatim and fuzzy
+  // n-gram leakage; paraphrased leakage needs the semantic complement —
+  // every corpus document within cosine radius [[decontamR]] of ANY
+  // eval-suite embedding, reported as (doc_id, eval_id, cosine). The
+  // t6/t20 asymmetry applied to embeddings: the eval suite (holdout
+  // vec_id % [[decontamMod]] = 0, t6's deterministic split shape) is
+  // suite-sized and BROADCASTS through s7's occupancy-keyed LSH range
+  // machinery; the corpus side streams — bounded candidates per eval
+  // vector at any corpus size, a pure map-side radius filter above
+  // them (no per-query aggregation at all). [[decontamR]] = 0.3 is
+  // this synthetic corpus's weak-similarity regime (max eval-corpus
+  // cosine ≈ 0.47; s7's collision-curve note: recall ≈ 0.4 here vs
+  // ≈ 0.96 at a production r = 0.9); soundness — every flagged pair
+  // truly clears r on exact cosines — is spec-asserted, and the tap
+  // oracle re-scores every candidate.
+  private[graft] val decontamR = 0.3
+  private[graft] val decontamMod = 97
+  private[graft] def decontamPairs(s: SparkSession, dir: String,
+      tap: String): DataFrame =
+    lshCandidatesOver(s, dir, tap,
+      pmod(col("vec_id"), lit(decontamMod)) === 0,
+      pmod(col("vec_id"), lit(decontamMod)) =!= 0)
+      .withColumn("cosine", cosine(col("qe"), col("embedding")))
+      .filter(col("cosine") >= decontamR)
+      .select(col("vec_id").as("doc_id"), col("qid").as("eval_id"),
+        col("cosine"))
+
   override val queries: Seq[QueryDef] =
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s11l)
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s11l, s12)
 }

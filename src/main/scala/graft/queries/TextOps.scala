@@ -1594,7 +1594,46 @@ object TextOps extends QueryGroup {
        |WHERE c.cum_tok - c.n_tok < b.budget
        |ORDER BY source, doc_id""".stripMargin))
 
+  // --------------------------------------------------------------- T25
+  // EMBEDDING-SPACE decontamination (r18) — the semantic complement to
+  // t6 (verbatim 4-grams) and t20 (fuzzy/edited spans): paraphrased
+  // eval leakage shares no n-grams but lands close in embedding space.
+  // Machinery and scale analysis live with s2/s7
+  // ([[SimilarityOps.decontamPairs]]): the suite-sized eval holdout
+  // broadcasts through the occupancy-keyed LSH range search, the
+  // corpus streams, the radius filter is map-side. Oracle: tap-based —
+  // DuckDB re-scores every candidate with the exact fold and
+  // re-applies the radius. [[applyDecontam]] is the pipeline seam: the
+  // flagged doc set anti-joins a corpus frame exactly like t6's flag
+  // does inside p1/p3 (composition spec-gated in TextOpsSpec).
+  private val t25 = QueryDef(
+    "t25_embedding_decontam",
+    (s, dir) => SimilarityOps.decontamPairs(s, dir, "t25_cand")
+      .orderBy("doc_id", "eval_id"),
+    Some(s"""WITH cand AS (
+       |  SELECT qid, vec_id, qe, embedding
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/t25_cand/*.parquet')
+       |), scored AS (
+       |  SELECT qid, vec_id,
+       |    list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)
+       |    / ( sqrt(list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(qe[i]::DOUBLE) for i in range(1, len(qe)+1)]), (x,y) -> x+y))
+       |      * sqrt(list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)) ) AS cosine
+       |  FROM cand
+       |)
+       |SELECT vec_id AS doc_id, qid AS eval_id, cosine
+       |FROM scored WHERE cosine >= ${SimilarityOps.decontamR}
+       |ORDER BY doc_id, eval_id""".stripMargin))
+
+  /** The t25 pipeline seam: drop every flagged document from a corpus
+    * frame (doc_id-keyed anti-join; `pairs` is t25's output shape or
+    * any (doc_id, ...) flag set).
+    */
+  private[graft] def applyDecontam(corpus: DataFrame,
+      pairs: DataFrame): DataFrame =
+    corpus.join(pairs.select("doc_id").distinct(), Seq("doc_id"),
+      "left_anti")
+
   override val queries: Seq[QueryDef] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
 }

@@ -276,6 +276,58 @@ object StreamOps {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  // --------------------------------------------------------------- ST15
+  final case class BudgetState(used: Long)
+
+  final case class FilledDoc(source: String, docId: Long, nTokens: Long,
+      cumTok: Long, budget: Long)
+
+  /** Streaming token-budget fill — t22/t24's streaming twin (r18): an
+    * ingest stream admits each source's documents until that source's
+    * token budget is spent, emitting the selected rows with their
+    * running totals. The greedy prefix is inherently sequential PER
+    * SOURCE — each admission depends on the tokens already spent —
+    * which is exactly the ST8 keyed-state shape: state per source is
+    * ONE (used) long (O(sources), never O(history)), sources fill in
+    * parallel, each trigger shuffles only its own micro-batch.
+    *
+    * `budgets` is an input (the per-source allocation t22 derives from
+    * corpus stats — at 100 TB a planning table, G rows, computed
+    * offline and broadcast in the task closure). Admission mirrors
+    * t22's keep rule exactly: a document enters iff the tokens used
+    * BEFORE it are under budget (`cum_tok − n_tok < budget`), and
+    * `used` advances over every document — admitted or not — so
+    * emitted cum_toks equal the batch operator's all-rows prefix sums.
+    * Within a micro-batch documents fill in doc-id order, so a
+    * replayed batch admits identically (the ST8 replay contract), and
+    * stream ≡ batch t22 whenever batches arrive in per-source doc-id
+    * order (spec-gated, including kill + restart recovery).
+    */
+  def budgetFillStream(docs: Dataset[PackDoc],
+      budgets: Map[String, Long]): Dataset[FilledDoc] = {
+    import docs.sparkSession.implicits._
+
+    def update(source: String, rows: Iterator[PackDoc],
+        state: GroupState[BudgetState]): Iterator[FilledDoc] = {
+      val budget = budgets.getOrElse(source, 0L)
+      var used = state.getOption.map(_.used).getOrElse(0L)
+      val out = rows.toSeq.sortBy(_.docId).flatMap { d =>
+        val before = used
+        used += d.nTokens
+        if (before < budget)
+          Some(FilledDoc(source, d.docId, d.nTokens, used, budget))
+        else None
+      }
+      state.update(BudgetState(used))
+      out.iterator
+    }
+
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   // ---------------------------------------------------------------- ST9
   /** Streaming ANN over a PQ-coded static corpus (s5's streaming twin —
     * online retrieval): query vectors arrive on the stream, each

@@ -31,17 +31,31 @@ class AggregateBufferBoundSpec extends AnyFunSuite with Matchers {
     val root = Paths.get(classOf[BoundedPerKeyBuffer]
       .getProtectionDomain.getCodeSource.getLocation.toURI)
     val loader = getClass.getClassLoader
-    val stream = Files.walk(root)
-    try stream.iterator().asScala
-      .filter(p => p.toString.endsWith(".class"))
-      .flatMap { p =>
-        val name = root.relativize(p).toString
-          .stripSuffix(".class").replace(java.io.File.separatorChar, '.')
-        try Some(Class.forName(name, false, loader))
-        catch { case _: Throwable => None }
-      }
-      .toSeq
-    finally stream.close()
+    def load(name: String): Option[Class[_]] =
+      try Some(Class.forName(name, false, loader))
+      catch { case _: Throwable => None }
+    if (Files.isDirectory(root)) {
+      val stream = Files.walk(root)
+      try stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".class"))
+        .flatMap { p =>
+          load(root.relativize(p).toString.stripSuffix(".class")
+            .replace(java.io.File.separatorChar, '.'))
+        }
+        .toSeq
+      finally stream.close()
+    } else {
+      // packaged run: the code source is a JAR, not a classes dir —
+      // walk its entries instead of throwing a NotDirectoryException
+      // from Files.walk (r17 advisory)
+      val jar = new java.util.jar.JarFile(root.toFile)
+      try jar.entries().asScala
+        .filter(e => !e.isDirectory && e.getName.endsWith(".class"))
+        .flatMap(e =>
+          load(e.getName.stripSuffix(".class").replace('/', '.')))
+        .toSeq
+      finally jar.close()
+    }
   }
 
   test("every TypedImperativeAggregate subclass mixes in " +

@@ -606,6 +606,96 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     r should be >= 0.35
   }
 
+  test("S12 filtered ANN: every neighbor satisfies the predicate, " +
+      "cosines exact, recall floored vs the filtered brute force") {
+    val e = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val allowed = graft.sources.Tables
+      .load(spark, TestSpark.sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang") ===
+        SimilarityOps.s12Lang)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val out = SparkEntry.queries("s12_ann_filtered")(
+      spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out should not be empty
+    // soundness: predicate holds, self excluded, cosine exact
+    out.foreach { case (q, _, v, c) =>
+      withClue(s"($q,$v): ") {
+        allowed should contain(v)
+        v should not be q
+        c shouldBe cos(e(q), e(v)) +- 1e-12
+      }
+    }
+    // recall vs the predicate-filtered exact top-k (brute force over
+    // allowed docs only). The candidate set is the s8 probe's, so the
+    // floor tracks the IVF recall floor — filtering only ever REMOVES
+    // competitors, never true neighbors the probe already surfaced.
+    val queries = e.keys.filter(_ < 8).toSeq
+    val exact = queries.map { q =>
+      q -> e.keys.filter(v => v != q && allowed.contains(v)).toSeq
+        .sortBy(v => (-cos(e(q), e(v)), v)).take(10).toSet
+    }.toMap
+    val got = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val r = recall(queries.map(q =>
+      q -> got.getOrElse(q, Set.empty[Long])).toMap, exact)
+    info(f"filtered-ANN recall at sf0.001 = $r%.3f")
+    r should be >= 0.5
+  }
+
+  test("T25 embedding decontamination: every flagged pair truly clears " +
+      "the radius on exact cosines; eval suite never flags itself; " +
+      "the pipeline seam drops exactly the flagged docs") {
+    val e = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val out = SparkEntry.queries("t25_embedding_decontam")(
+      spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out should not be empty
+    val mod = SimilarityOps.decontamMod
+    out.foreach { case (doc, ev, c) =>
+      withClue(s"($doc,$ev): ") {
+        (ev % mod) shouldBe 0L      // the flag source is the holdout
+        (doc % mod) should not be 0L // corpus side excludes the suite
+        c should be >= SimilarityOps.decontamR
+        c shouldBe cos(e(ev), e(doc)) +- 1e-12
+      }
+    }
+    // seam: applying the flags to a doc_id-keyed corpus drops exactly
+    // the flagged ids (the t6-style anti-join composition p3 uses)
+    val corpus = graft.sources.Tables
+      .load(spark, TestSpark.sfDir, "documents").select("doc_id")
+    val pairs = SparkEntry.queries("t25_embedding_decontam")(
+      spark, TestSpark.sfDir)
+    val kept = TextOps.applyDecontam(corpus, pairs)
+      .collect().map(_.getLong(0)).toSet
+    val flagged = out.map(_._1).toSet
+    val all = corpus.collect().map(_.getLong(0)).toSet
+    kept shouldBe (all -- flagged)
+  }
+
   test("S10 slim-probes layout: bootstrap + append + compaction reads " +
       "row-identical to the fat layout; marker survives the swap") {
     // the measured storage arm (BASELINE §recall-curve s10 growth):

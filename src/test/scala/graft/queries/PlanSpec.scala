@@ -180,7 +180,11 @@ class PlanSpec extends AnyFunSuite with Matchers {
 
   test("s9: corpus-sided probe selection is heap-agg'd with the " +
       "repartition reused as its distribution; no Window anywhere") {
-    val p = plan("s9_knn_graph")
+    // With the tap-routed build (r18), the corpus-scale work lives in
+    // the PRE-tap scored stage — gate that plan for the probe shape;
+    // the reported query's own plan is the tap read + final heap.
+    val p = SimilarityOps.knnGraphScored(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
     // EVERY vector is a query here — a per-vector window would funnel
     // n·cells scored rows; the plan must rank via the bounded-heap
     // TopKAggregate instead (partial+final ObjectHashAggregate), and
@@ -190,7 +194,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should not include "Window"
     p should include("topk_by_score")
     p.linesIterator.count(
-      _.trim.startsWith("+- ObjectHashAggregate")) should be >= 2
+      _.contains("+- ObjectHashAggregate")) should be >= 2
     // probe pattern: final ObjectHashAggregate directly over partial
     // ObjectHashAggregate (the reused exchange) must appear somewhere
     val lines = p.linesIterator.map(_.trim).toSeq
@@ -199,6 +203,13 @@ class PlanSpec extends AnyFunSuite with Matchers {
         w.last.contains("ObjectHashAggregate"))
     assert(fused, "expected a partial+final ObjectHashAggregate pair " +
       "with no Exchange between (the repartition-reuse shape)")
+    // and the reported plan: heap over the tap read, single execution
+    // of the build — no second candidate join above the tap
+    val rp = plan("s9_knn_graph")
+    rp should not include "Window"
+    rp should include("topk_by_score")
+    rp should include("graft_aux")
+    rp should not include "BroadcastNestedLoopJoin"
   }
 
   test("t21: NB scoring joins the SPARSE observed-count model; argmax " +
@@ -234,21 +245,52 @@ class PlanSpec extends AnyFunSuite with Matchers {
     // the cluster-balanced mixture's scale contract: the cells-bounded
     // centroid and quota tables ride BroadcastExchange (never shuffle
     // the corpus against them), the per-vector argmax plans as the
-    // max_by partial aggregate (a window here would shuffle all
-    // n×cells scored rows into per-vector reducers), and the grouped
-    // range rank keeps the no-Window discipline. The only
+    // native fixed-width ArgMaxId partial aggregate in a
+    // HASHAggregate pair (a window here would shuffle all n×cells
+    // scored rows into per-vector reducers; the earlier struct-buffer
+    // max_by planned a SortAggregate whose partial side sorted the
+    // whole scored cross join — the r17 verdict's watch), and the
+    // grouped range rank keeps the no-Window discipline. The only
     // corpus-sized exchanges are the assignment argmax and the rank
     // over the narrow (cid, vec_id) projection.
-    Seq("c1_cluster_mixture", "c2_cluster_token_budget").foreach { name =>
+    Seq("c1_cluster_mixture", "c2_cluster_token_budget",
+      "c1l_cluster_mixture_ledger",
+      "c2l_cluster_token_budget_ledger").foreach { name =>
       withClue(name) {
         val p = plan(name)
         p should not include "Window"
         p should not include "CartesianProduct"
+        p should not include "SortAggregate"
         p.linesIterator.count(_.contains("BroadcastExchange")) should be >= 2
-        p should include("max_by")
-        p.linesIterator.count(_.contains("partial_max_by")) should be >= 1
+        p should include("argmax_id_by_score")
+        p.linesIterator
+          .count(_.contains("partial_argmax_id_by_score")) should be >= 1
       }
     }
+  }
+
+  test("s12: the metadata predicate lands as a PUSHED FILTER on the " +
+      "documents scan; candidates broadcast into it — no post-join " +
+      "predicate, no shuffle for the filter") {
+    val df = SparkEntry.queries("s12_ann_filtered")(spark, TestSpark.sfDir)
+    val docScans = fileScans(df).filter(f =>
+      scanRoots(f).exists(_.contains("documents.parquet")))
+    docScans should not be empty
+    // the lang predicate reaches parquet (row-group pruning at scale),
+    // and the scan reads ONLY doc_id + lang — never text
+    docScans.foreach { f =>
+      withClue(f.toString) {
+        f.metadata("PushedFilters") should include("EqualTo(lang,")
+        f.metadata("ReadSchema") should not include "text"
+      }
+    }
+    val p = df.queryExecution.executedPlan.toString
+    // the request-bounded candidate set is the BUILD side of a
+    // broadcast join against the streamed docs scan — the predicate
+    // costs zero shuffles at any corpus size
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
   }
 
   test("q5/q7/q36: few-group rankings avoid the per-group window too") {

@@ -529,6 +529,96 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     byDoc(5L) shouldBe ((2L, 0L))
   }
 
+  test("ST15 streaming token-budget fill equals batch t22 across " +
+      "micro-batches") {
+    import spark.implicits._
+    import StreamOps.{FilledDoc, PackDoc}
+    // the batch reference: t22's selected rows carry the per-source
+    // budgets the stream receives as its planning input
+    val batch = graft.SparkEntry.queries("t22_token_budget_mixture")(
+      spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val budgets = batch.map(r => r._1 -> r._5).toMap
+    // the full corpus in per-source doc-id order, split into three
+    // micro-batches by doc_id range (arrival order = doc order, the
+    // documented stream ≡ batch precondition)
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir,
+        "documents")
+      .select(col("source"), col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long").as("n_tok"))
+      .collect()
+      .map(r => PackDoc(r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.docId)
+    val splits = docs.grouped(math.max(1, docs.length / 3 + 1)).toSeq
+
+    val in = MemoryStream[PackDoc](spark)
+    val out = StreamOps.budgetFillStream(in.toDS(), budgets)
+    val q = out.writeStream.format("memory").queryName("st15")
+      .outputMode("append").start()
+    try {
+      splits.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val got = spark.table("st15").as[FilledDoc].collect()
+        .map(f => (f.source, f.docId, f.nTokens, f.cumTok, f.budget))
+      got.sortBy(r => (r._1, r._2)) shouldBe batch.sortBy(r => (r._1, r._2))
+    } finally q.stop()
+  }
+
+  test("ST15 recovery: spent-budget state survives a kill + restart " +
+      "and the resumed stream still equals batch t22") {
+    import spark.implicits._
+    import StreamOps.{FilledDoc, PackDoc}
+    val batch = graft.SparkEntry.queries("t22_token_budget_mixture")(
+      spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val budgets = batch.map(r => r._1 -> r._5).toMap
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir,
+        "documents")
+      .select(col("source"), col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long").as("n_tok"))
+      .collect()
+      .map(r => PackDoc(r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.docId)
+    val (first, rest) = docs.splitAt(docs.length / 2)
+
+    val in = MemoryStream[PackDoc](spark)
+    val out = StreamOps.budgetFillStream(in.toDS(), budgets)
+    val ckpt = checkpointDir()
+    val buf = scala.collection.mutable.Buffer.empty[FilledDoc]
+    def start() = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[FilledDoc],
+          _: Long) =>
+        val rows = ds.collect(); buf.synchronized { buf ++= rows }; ()
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      in.addData(first.toIndexedSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      // a lost BudgetState would re-admit over-budget documents here:
+      // the recovered `used` is what keeps the continuation exact
+      in.addData(rest.toIndexedSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = buf.synchronized(buf.toSeq)
+      .map(f => (f.source, f.docId, f.nTokens, f.cumTok, f.budget))
+    got.sortBy(r => (r._1, r._2)) shouldBe
+      batch.toSeq.sortBy(r => (r._1, r._2))
+  }
+
   test("ST9 recovery: streaming ANN equals batch results across a restart") {
     import spark.implicits._
     val emb = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
