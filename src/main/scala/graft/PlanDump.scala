@@ -15,7 +15,11 @@ object PlanDump {
         "s10_knn_incremental", "s11_knn_descent",
         "d15_semantic_keep", "d15l_semantic_keep_ledger",
         "p3_training_corpus_v3", "c1_cluster_mixture",
-        "t23_epoch_mixture", "c2_cluster_token_budget").foreach { n =>
+        "t23_epoch_mixture", "c2_cluster_token_budget",
+        "t24_quality_budget_fill", "s11l_knn_descent_ledger",
+        "s12_ann_filtered", "t25_embedding_decontam",
+        "c1l_cluster_mixture_ledger", "c2l_cluster_token_budget_ledger",
+        "t26_shard_shuffle", "p4_training_corpus_v4").foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)

@@ -103,22 +103,27 @@ object CurationOps extends QueryGroup {
         SimilarityOps.StoredQuantizer(SimilarityOps.s8LedgerPath(dir))),
       tap)
 
-  private def centsCte(tap: String): String =
+  /** The tapped-centroid assignment CTE block (cents → `{p}scored` →
+    * `{p}assign`). `p` prefixes the inner names so composers (p4)
+    * can chain it next to CTE blocks that already bind `scored`;
+    * the default keeps c1/c2's oracle strings byte-identical.
+    */
+  private[queries] def centsCte(tap: String, p: String = ""): String =
     s"""cents AS (
        |  SELECT cid, cv
        |  FROM read_parquet('${graft.sources.VerifyTap.root}/$tap/*.parquet')
-       |), scored AS (
+       |), ${p}scored AS (
        |  SELECT e.vec_id, c.cid,
        |    list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(cv[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)
        |    / ( sqrt(list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y))
        |      * sqrt(list_reduce(list_prepend(0.0, [(cv[i]::DOUBLE)*(cv[i]::DOUBLE) for i in range(1, len(cv)+1)]), (x,y) -> x+y)) ) AS sim
        |  FROM embeddings e CROSS JOIN cents c
-       |), assign AS (
+       |), ${p}assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id
        |                         ORDER BY sim DESC, cid) AS r
-       |    FROM scored) t WHERE r = 1
+       |    FROM ${p}scored) t WHERE r = 1
        |)""".stripMargin
 
   private def c1Oracle(tap: String): String =

@@ -412,7 +412,7 @@ object DedupOps extends QueryGroup {
   // variants live in S2 (LSH) / S3 (IVF). Oracle: DuckDB reproduces the
   // identical strict left-to-right float→double fold (same model as s1),
   // so cosines — and the ≥ threshold set — match bit for bit.
-  private val cosT = 0.4
+  private[queries] val cosT = 0.4
   private val d5 = QueryDef(
     "d5_dedup_embedding",
     (s, dir) => {

@@ -453,5 +453,146 @@ object PipelineOps extends QueryGroup {
        |WHERE c22.cum_tok - c22.n_tok < b22.budget
        |ORDER BY source, doc_id""".stripMargin))
 
-  override val queries: Seq[QueryDef] = Seq(p1, p2, p3)
+  // ---------------------------------------------------------------- P4
+  // The EMBEDDING-NATIVE curation chain (r18) — p3 curates by n-grams
+  // and classifiers; p4 is the same end-to-end discipline for the
+  // semantic stages a modern pipeline runs INSTEAD when it owns an
+  // embedding column, and every ANN-shaped stage reads the LEDGERS the
+  // pipeline maintains rather than rebuilding indexes per run (the
+  // d15l/s11l/c1l production shape, composed):
+  //
+  //   SemDeDup keep-rule over the MAINTAINED s10 kNN-graph ledger
+  //   (d15l: ~CC + a partition-committed read — the n^1.5 graph build
+  //   happens at most once, at bootstrap) → embedding-space
+  //   decontamination (t25: the broadcast eval suite flags every
+  //   survivor within cosine radius; the eval holdout itself leaves
+  //   the corpus, the t6/p3 discipline) → cluster-balanced TOKEN
+  //   budget from the STORED s8 quantizer (c2l: assignment is one
+  //   survivor scan + the fixed-width hash-agg argmax; quotas are
+  //   cells-bounded broadcasts; the fill is the t9 distributed prefix
+  //   sum — no per-cluster window wall).
+  //
+  // One lazy plan; the only output-sized pin is the final
+  // (cid, doc_id, n_tok) frame (everything upstream of it — ledger
+  // read, CC, anti-joins, argmax — would otherwise replay per
+  // budget-fill pass; the p2 lesson). Scale shape: ledger reads are
+  // PartitionFilters-pruned parquet, the eval suite and centroid
+  // tables broadcast, candidates stay bounded per item (LshTuning),
+  // and the corpus-sized shuffles are exactly the three the semantics
+  // need (CC's label propagation on the near-dup minority, the
+  // assignment argmax, the narrow prefix-sum rank).
+  //
+  // Oracle: the three ANN taps (graph edges, decontam candidates,
+  // stored centroids) feed one chained CTE — DuckDB re-scores the
+  // graph with the exact fold and re-ranks top-KG, re-runs the
+  // recursive CC and the keep rule, re-scores every decontam
+  // candidate against the radius, re-derives the ENTIRE cluster
+  // assignment from the tapped centroids (bit-exact cross-engine
+  // cosine), and re-fills the token budgets — so the composition,
+  // not just each stage, is hash-gated, under any ledger history
+  // (the taps carry what the ledgers actually produced).
+  private val p4 = QueryDef(
+    "p4_training_corpus_v4",
+    (s, dir) => {
+      // stage 1: SemDeDup keepers over the maintained s10 graph ledger
+      val keepers = DedupOps.semanticKeepOver(s, dir,
+          SimilarityOps.LedgerGraph(SimilarityOps.s10LedgerPath(dir)),
+          "p4_graph")
+        .select(col("vec_id").as("doc_id"))
+      // stage 2: embedding decontamination — the eval holdout leaves
+      // the corpus; every keeper within decontamR of an eval vector
+      // is flagged and anti-joined out
+      val flagged = SimilarityOps.decontamPairs(s, dir, "p4_dec")
+      val surv = TextOps.applyDecontam(
+        keepers.filter(
+          pmod(col("doc_id"),
+            lit(SimilarityOps.decontamMod.toLong)) =!= 0L),
+        flagged)
+      // stage 3: cluster-balanced token budget from the STORED s8
+      // quantizer (no per-run Lloyd training — the c1l/c2l shape)
+      val cents = graft.sources.VerifyTap(
+        SimilarityOps.quantizerCentroids(s, dir,
+          SimilarityOps.StoredQuantizer(SimilarityOps.s8LedgerPath(dir))),
+        "p4_cents")
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .join(surv.select(col("doc_id").as("vec_id")), "vec_id")
+      val assign = SimilarityOps.assignCids(e, cents)
+        .select(col("vec_id").as("doc_id"), col("cid"))
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " "))
+            .cast(org.apache.spark.sql.types.LongType).as("n_tok"))
+      val sel = assign.join(toks, "doc_id")
+        .select(col("cid"), col("doc_id"), col("n_tok"))
+        .localCheckpoint()
+      TextOps.tokenBudgetSelect(sel, "cid").orderBy("cid", "doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${SimilarityOps.knnGraphCtes("p4_graph")},
+       |good AS (
+       |  SELECT qid AS i, vec_id AS j FROM granked
+       |  WHERE cosine >= ${DedupOps.cosT}
+       |),
+       |gedges AS (SELECT i AS a, j AS b FROM good
+       |           UNION ALL SELECT j, i FROM good),
+       |reach AS (
+       |  SELECT vec_id AS node, vec_id AS lab FROM embeddings
+       |  UNION
+       |  SELECT e.b, r.lab FROM reach r JOIN gedges e ON e.a = r.node
+       |),
+       |keepers AS (
+       |  SELECT node AS doc_id FROM reach
+       |  GROUP BY node HAVING node = MIN(lab)
+       |),
+       |dcand AS (
+       |  SELECT qid, vec_id, qe, embedding
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/p4_dec/*.parquet')
+       |),
+       |dscored AS (
+       |  SELECT qid, vec_id,
+       |    list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)
+       |    / ( sqrt(list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(qe[i]::DOUBLE) for i in range(1, len(qe)+1)]), (x,y) -> x+y))
+       |      * sqrt(list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)) ) AS cosine
+       |  FROM dcand
+       |),
+       |flagged AS (
+       |  SELECT DISTINCT vec_id AS doc_id FROM dscored
+       |  WHERE cosine >= ${SimilarityOps.decontamR}
+       |),
+       |surv AS (
+       |  SELECT doc_id FROM keepers
+       |  WHERE doc_id % ${SimilarityOps.decontamMod} <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM flagged)
+       |),
+       |${CurationOps.centsCte("p4_cents", "c")},
+       |d AS (
+       |  SELECT a.cid, a.vec_id AS doc_id,
+       |    CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_tok
+       |  FROM cassign a
+       |  JOIN surv sv ON sv.doc_id = a.vec_id
+       |  JOIN documents doc ON doc.doc_id = a.vec_id
+       |), stats AS (
+       |  SELECT cid,
+       |    CAST(sqrt(CAST(SUM(n_tok) AS DOUBLE)) AS DECIMAL(18,9)) AS sqrt_d
+       |  FROM d GROUP BY cid
+       |), budgets AS (
+       |  SELECT cid,
+       |    GREATEST(1, CAST(FLOOR(${TextOps.mixTokT} *
+       |      (CAST(sqrt_d AS DOUBLE) / CAST(SUM(sqrt_d) OVER () AS DOUBLE)))
+       |      AS BIGINT)) AS budget
+       |  FROM stats
+       |), cfill AS (
+       |  SELECT cid, doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY cid ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tok
+       |  FROM d
+       |)
+       |SELECT cfill.cid, cfill.doc_id, cfill.n_tok, cfill.cum_tok,
+       |  b.budget
+       |FROM cfill JOIN budgets b USING (cid)
+       |WHERE cfill.cum_tok - cfill.n_tok < b.budget
+       |ORDER BY cid, doc_id""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(p1, p2, p3, p4)
 }

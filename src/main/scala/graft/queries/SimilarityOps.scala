@@ -1178,6 +1178,16 @@ object SimilarityOps extends QueryGroup {
     * ledger was bootstrapped on the same corpus (AnnRecallSpec's
     * merged-equals-one-pass contract + deterministic training;
     * spec-gated in DedupConsistencySpec).
+    *
+    * PRODUCTION RECALL CONFIG (F18, r18): consumers that need the
+    * 0.8 recall@5 floor should read [[knnGraphRefinedLedger]] — the
+    * maintained graph plus 2 NN-descent rounds at workK = 2·[[KG]]
+    * (measured 0.830 at sf0.1, curve 0.624 → 0.680 → 0.830; floored
+    * in AnnRecallSpec on BOTH the rebuild and ledger paths, cost rows
+    * in BASELINE §recall-curve and the s10-growth table). The raw
+    * ledger read (this seam) is the dedup-grade graph — SemDeDup/CC
+    * consumers tolerate its recall because the keep-rule only needs
+    * near-duplicate EDGES, not complete neighborhoods.
     */
   private[graft] sealed trait KnnGraphSource
   private[graft] case object RebuildGraph extends KnnGraphSource

@@ -1624,6 +1624,56 @@ object TextOps extends QueryGroup {
        |FROM scored WHERE cosine >= ${SimilarityOps.decontamR}
        |ORDER BY doc_id, eval_id""".stripMargin))
 
+  // --------------------------------------------------------------- T26
+  // DETERMINISTIC SHARD SHUFFLE (r18) — the export step every training
+  // run ends with: scatter the corpus into S shards in a seeded
+  // pseudorandom order so data loaders stream shards sequentially and
+  // still see a shuffled corpus. A global ORDER BY rand() is the naive
+  // shape (one total sort, unreproducible); this is the scalable one:
+  // a seeded multiplicative Fibonacci hash (Knuth §6.4: k = (doc_id +
+  // seed)·2654435761 mod 2³²) gives every doc a deterministic
+  // pseudorandom key, the shard is the key's TOP 3 bits (the low bits
+  // of a multiplicative hash mod 2^w are a mere permutation of the
+  // input's low bits — sequential ids would stripe round-robin; the
+  // high bits mix), and the within-shard position is the grouped range
+  // rank on (k, doc_id) — GlobalOrder's two-job rank, never a
+  // per-shard window wall. Reproducible across engines, reruns, and
+  // cluster sizes (pure arithmetic — no partitioner dependence);
+  // re-seeding re-deals every epoch. Scale: one narrow projection +
+  // one range-partitioned rank; at 100 TB the sort key is 16 bytes/row.
+  private[queries] val shardSeed = 7L
+  private[queries] val shardMult = 2654435761L // ⌊2³²/φ⌋, odd
+  private[queries] val shardMod = 4294967296L // 2³²
+  private[queries] val shardDiv = 536870912L // 2²⁹ → 8 shards (top 3 bits)
+  private val t26 = QueryDef(
+    "t26_shard_shuffle",
+    (s, dir) => {
+      val keyed = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .withColumn("k",
+          pmod((col("doc_id") + lit(shardSeed)) * lit(shardMult),
+            lit(shardMod)))
+        // exact: k < 2³² and the divisor is a power of two, so the
+        // double quotient is exact and floor matches integer division
+        .withColumn("shard",
+          floor(col("k") / lit(shardDiv.toDouble)).cast(LongType))
+      graft.operators.GlobalOrder.withGroupedRank(
+          keyed, Seq("shard"), Seq(col("k"), col("doc_id")), "pos")
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    },
+    Some(s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    ((doc_id + $shardSeed) * $shardMult) % $shardMod AS k
+       |  FROM documents
+       |)
+       |SELECT CAST(k // $shardDiv AS BIGINT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY k // $shardDiv ORDER BY k, doc_id) AS BIGINT)
+       |    AS pos,
+       |  doc_id
+       |FROM keyed
+       |ORDER BY shard, pos""".stripMargin))
+
   /** The t25 pipeline seam: drop every flagged document from a corpus
     * frame (doc_id-keyed anti-join; `pairs` is t25's output shape or
     * any (doc_id, ...) flag set).
@@ -1635,5 +1685,5 @@ object TextOps extends QueryGroup {
 
   override val queries: Seq[QueryDef] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
 }

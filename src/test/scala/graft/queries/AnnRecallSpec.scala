@@ -414,6 +414,48 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     r should be >= 0.8
   }
 
+  test("kNN-graph production recall THROUGH THE LEDGER: " +
+      "knnGraphRefinedLedger clears 0.8 recall@5 at sf0.1") {
+    // the r17-verdict follow-through: the 0.8 floor must be reachable
+    // from the MAINTAINED s10 graph, not just the 2·KG-seeded rebuild.
+    // The stored base is KG-wide (the ledger's layout); round 1's
+    // expansion rebuilds the working width, so the daily cost is
+    // O(batch) maintenance + linear descent rounds, never the n^1.5
+    // seed rebuild. Measured 0.830 at the shipped defaults, curve
+    // 0.624 (ledger seed) → 0.680 → 0.830 (RecallCurve ledger arm,
+    // r18 — BASELINE §recall-curve); floor shared with the rebuild
+    // arm.
+    val dir = "/root/testdata/sf0.1"
+    val path = s"/tmp/graft_state/graft_s10_recall_${java.util.UUID
+      .randomUUID().toString.take(8)}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.cosine
+    try {
+      val e = graft.sources.Tables.load(spark, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val truth = SimilarityOps.topKAgg(
+          e.join(broadcast(q), col("qid") =!= col("vec_id"))
+            .withColumn("cosine", cosine(col("qe"), col("embedding")))
+            .select("qid", "vec_id", "cosine"),
+          SimilarityOps.KG, ordered = false)
+        .select("qid", "neighbor_id").collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val got = SimilarityOps.knnGraphRefinedLedger(spark, dir, path)
+        .select("qid", "neighbor_id").collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      got.keySet shouldBe truth.keySet
+      all(got.values.map(_.size)) shouldBe SimilarityOps.KG
+      val r = recall(got, truth)
+      info(f"ledger-refined kNN-graph recall@5 at sf0.1 = $r%.3f")
+      r should be >= 0.8
+    } finally rm(new java.io.File(path))
+  }
+
   test("S9 kNN graph: complete (every vector, exactly KG edges), " +
       "recall vs the exact graph beats its scan fraction") {
     val g = SparkEntry.queries("s9_knn_graph")(spark, TestSpark.sfDir)

@@ -293,6 +293,30 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should not include "Window"
   }
 
+  test("t26: shard shuffle ranks via GroupedRank — no per-shard " +
+      "window wall; the 8-row shard-offset table broadcasts") {
+    // the export shuffle's scale contract: position-within-shard must
+    // come from the two-job range rank, never row_number() OVER
+    // (PARTITION BY shard) — 8 shards ⇒ each shard's full corpus
+    // through one reducer at 100 TB.
+    val p = plan("t26_shard_shuffle")
+    p should not include "Window"
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("p4: the embedding-native chain's budget fill keeps the " +
+      "no-Window discipline above the output-sized pin") {
+    // the tail above p4's localCheckpoint pin (budget stats, prefix
+    // sum, quota join) must stay broadcast + range-rank shaped — the
+    // c2/t22 contract; the pinned upstream stages carry their own
+    // gates (d15l's pruned ledger read, c1's hash-agg argmax).
+    val p = plan("p4_training_corpus_v4")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p.linesIterator.count(_.contains("BroadcastExchange")) should be >= 2
+  }
+
   test("q5/q7/q36: few-group rankings avoid the per-group window too") {
     // the same wall at relational scale: rank/top-k/lag partitioned by
     // a handful of values (5 segments, 5 priorities, ~10 sources).

@@ -512,4 +512,36 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     pairs.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id")))
       .toSeq should contain((1L, 118L))
   }
+
+  test("t26: shard shuffle is a seeded permutation — every doc exactly " +
+      "once, contiguous positions per shard, deterministic reruns, and " +
+      "top-bit mixing keeps sequential ids off round-robin stripes") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir,
+        "documents").select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = run("t26_shard_shuffle").collect()
+    // a permutation: every document exactly once
+    out.length shouldBe docs.size
+    out.map(_.getLong(2)).toSet shouldBe docs
+    // shards are the hash key's top 3 bits; positions are a contiguous
+    // 1..n_shard ranking within each shard
+    val byShard = out.groupBy(_.getLong(0))
+    all(byShard.keySet) should (be >= 0L and be <= 7L)
+    byShard.keySet.size shouldBe 8 // every shard populated at sf0.001
+    byShard.values.foreach { rows =>
+      rows.map(_.getLong(1)).sorted.toSeq shouldBe
+        (1L to rows.length).toSeq
+    }
+    // deterministic: pure arithmetic, so a rerun deals identically
+    run("t26_shard_shuffle").collect().map(_.toSeq).toSeq shouldBe
+      out.map(_.toSeq).toSeq
+    // the low-bits failure mode (shard = k mod 8 with an odd
+    // multiplier) maps consecutive doc_ids round-robin: the shard
+    // DELTA between id and id+1 would be the constant mult mod 8.
+    // Top-bit shards must break that periodicity.
+    val shardOf = out.map(r => r.getLong(2) -> r.getLong(0)).toMap
+    val deltas = docs.toSeq.sorted.filter(i => docs.contains(i + 1))
+      .take(32)
+      .map(i => (shardOf(i + 1) - shardOf(i) + 8) % 8)
+    deltas.distinct.size should be > 1
+  }
 }
