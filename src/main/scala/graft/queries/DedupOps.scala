@@ -886,21 +886,32 @@ object DedupOps extends QueryGroup {
     * through the Hadoop FileSystem API, so the ledger can live on
     * shared storage (HDFS/S3A) on a real cluster, not just local disk.
     */
+  /** Hash data present at `path`? The DIR existing is not enough: the
+    * d16 Bloom sidecar (`_bloom/`, written before the bootstrap by the
+    * crash-ordering contract) creates the parent dir first — data
+    * means at least one `pfx=` partition.
+    */
+  private def ledgerDataExists(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("pfx="))
+
+  // repartition ON pfx before the partitioned write: without it every
+  // writing task holds rows of ~all 256 prefixes and emits a file per
+  // (task × prefix) — 32 tasks × 256 dirs = 8k files from one
+  // bootstrap, and the steady-state scan pays the listing/footers.
+  // Clustered, each prefix dir gets as many files as tasks that hash
+  // to it (~1): ≤256 files total, ~125 MB each at the 32 GB ledger a
+  // 100 TB corpus implies.
+  private def withPfx(df: DataFrame): DataFrame =
+    df.withColumn("pfx", substring(col("content_hash"), 1, 1))
+      .repartition(col("pfx"))
+
   private[graft] def refreshLedger(s: SparkSession, path: String,
       prior: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // repartition ON pfx before the partitioned write: without it every
-    // writing task holds rows of ~all 256 prefixes and emits a file per
-    // (task × prefix) — 32 tasks × 256 dirs = 8k files from one
-    // bootstrap, and the steady-state scan pays the listing/footers.
-    // Clustered, each prefix dir gets as many files as tasks that hash
-    // to it (~1): ≤256 files total, ~125 MB each at the 32 GB ledger a
-    // 100 TB corpus implies.
-    def withPfx(df: DataFrame): DataFrame =
-      df.withColumn("pfx", substring(col("content_hash"), 1, 1))
-        .repartition(col("pfx"))
-    if (!fs.exists(p))
+    if (!ledgerDataExists(fs, p))
       withPfx(prior).write.partitionBy("pfx").mode("overwrite").parquet(path)
     else {
       // novel hashes only; materialized (batch-sized) before the append
@@ -1483,7 +1494,216 @@ object DedupOps extends QueryGroup {
       "d15l_cand"),
     Some(semanticKeepOracle("d15l_cand")))
 
+  // --------------------------------------------------------------- D16
+  // BLOOM-GUARDED incremental dedup — d9's daily-ingest shape with the
+  // ledger anti-join demoted to a rare path. d9's plan joins EVERY
+  // batch row against the (prefix-pruned) hash ledger; at a 100 TB
+  // corpus that is a daily shuffle of the whole batch against a 32 GB
+  // hash set even though almost every row is novel. Here a Bloom
+  // filter maintained BESIDE the ledger ([[graft.functions
+  // .BloomMembership]] — Spark's own codegen'd `BloomFilterAggregate`
+  // to build, the compact [[graft.functions.BloomGuard]] probe to
+  // test, the same shape as the optimizer's runtime filters) answers
+  // "definitely not in the ledger" map-side at scan speed: negatives
+  // pass straight through with NO join, and only the positives (true
+  // re-ingests + the ~2% false-positive tail) pay the exact
+  // prefix-pruned anti-join. Bloom filters have no false negatives, so
+  // the result is EXACT — the oracle is the same from-scratch
+  // derivation as d9's.
+  //
+  // State protocol (the marker-last discipline): the filter lives
+  // under `_bloom/` INSIDE the ledger dir (underscore-prefixed ⇒
+  // invisible to the parquet scan) as immutable `v{N}.bloom` versions
+  // plus a `_CURRENT` marker. Every APPEND refresh writes the NEW
+  // filter (stored ∪ this run's hashes — one partial-agg pass,
+  // bitwise-OR mergeable, never an item collect) and flips the marker
+  // BEFORE appending novel hashes to the ledger, so any crash point
+  // leaves either bloom ⊇ ledger or NO committed filter — the two
+  // states correctness rides on: an over-approximate filter only sends
+  // extra rows to the exact check, and an absent one degrades to the
+  // full exact join (d9's plan).
+  // A missing/incompatible filter (manual deletion, sizing change)
+  // degrades to a one-time rebuild from the full ledger, never to a
+  // wrong answer; replay is idempotent. Scale: the probe is one
+  // in-codegen bitmap test per row; the 1 MB bitmap (1.3 GB at 10⁹
+  // hashes — one torrent broadcast, or 16 prefix shards) replaces the
+  // per-batch ledger shuffle, and filter + ledger maintenance are both
+  // O(novel).
+  private[graft] def d16LedgerPath(dir: String): String = {
+    val f = new java.io.File(dir)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(f.getAbsolutePath.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+    s"/tmp/graft_state/graft_d16_ledger_${f.getName}_${digest}_p1"
+  }
+
+  private def bloomMarker(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_bloom/_CURRENT")
+
+  /** The committed Bloom sidecar, or None before bootstrap. */
+  private[graft] def readBloom(s: SparkSession,
+      path: String): Option[Array[Byte]] = {
+    val marker = bloomMarker(path)
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val v = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      val vf = new org.apache.hadoop.fs.Path(s"$path/_bloom/$v.bloom")
+      if (!fs.exists(vf)) None
+      else {
+        val st = fs.getFileStatus(vf)
+        val bytes = new Array[Byte](st.getLen.toInt)
+        val din = fs.open(vf)
+        try din.readFully(0L, bytes) finally din.close()
+        Some(bytes)
+      }
+    }
+  }
+
+  /** One partial-agg pass → serialized filter of a hash column (the
+    * empty filter when the frame is empty — never null).
+    */
+  private def buildBloom(hashes: DataFrame): Array[Byte] =
+    Option(hashes.agg(graft.functions.BloomMembership
+        .bloomAgg(xxhash64(col("content_hash"))).as("bits"))
+      .head.getAs[Array[Byte]]("bits"))
+      .getOrElse(graft.functions.BloomMembership.serialize(
+        org.apache.spark.util.sketch.BloomFilter.create(
+          graft.functions.BloomMembership.defaultNumItems,
+          graft.functions.BloomMembership.defaultNumBits)))
+
+  /** Commit a new filter version under `_bloom/`, marker last; the
+    * superseded version is GC'd best-effort after the flip.
+    */
+  private def commitBloom(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, bits: Array[Byte]): Unit = {
+    val marker = bloomMarker(path)
+    val prev = if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in).mkString.trim.stripPrefix("v")
+        .toLong
+      finally in.close()
+    } else 0L
+    val vname = s"v${prev + 1}"
+    val vf = new org.apache.hadoop.fs.Path(s"$path/_bloom/$vname.bloom")
+    val out = fs.create(vf, true)
+    try out.write(bits) finally out.close()
+    val mout = fs.create(marker, true)
+    try mout.write(vname.getBytes("UTF-8")) finally mout.close()
+    if (prev > 0L)
+      try fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/_bloom/v$prev.bloom"), false)
+      catch { case _: java.io.IOException => () }
+  }
+
+  /** d9's [[refreshLedger]] with the Bloom sidecar maintained under
+    * the crash ordering the d16 header argues: on APPEND the filter
+    * flips BEFORE the ledger grows (a stale filter over a grown ledger
+    * would yield false negatives = wrong answers; the reverse is only
+    * over-approximate). On BOOTSTRAP the parquet is written first —
+    * the overwrite-mode bootstrap clears the directory, and a crash
+    * before the filter lands just leaves `readBloom = None`, which the
+    * query path degrades to the full exact join and the next refresh
+    * heals by rebuilding from the standing ledger.
+    *
+    * Filter maintenance is O(novel), matching the ledger's own
+    * contract: the stored filter already covers every ledgered hash
+    * (superset invariant), so only the novel remainder — computed once,
+    * shared with the append — is sketched and OR'd in. The steady
+    * state (all hashes known) touches NEITHER file: the ledger stays
+    * append-only and the filter keeps its committed version, so the
+    * whole refresh is one anti-join, exactly d9's.
+    */
+  private[graft] def refreshLedgerBloomed(s: SparkSession, path: String,
+      prior: DataFrame): Unit = {
+    import graft.functions.BloomMembership
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!ledgerDataExists(fs, p)) {
+      refreshLedger(s, path, prior) // overwrite bootstrap clears dir
+      // sketch from the just-written parquet (a column read — cheaper
+      // than re-deriving the corpus-sized prior pipeline)
+      commitBloom(fs, path,
+        buildBloom(s.read.parquet(path).select("content_hash")))
+    } else {
+      val novel = prior
+        .join(s.read.parquet(path).select("content_hash"),
+          Seq("content_hash"), "left_anti")
+        .localCheckpoint()
+      if (!novel.isEmpty) {
+        val merged: Array[Byte] = (readBloom(s, path) match {
+          case Some(stored) =>
+            try Some(BloomMembership.merge(stored, buildBloom(novel)))
+            catch { // sizing changed: rebuild from ledger ∪ novel, once
+              case _: org.apache.spark.util.sketch
+                  .IncompatibleMergeException => None
+            }
+          case None => None // ledger without filter: rebuild, once
+        }).getOrElse(buildBloom(
+          s.read.parquet(path).select("content_hash")
+            .unionByName(novel.select("content_hash"))))
+        commitBloom(fs, path, merged) // flip BEFORE the append
+        withPfx(novel).write.partitionBy("pfx").mode("append").parquet(path)
+      } else if (readBloom(s, path).isEmpty)
+        // nothing novel but the filter is missing (manual deletion):
+        // self-heal from the standing ledger
+        commitBloom(fs, path,
+          buildBloom(s.read.parquet(path).select("content_hash")))
+    }
+  }
+
+  /** The dedup plan itself: Bloom-negative rows bypass the join
+    * entirely; positives pay the exact prefix-pruned anti-join. With
+    * no committed filter, degrades to d9's full anti-join — never
+    * wrong, only slower.
+    */
+  private[graft] def bloomGuardedDedup(batch: DataFrame, ledger: DataFrame,
+      bloom: Option[Array[Byte]]): DataFrame = {
+    val hashed = batch.withColumn("content_hash", md5(col("text")))
+    val novel = bloom match {
+      case None =>
+        hashed.join(prunedByPrefix(ledger, hashed).select("content_hash"),
+          Seq("content_hash"), "left_anti")
+      case Some(bits) =>
+        val mc = graft.functions.BloomMembership
+          .mightContain(bits, xxhash64(col("content_hash")))
+        val cand = hashed.filter(mc)
+        hashed.filter(!mc).unionByName(
+          cand.join(prunedByPrefix(ledger, cand).select("content_hash"),
+            Seq("content_hash"), "left_anti"))
+    }
+    novel.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  private val d16 = QueryDef(
+    "d16_bloom_dedup",
+    (s, dir) => {
+      val all = docs(s, dir)
+      val prior = all.filter(col("source") =!= "src1")
+        .select(md5(col("text")).as("content_hash")).distinct()
+      val path = d16LedgerPath(dir)
+      refreshLedgerBloomed(s, path, prior)
+      bloomGuardedDedup(all.filter(col("source") === "src1"),
+        s.read.parquet(path), readBloom(s, path))
+        .orderBy("content_hash")
+    },
+    Some("""WITH ledger AS (
+       |  SELECT DISTINCT md5(text) AS content_hash
+       |  FROM documents WHERE source <> 'src1'
+       |), batch AS (
+       |  SELECT md5(text) AS content_hash, doc_id
+       |  FROM documents WHERE source = 'src1'
+       |)
+       |SELECT content_hash, MIN(doc_id) AS keep_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_copies
+       |FROM batch
+       |WHERE content_hash NOT IN (SELECT content_hash FROM ledger)
+       |GROUP BY content_hash ORDER BY content_hash""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d8i, d9, d10, d11, d12, d13, d14,
-      d15, d15l)
+      d15, d15l, d16)
 }
