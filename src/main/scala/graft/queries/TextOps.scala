@@ -1674,6 +1674,120 @@ object TextOps extends QueryGroup {
        |FROM keyed
        |ORDER BY shard, pos""".stripMargin))
 
+  // --------------------------------------------------------------- T27
+  // DSIR-style importance selection (Xie et al., "Data Selection for
+  // Language Models via Importance Resampling", NeurIPS 2023): score
+  // every document by how much it resembles a TARGET distribution
+  // (here: the lang='en' slice — in production, a trusted high-quality
+  // corpus) under hashed-n-gram bag-of-words models, and keep the
+  // top-quarter by log importance weight. The classic data-selection
+  // complement of t21's trained classifier and t24's intrinsic quality
+  // score: no labels and no training loop, just two count aggregations.
+  //
+  //   logw(doc) = Σ_b c_doc(b) · ln( p̂_target(b) / p̂_raw(b) )
+  //
+  // with b = md5-hashed token buckets (B=512) and Laplace-smoothed
+  // per-bucket probabilities. Scale: token→bucket hashing is map-side;
+  // the bucket statistics table is B-bounded (one partial-agg pass,
+  // broadcast back — never data-sized); per-doc scoring is one
+  // partial-agg sum; selection rides the two-job global rank, never a
+  // single-reducer window. Cross-engine determinism: the only
+  // transcendental (ln of an exact-integer rational) is quantized to
+  // DECIMAL(18,9) BEFORE the weighted sum (the t13/t17 grid
+  // discipline), so logw is an EXACT decimal and the rank order is
+  // engine-independent; the final cast to double is exact (unscaled
+  // values ≪ 2⁵³).
+  private[queries] val dsirB = 512L // hash buckets
+
+  /** t27's scoring stage: (doc_id, lang, lw) with lw the exact-decimal
+    * DSIR log importance weight. A named seam so the spec can gate the
+    * stage's plan (the rank's RDD boundary hides it from the final
+    * plan) and so pipelines can reuse the score without the selection.
+    */
+  private[queries] def dsirScores(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("w").cast("binary")), 1, 6),
+      16, 10).cast(LongType) % dsirB
+    val feat = graft.operators.ScratchCache.scratch(
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(words(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("lang"), bucket.as("b"))
+        .agg(count(lit(1)).as("c")))
+    val isTgt = col("lang") === "en"
+    val bstat = feat.groupBy("b")
+      .agg(sum(when(isTgt, col("c")).otherwise(0L)).as("ct"),
+        sum(col("c")).as("cr"))
+    val tot = feat.agg(
+      sum(when(isTgt, col("c")).otherwise(0L)).as("nt"),
+      sum(col("c")).as("nr"))
+    val lam = bstat.crossJoin(broadcast(tot))
+      .select(col("b"), log(
+        ((col("ct") + 1L).cast(DoubleType) /
+          (col("cr") + 1L).cast(DoubleType)) *
+        ((col("nr") + dsirB).cast(DoubleType) /
+          (col("nt") + dsirB).cast(DoubleType)))
+        .cast(DecimalType(18, 9)).as("lam"))
+    feat.join(broadcast(lam), "b")
+      .groupBy("doc_id", "lang")
+      // c as DECIMAL(10,0): a raw long would push the product past
+      // precision 38 and Spark silently drops scale (rounds) to fit,
+      // while DuckDB keeps (38,9) — the narrower operand keeps both
+      // engines' products exact at scale 9
+      .agg(sum(col("c").cast(DecimalType(10, 0)) * col("lam")).as("lw"))
+  }
+
+  private val t27 = QueryDef(
+    "t27_dsir_select",
+    (s, dir) => {
+      val ranked = graft.operators.GlobalOrder.withGlobalRank(
+        dsirScores(s, dir), Seq(col("lw").desc, col("doc_id")), "rnk")
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .filter(col("rnk") <= ((col("n") + 3L) / 4L).cast(LongType))
+        .select(col("doc_id"), col("lang"),
+          col("lw").cast(DoubleType).as("logw"), col("rnk"))
+        .orderBy("rnk")
+    },
+    Some(s"""WITH feat AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(w),1,6))::BIGINT % $dsirB AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS w
+       |        FROM documents)
+       |  GROUP BY doc_id, lang, b
+       |), bstat AS (
+       |  SELECT b,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(SUM(c) AS BIGINT) AS cr
+       |  FROM feat GROUP BY b
+       |), tot AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS nt,
+       |    CAST(SUM(c) AS BIGINT) AS nr
+       |  FROM feat
+       |), lam AS (
+       |  SELECT b, CAST(ln(
+       |      ((ct+1)::DOUBLE / (cr+1)::DOUBLE)
+       |      * ((nr+$dsirB)::DOUBLE / (nt+$dsirB)::DOUBLE))
+       |    AS DECIMAL(18,9)) AS lam
+       |  FROM bstat, tot
+       |), logw AS (
+       |  SELECT f.doc_id, f.lang,
+       |    SUM(CAST(f.c AS DECIMAL(10,0)) * l.lam) AS lw
+       |  FROM feat f JOIN lam l USING (b)
+       |  GROUP BY f.doc_id, f.lang
+       |), ranked AS (
+       |  SELECT doc_id, lang, lw,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY lw DESC, doc_id) AS BIGINT)
+       |      AS rnk
+       |  FROM logw
+       |)
+       |SELECT doc_id, lang, CAST(lw AS DOUBLE) AS logw, rnk
+       |FROM ranked, (SELECT COUNT(*) AS n FROM documents) t
+       |WHERE rnk <= (t.n + 3) // 4
+       |ORDER BY rnk""".stripMargin))
+
   /** The t25 pipeline seam: drop every flagged document from a corpus
     * frame (doc_id-keyed anti-join; `pairs` is t25's output shape or
     * any (doc_id, ...) flag set).
@@ -1685,5 +1799,5 @@ object TextOps extends QueryGroup {
 
   override val queries: Seq[QueryDef] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27)
 }

@@ -544,4 +544,36 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
       .map(i => (shardOf(i + 1) - shardOf(i) + 8) % 8)
     deltas.distinct.size should be > 1
   }
+
+  test("t27: importance selection keeps a quarter, enriches the target " +
+      "slice, is deterministic, and plans window-free with a " +
+      "broadcast bucket-stats join") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir,
+      "documents")
+    val n = docs.count()
+    val df = run("t27_dsir_select")
+    val out = df.collect()
+    // exactly ceil(n/4) kept, ranks contiguous from 1
+    out.length.toLong shouldBe (n + 3) / 4
+    out.map(_.getLong(3)).sorted.toSeq shouldBe
+      (1L to out.length).toSeq
+    // the target slice ('en') must be ENRICHED among the selected:
+    // that is the operator's whole claim — importance weights pull the
+    // sample toward the target distribution
+    val enCorpus = docs.filter(col("lang") === "en").count().toDouble / n
+    val enSel = out.count(_.getString(1) == "en").toDouble / out.length
+    enSel should be > enCorpus
+    // deterministic: no RNG anywhere, reruns select identically
+    run("t27_dsir_select").collect().map(_.toSeq).toSeq shouldBe
+      out.map(_.toSeq).toSeq
+    // scale shape: the rank is the two-job global rank (no Window
+    // funnel anywhere — selection plan AND scoring stage), and the
+    // B-bounded bucket-stats table joins by broadcast (the scoring
+    // stage sits behind the rank's RDD boundary, so gate it directly)
+    df.queryExecution.executedPlan.toString should not include "Window"
+    val scoring = graft.queries.TextOps.dsirScores(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    scoring should not include "Window"
+    scoring should include("BroadcastHashJoin")
+  }
 }
