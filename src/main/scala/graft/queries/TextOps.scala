@@ -1788,6 +1788,59 @@ object TextOps extends QueryGroup {
        |WHERE rnk <= (t.n + 3) // 4
        |ORDER BY rnk""".stripMargin))
 
+  // --------------------------------------------------------------- T28
+  // Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+  // Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+  // draw K documents with inclusion probability proportional to a
+  // per-doc weight (here n_chars — size-proportional sampling, the
+  // shape behind "sample an evaluation slice weighted by token mass").
+  // The A-ES key u^(1/w) — equivalently ln(u)/w, maximized — turns the
+  // draw into a top-K: no sequential reservoir, no per-stratum
+  // pre-counting, no RNG state. u comes from a seeded md5 of the doc
+  // key, so the SAME sample falls out at any parallelism, on any
+  // engine, on every rerun (the q42/t10 reproducibility discipline —
+  // `rand()` can never be replayed or audited). Selection is the
+  // bounded-heap TopKByScore aggregate: ≤ K rows cross each partition
+  // boundary, no corpus sort, no window — at 100 TB this is one scan
+  // plus a K-row reduce. Cross-engine determinism: ln(u) is quantized
+  // to DECIMAL(18,9) (the t13/t17 grid), and the key is ONE IEEE
+  // division of bit-identical operands, so both engines rank the same.
+  private[queries] val wsK = 100
+  private val t28 = QueryDef(
+    "t28_weighted_sample",
+    (s, dir) => {
+      val u = (conv(substring(
+          md5(concat(lit("s28"), col("doc_id").cast("string"))
+            .cast("binary")), 1, 6), 16, 10).cast(LongType)
+          .cast(DoubleType) + 0.5) / 16777216.0
+      val keyed = docs(s, dir).select(col("doc_id"),
+        (log(u).cast(DecimalType(18, 9)).cast(DoubleType) /
+          greatest(col("n_chars"), lit(1L)).cast(DoubleType))
+          .as("skey"))
+      keyed
+        .agg(graft.functions.TopKAggregate
+          .topKByScore(col("skey"), col("doc_id"), wsK).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col.id").as("doc_id"), col("col.score").as("skey"),
+          (col("pos") + 1).cast(LongType).as("rnk"))
+        .orderBy("rnk")
+    },
+    Some(s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(ln(
+       |        ((('0x' || substr(md5('s28' || CAST(doc_id AS VARCHAR)),1,6))::BIGINT)::DOUBLE + 0.5)
+       |        / 16777216.0)
+       |      AS DECIMAL(18,9)) AS DOUBLE)
+       |      / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS skey
+       |  FROM documents
+       |)
+       |SELECT doc_id, skey,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id) AS BIGINT)
+       |    AS rnk
+       |FROM keyed
+       |QUALIFY rnk <= $wsK
+       |ORDER BY rnk""".stripMargin))
+
   /** The t25 pipeline seam: drop every flagged document from a corpus
     * frame (doc_id-keyed anti-join; `pairs` is t25's output shape or
     * any (doc_id, ...) flag set).
@@ -1799,5 +1852,5 @@ object TextOps extends QueryGroup {
 
   override val queries: Seq[QueryDef] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28)
 }

@@ -576,4 +576,41 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     scoring should not include "Window"
     scoring should include("BroadcastHashJoin")
   }
+
+  test("t28: weighted sample equals the single-node A-ES reference, " +
+      "reruns deterministically, and plans as a bounded-heap top-k " +
+      "with no window and no corpus sort") {
+    val df = run("t28_weighted_sample")
+    val out = df.collect()
+    // independent single-node reference: the published A-ES draw —
+    // key = ln(u)/w maximized, same seeded md5 uniform, over the
+    // collected corpus
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(s"s28$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 16777216.0
+    }
+    val ref = graft.sources.Tables.load(spark, TestSpark.sfDir,
+        "documents")
+      .select("doc_id", "n_chars").collect()
+      .map { r =>
+        val w = math.max(r.getLong(1), 1L)
+        val lnq = BigDecimal(math.log(u(r.getLong(0))))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getLong(0), lnq / w)
+      }
+      .sortBy { case (id, k) => (-k, id) }
+      .take(graft.queries.TextOps.wsK)
+    out.map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe ref.toSeq
+    out.map(_.getLong(2)).toSeq shouldBe (1L to ref.length).toSeq
+    // deterministic replay
+    run("t28_weighted_sample").collect().map(_.toSeq).toSeq shouldBe
+      out.map(_.toSeq).toSeq
+    // scale shape: bounded-heap aggregate, never a window or a
+    // corpus-wide sort (the only Sort orders the K output rows)
+    val p = df.queryExecution.executedPlan.toString
+    p should not include "Window"
+    p should include("topk_by_score")
+  }
 }
