@@ -328,6 +328,49 @@ object StreamOps {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  // --------------------------------------------------------------- ST16
+  /** Bloom-guarded streaming ingestion dedup — d16's streaming face
+    * and [[incrementalDedup]]'s (ST6's) scale path. ST6 anti-joins
+    * EVERY arriving document against the corpus hash ledger each
+    * trigger; with a multi-GB ledger that is a per-trigger join of the
+    * whole micro-batch even though almost every document is novel.
+    * Here the ledger's committed Bloom sidecar (d16's
+    * `[[graft.queries.DedupOps]]` maintains it; no false negatives)
+    * splits the batch map-side: provably-novel rows skip the ledger
+    * join entirely, and only Bloom positives (true re-ingests + the
+    * ~2% fp tail) pay the exact anti-join — the result is EXACTLY
+    * ST6's, spec-gated. In-stream dedup stays the watermark-bounded
+    * key state; `bloom = None` (pre-bootstrap, sidecar deleted)
+    * degrades to ST6's full join, never to a wrong answer. The filter
+    * bytes ride the task closure like a broadcast model; a refreshed
+    * sidecar is picked up by restarting the query (the stream-static
+    * JOIN side, by contrast, re-plans per trigger — d16's crash
+    * ordering guarantees any committed filter ⊇ the ledger it rode in
+    * with, so a filter older than the re-read ledger is still safe).
+    */
+  def bloomGuardedIngest(
+      docs: DataFrame,
+      ledger: DataFrame,
+      bloom: Option[Array[Byte]],
+      textCol: String,
+      tsCol: String,
+      watermarkDelay: String): DataFrame = {
+    val hashed = docs.withColumn("content_hash", md5(col(textCol)))
+    val novel = bloom match {
+      case None =>
+        hashed.join(broadcast(ledger), Seq("content_hash"), "left_anti")
+      case Some(bits) =>
+        val mc = graft.functions.BloomMembership
+          .mightContain(bits, xxhash64(col("content_hash")))
+        hashed.filter(!mc).unionByName(
+          hashed.filter(mc)
+            .join(broadcast(ledger), Seq("content_hash"), "left_anti"))
+    }
+    novel
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   // ---------------------------------------------------------------- ST9
   /** Streaming ANN over a PQ-coded static corpus (s5's streaming twin —
     * online retrieval): query vectors arrive on the stream, each

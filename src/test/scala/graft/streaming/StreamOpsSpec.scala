@@ -207,6 +207,41 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("ST16 bloom-guarded streaming ingest equals ST6, probes the " +
+      "filter in-plan, and degrades to the full join without one") {
+    import spark.implicits._
+    val ledger = Seq("already ingested doc", "second known doc")
+      .toDF("text").select(md5(col("text")).as("content_hash"))
+    val bloom = ledger.agg(graft.functions.BloomMembership
+        .bloomAgg(xxhash64(col("content_hash"))))
+      .head.getAs[Array[Byte]](0)
+
+    def runArm(bits: Option[Array[Byte]], name: String): Set[Long] = {
+      val in = MemoryStream[(Long, String, Timestamp)](spark)
+      val out = StreamOps.bloomGuardedIngest(
+        in.toDF.toDF("doc_id", "text", "ts"), ledger, bits,
+        textCol = "text", tsCol = "ts", watermarkDelay = "10 seconds")
+      if (bits.isDefined) // the probe sits in the streaming plan itself
+        out.queryExecution.analyzed.toString should include("bloom_guard")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(
+          (1L, "already ingested doc", ts(100)), // ledgered → dropped
+          (2L, "fresh doc", ts(101)), // novel → kept
+          (3L, "fresh doc", ts(102)), // in-stream dup → dropped
+          (4L, "second known doc", ts(103))) // ledgered → dropped
+        q.processAllAvailable()
+        in.addData((5L, "fresh doc", ts(104))) // replayed hash → dropped
+        q.processAllAvailable()
+        spark.table(name).select("doc_id").collect()
+          .map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    runArm(Some(bloom), "st16") shouldBe Set(2L)
+    runArm(None, "st16none") shouldBe Set(2L) // degraded arm identical
+  }
+
   test("ST7 streaming span decontamination: ledger overlap drops documents") {
     import spark.implicits._
     val holdout = "the quick brown fox jumps over the lazy dog every day"
