@@ -951,12 +951,17 @@ object SimilarityOps extends QueryGroup {
       if (!fs.exists(live) && fs.exists(backup))
         require(fs.rename(backup, live), s"could not restore $backup")
       require(fs.exists(live), s"no s8 ledger at $path")
-      if (s8CommittedSegs(s, path).size > 1) {
+      if (s8CommittedSegs(s, path).size > 1 ||
+          tombCommittedSegs(s, path).nonEmpty) {
         val staging = path + "__compact_staging"
         fs.delete(hPath(staging), true)
         // consumed once, wholly before the swap — the live source stays
-        // valid for the duration of the staging write
+        // valid for the duration of the staging write. Committed
+        // tombstones are APPLIED here (physical delete) and the
+        // staging carries no tombs dir — promoting without applying
+        // them would resurrect every takedown (see S13).
         val all = s8Assign(s, path, None).select("vec_id", "cid", "embedding")
+          .join(broadcast(s8Tombs(s, path)), Seq("vec_id"), "left_anti")
         s.read.parquet(s"$path/centroids")
           .write.mode("overwrite").parquet(s"$staging/centroids")
         s8WriteSeg(s, staging, 0, all)
@@ -967,6 +972,65 @@ object SimilarityOps extends QueryGroup {
         fs.delete(backup, true)
       }
     } finally fs.delete(lock, false)
+  }
+
+  // --------------------------------------------------------------- S13
+  // TOMBSTONES (deletes) for the persisted IVF ledger — the takedown
+  // path every production index needs and append-only ledgers lack: a
+  // document removed from the corpus (DMCA/GDPR/opt-out, a retracted
+  // source) must stop surfacing in retrieval IMMEDIATELY, without
+  // rewriting a corpus-sized index. Design mirrors the segment chain
+  // it guards: tombstones are their own committed-segment chain
+  // (`tombs/seg-k` + marker-last `tombcommits/seg-k`), appended under
+  // the SAME append lease (serialized with ingests and compaction),
+  // idempotent on replay (novel ids only), takedown-sized (KBs against
+  // a TB index). Readers that honor deletes anti-join the broadcast
+  // tombstone set ABOVE the probe (s13); physical removal is deferred
+  // to [[compactIvfLedger]], which applies every committed tombstone
+  // while merging segments and leaves a tomb-free compacted ledger —
+  // the delete cost is folded into maintenance the chain already pays,
+  // never a per-takedown index rewrite (and compaction MUST apply
+  // them: promoting a staging without the tombs dir would otherwise
+  // resurrect every takedown).
+  private def tombCommittedSegs(s: SparkSession,
+      path: String): Seq[Int] = {
+    val dir = hPath(s"$path/tombcommits")
+    val fs = fsOf(s, path)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("seg-") => n.drop(4).toInt }
+      .toSeq.sorted
+  }
+
+  /** Every committed tombstoned id (one `vec_id` column; empty frame
+    * before any takedown).
+    */
+  private[graft] def s8Tombs(s: SparkSession, path: String): DataFrame = {
+    val segs = tombCommittedSegs(s, path)
+    if (segs.isEmpty)
+      s.range(0).select(col("id").as("vec_id"))
+    else segs.map(k => s.read.parquet(s"$path/tombs/seg-$k"))
+      .reduce(_.unionByName(_)).select("vec_id").distinct()
+  }
+
+  /** Append a committed tombstone segment for `ids` (a `vec_id`
+    * frame). Lease-held (serialized with appends/compaction),
+    * marker-last (a torn tomb seg is invisible and overwritten by the
+    * next call), idempotent (already-tombstoned ids append nothing).
+    */
+  private[graft] def tombstoneIds(s: SparkSession, path: String,
+      ids: DataFrame): Unit = withAppendLease(fsOf(s, path), path) {
+    val fs = fsOf(s, path)
+    val novel = ids.select("vec_id").distinct()
+      .join(s8Tombs(s, path), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (!novel.isEmpty) {
+      val segs = tombCommittedSegs(s, path)
+      val k = if (segs.isEmpty) 0 else segs.max + 1
+      novel.write.mode("overwrite").parquet(s"$path/tombs/seg-$k")
+      fs.mkdirs(hPath(s"$path/tombcommits"))
+      fs.create(hPath(s"$path/tombcommits/seg-$k"), true).close()
+    }
   }
 
   /** s8's candidate stage BEFORE the oracle tap: runs the two ledger
@@ -1892,6 +1956,58 @@ object SimilarityOps extends QueryGroup {
        |SELECT qid, rank, vec_id AS neighbor_id, cosine
        |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin))
 
+  // S13 — tombstone-aware retrieval over the SHARED persisted s8
+  // ledger (machinery + rationale at the tombstone section above
+  // [[s8Candidates]]): a deterministic takedown set (vec_id ≡ 3 mod
+  // [[s13Mod]] — the t6/q42 deterministic-split shape) lands as
+  // committed tombstone segments, and the daily query excludes it by
+  // anti-joining the broadcast tombstone set ABOVE the probe — the
+  // index is untouched (physical removal rides the next compaction).
+  // s8/s12 share this ledger and ignore tombs by design: honoring
+  // deletes is the READER's contract, which is exactly why the oracle
+  // must bite — the tap carries the PRE-exclusion candidates and
+  // DuckDB re-derives the takedown set and the exclusion itself, so a
+  // leaked tombstoned neighbor hash-fails. Spec: tombstoned ids never
+  // surface, replay appends nothing, torn tomb segs invisible,
+  // compaction purges physically and equals the excluded read.
+  private[graft] val s13Mod = 13L
+  private val s13 = QueryDef(
+    "s13_ann_tombstoned",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val path = s8LedgerPath(dir)
+      withLeaseRetry() { refreshIvfLedger(s, path, e) }
+      withLeaseRetry() { tombstoneIds(s, path,
+        e.filter(pmod(col("vec_id"), lit(s13Mod)) === 3)
+          .select("vec_id")) }
+      val cand = graft.sources.VerifyTap(
+        s8Probe(s, path, e.filter(col("vec_id") < NQ)), "s13_cand",
+        coalesce = false)
+      val scored = cand
+        .join(broadcast(s8Tombs(s, path)), Seq("vec_id"), "left_anti")
+        .withColumn("cosine", cosine(col("qe"), col("embedding")))
+        .select("qid", "vec_id", "cosine")
+      topKAgg(scored)
+    },
+    Some(s"""WITH cand AS (
+       |  SELECT qid, vec_id, qe, embedding
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/s13_cand/*.parquet')
+       |  WHERE vec_id % $s13Mod <> 3
+       |), scored AS (
+       |  SELECT qid, vec_id,
+       |    list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)
+       |    / ( sqrt(list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(qe[i]::DOUBLE) for i in range(1, len(qe)+1)]), (x,y) -> x+y))
+       |      * sqrt(list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)) ) AS cosine
+       |  FROM cand
+       |), ranked AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank,
+       |    cosine
+       |  FROM scored
+       |)
+       |SELECT qid, rank, vec_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin))
+
   // --------------------------------------------------------------- T25
   // (machinery for TextOps' t25_embedding_decontam — the family file
   // owns the QueryDef; the LSH internals live here with s2/s7.)
@@ -1924,5 +2040,5 @@ object SimilarityOps extends QueryGroup {
         col("cosine"))
 
   override val queries: Seq[QueryDef] =
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s11l, s12)
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s11l, s12, s13)
 }

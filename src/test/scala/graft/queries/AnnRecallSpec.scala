@@ -696,6 +696,66 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     r should be >= 0.5
   }
 
+  test("S13 tombstoned ANN: takedowns never surface, replay appends " +
+      "nothing, torn tomb segments invisible, compaction purges " +
+      "physically and equals the excluded read") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // the driver-shaped query on the shared ledger: no tombstoned id
+    // in any result, results non-empty
+    val out = SparkEntry.queries("s13_ann_tombstoned")(
+      spark, TestSpark.sfDir).collect()
+    out should not be empty
+    out.foreach { r =>
+      (r.getLong(2) % SimilarityOps.s13Mod) should not be 3L
+    }
+    // replay idempotency on the shared ledger: same tombstone set →
+    // no new tomb segment, identical output
+    val path = SimilarityOps.s8LedgerPath(TestSpark.sfDir)
+    val segsBefore = new java.io.File(s"$path/tombcommits").list().sorted
+    SparkEntry.queries("s13_ann_tombstoned")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq shouldBe out.map(_.toSeq).toSeq
+    new java.io.File(s"$path/tombcommits").list().sorted shouldBe
+      segsBefore
+
+    // dedicated temp ledger for the state-machine checks
+    val tpath = s"/tmp/graft_state/graft_s13_spec_${java.util.UUID
+      .randomUUID().toString.take(8)}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      SimilarityOps.refreshIvfLedger(spark, tpath, e)
+      val dead = e.filter(col("vec_id") % 7 === 1).select("vec_id")
+      SimilarityOps.tombstoneIds(spark, tpath, dead)
+      val nDead = dead.count()
+      SimilarityOps.s8Tombs(spark, tpath).count() shouldBe nDead
+      // a TORN tombstone segment (dir, no marker) is invisible
+      new java.io.File(s"$tpath/tombs/seg-9").mkdirs()
+      SimilarityOps.s8Tombs(spark, tpath).count() shouldBe nDead
+      // the excluded read before compaction
+      val q = e.filter(col("vec_id") < 8)
+      def probeLive() = SimilarityOps.s8Probe(spark, tpath, q)
+        .join(broadcast(SimilarityOps.s8Tombs(spark, tpath)),
+          Seq("vec_id"), "left_anti")
+        .select("qid", "vec_id").collect().map(_.toSeq)
+        .sortBy(_.toString)
+      val before = probeLive()
+      // compaction applies tombstones PHYSICALLY: rows gone from the
+      // index, tombs cleared, and the read (now trivially excluded)
+      // equals the pre-compaction excluded read
+      SimilarityOps.compactIvfLedger(spark, tpath)
+      SimilarityOps.s8Tombs(spark, tpath).count() shouldBe 0L
+      SimilarityOps.s8Assign(spark, tpath, None)
+        .filter(col("vec_id") % 7 === 1).count() shouldBe 0L
+      probeLive() shouldBe before
+    } finally {
+      rm(new java.io.File(tpath))
+      rm(new java.io.File(tpath + "__compact_staging"))
+      rm(new java.io.File(tpath + "__compact_backup"))
+    }
+  }
+
   test("T25 embedding decontamination: every flagged pair truly clears " +
       "the radius on exact cosines; eval suite never flags itself; " +
       "the pipeline seam drops exactly the flagged docs") {
