@@ -19,7 +19,9 @@ object PlanDump {
         "t24_quality_budget_fill", "s11l_knn_descent_ledger",
         "s12_ann_filtered", "t25_embedding_decontam",
         "c1l_cluster_mixture_ledger", "c2l_cluster_token_budget_ledger",
-        "t26_shard_shuffle", "p4_training_corpus_v4").foreach { n =>
+        "t26_shard_shuffle", "p4_training_corpus_v4",
+        "d16_bloom_dedup", "t27_dsir_select",
+        "t28_weighted_sample", "s13_ann_tombstoned").foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
