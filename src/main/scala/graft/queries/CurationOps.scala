@@ -245,5 +245,64 @@ object CurationOps extends QueryGroup {
   private[queries] def tokenBudgetOver(s: SparkSession, dir: String,
       cents: DataFrame): DataFrame = clusterTokenBudget(s, dir, cents)
 
-  override val queries: Seq[QueryDef] = Seq(c1, c1l, c2, c2l)
+  // ---------------------------------------------------------------- C3
+  // LEAKAGE-FREE holdout split: t10 splits documents by a hash of the
+  // DOC key — but near-duplicates then straddle train/test, and a
+  // model that memorizes a training copy aces its test twin (the
+  // contamination channel dedup papers flag INSIDE a corpus, distinct
+  // from t6/t20/t25's external-benchmark decontamination). The fix is
+  // splitting by NEAR-DUP CLUSTER: d6's Jaccard pair graph + connected
+  // components labels every doc with its cluster (min doc_id), and the
+  // t10 hash rule is applied to the CLUSTER LABEL — every near-dup
+  // family lands on ONE side by construction. Same reproducibility
+  // discipline as t10/q42 (md5 of a stable key — same split at any
+  // parallelism, on any engine, every rerun). Scale: pair generation
+  // is d2's prefix-filtered candidate join (never all-pairs), CC is
+  // O(log diameter) rounds, and the split itself is a map-side
+  // projection over the cluster label — nothing beyond d6's cost.
+  // Oracle: d6's recursive-CTE clustering with the split CASE on top,
+  // so the pair graph, the components AND the assignment are all
+  // hash-verified.
+  private val c3 = QueryDef(
+    "c3_leakage_split",
+    (s, dir) => {
+      val edges = DedupOps.jaccardPairs(s, dir)
+        .select(col("i").as("src"), col("j").as("dst"))
+      val nodes = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"))
+      val clustered = graft.operators.ConnectedComponents
+        .run(nodes, edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      val bucket = substring(
+        md5(col("cluster").cast("string").cast("binary")), 1, 2)
+      clustered.select(col("doc_id"), col("cluster"),
+          when(bucket < "e6", "train") // 230/256 ≈ 89.8%
+            .when(bucket < "f3", "val") // 13/256 ≈ 5.1%
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${DedupOps.pairCtes},
+       |good AS (
+       |  SELECT i, j FROM pairs
+       |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= ${DedupOps.jaccardT}
+       |),
+       |edges AS (SELECT i AS a, j AS b FROM good
+       |          UNION ALL SELECT j, i FROM good),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+       |),
+       |clustered AS (
+       |  SELECT node AS doc_id, MIN(lab) AS cluster
+       |  FROM reach GROUP BY node
+       |)
+       |SELECT doc_id, cluster,
+       |  CASE WHEN substr(md5(cluster::VARCHAR), 1, 2) < 'e6' THEN 'train'
+       |       WHEN substr(md5(cluster::VARCHAR), 1, 2) < 'f3' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM clustered ORDER BY doc_id""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(c1, c1l, c2, c2l, c3)
 }

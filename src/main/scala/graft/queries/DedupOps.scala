@@ -72,7 +72,7 @@ object DedupOps extends QueryGroup {
   // under any global total order, J(x,y) ≥ t implies the first
   // |x|−⌈t|x|⌉+1 tokens of x and of y share an element. Ordering tokens
   // by ascending document frequency keeps prefix buckets tiny.
-  private val jaccardT = 0.8
+  private[queries] val jaccardT = 0.8
 
   /** Verified near-dup pairs (i < j, Jaccard ≥ [[jaccardT]]) — shared by
     * d2 (reported directly) and d6/d7 (edge set for clustering).
@@ -84,7 +84,7 @@ object DedupOps extends QueryGroup {
     * BASELINE §skew). Identical results either way
     * (spec-proven), so the switch affects the plan only.
     */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.JaccardNearDup.pairsAuto(
       shingled(s, dir), "doc_id", "sh", jaccardT,
       CorpusStats.nDocs(s, dir))
@@ -93,7 +93,7 @@ object DedupOps extends QueryGroup {
     * overlap counts (the naive all-pairs twin of the prefix-filtered
     * Spark plan).
     */
-  private val pairCtes =
+  private[queries] val pairCtes =
     """sh AS (
       |  SELECT doc_id,
       |    list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')

@@ -81,4 +81,41 @@ class CurationSpec extends AnyFunSuite with Matchers {
     // never a parquet read — the two arms are structurally distinct
     cents.queryExecution.executedPlan.toString should include("FileScan")
   }
+
+  test("c3: no near-dup pair straddles a split; the doc-keyed split " +
+      "WOULD leak on this corpus; assignment deterministic and total") {
+    val out = graft.SparkEntry.queries("c3_leakage_split")(
+      spark, TestSpark.sfDir).collect()
+    val split = out.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.SparkEntry.queries("d2_dedup_ngram_jaccard")(
+      spark, TestSpark.sfDir).select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs should not be empty
+    // the leakage-freedom guarantee: near-dups share cluster AND split
+    pairs.foreach { case (i, j) =>
+      withClue(s"pair ($i,$j): ") {
+        cluster(i) shouldBe cluster(j)
+        split(i) shouldBe split(j)
+      }
+    }
+    // the motivating defect: t10's DOC-keyed rule splits at least one
+    // near-dup family across sides on this corpus (else c3 would be
+    // vacuous here)
+    def t10Split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val b = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+      if (b < "e6") "train" else if (b < "f3") "val" else "test"
+    }
+    pairs.exists { case (i, j) => t10Split(i) != t10Split(j) } shouldBe true
+    // total + deterministic
+    val n = graft.sources.Tables.load(spark, TestSpark.sfDir,
+      "documents").count()
+    out.length.toLong shouldBe n
+    out.map(_.getString(2)).toSet.subsetOf(
+      Set("train", "val", "test")) shouldBe true
+    graft.SparkEntry.queries("c3_leakage_split")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq shouldBe out.map(_.toSeq).toSeq
+  }
 }
