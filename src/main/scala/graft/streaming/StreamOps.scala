@@ -371,6 +371,38 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
+  // --------------------------------------------------------------- ST17
+  /** Streaming takedown application — s13's streaming face: a stream
+    * of takedown requests (vec_id) is applied to the persisted IVF
+    * ledger as committed tombstone segments, one lease-held append per
+    * micro-batch via `foreachBatch` (the ST12/ST14 ledger-maintenance
+    * shape). Idempotency comes from the batch operator's novel-only
+    * append, so checkpoint REPLAYS of a processed micro-batch append
+    * nothing and crash recovery is exactly-once in effect; queries
+    * running concurrently pick the new tombstones up on their next
+    * `s8Tombs` read (committed-marker visibility). Physical removal
+    * still rides compaction — the stream only ever writes
+    * takedown-sized segments, never touches the index.
+    *
+    * @param takedowns streaming frame with a `vec_id` column
+    * @param path      the s8 IVF ledger to tombstone against
+    */
+  def takedownStream(takedowns: DataFrame,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] = {
+    require(
+      graft.queries.SimilarityOps
+        .s8CommittedSegs(takedowns.sparkSession, path).nonEmpty,
+      s"ANN ledger at $path has no committed segments — takedowns " +
+        "apply to a bootstrapped index")
+    takedowns.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.SimilarityOps.tombstoneIds(
+          batch.sparkSession, path, batch.select(col("vec_id")))
+      }
+  }
+
   // ---------------------------------------------------------------- ST9
   /** Streaming ANN over a PQ-coded static corpus (s5's streaming twin —
     * online retrieval): query vectors arrive on the stream, each

@@ -777,6 +777,49 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     buf.synchronized(buf.size) shouldBe 3
   }
 
+  test("ST17 streaming takedowns: micro-batched tombstones equal the " +
+      "batch set, replays append nothing, probes exclude immediately") {
+    import spark.implicits._
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val path = s"/tmp/graft_state/graft_st17_$suffix"
+    val ckpt = s"/tmp/graft_state/graft_st17_ckpt_$suffix"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      graft.queries.SimilarityOps.refreshIvfLedger(spark, path, e)
+      val dead = e.filter(col("vec_id") % 9 === 2)
+        .select("vec_id").collect().map(_.getLong(0))
+      val (b1, b2) = dead.splitAt(dead.length / 2)
+      val in = MemoryStream[Long](spark)
+      val q = StreamOps.takedownStream(in.toDF.toDF("vec_id"), path)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        graft.queries.SimilarityOps.s8Tombs(spark, path)
+          .collect().map(_.getLong(0)).toSet shouldBe dead.toSet
+        // replaying already-applied takedowns appends NO new segment
+        val segs = new java.io.File(s"$path/tombcommits").list().sorted
+        in.addData(b1: _*); q.processAllAvailable()
+        new java.io.File(s"$path/tombcommits").list().sorted shouldBe segs
+        // a reader that honors tombstones drops them immediately — no
+        // compaction, no index rewrite (the raw probe still surfaces
+        // them; exclusion is the reader's anti-join, s13's contract)
+        val live = graft.queries.SimilarityOps
+          .s8Probe(spark, path, e.filter(col("vec_id") < 4))
+          .join(org.apache.spark.sql.functions.broadcast(
+            graft.queries.SimilarityOps.s8Tombs(spark, path)),
+            Seq("vec_id"), "left_anti")
+        live.filter(col("vec_id") % 9 === 2).count() shouldBe 0L
+        live.count() should be > 0L
+      } finally q.stop()
+    } finally {
+      rm(new java.io.File(path)); rm(new java.io.File(ckpt))
+    }
+  }
+
   test("ST12 streaming ANN ingest: micro-batched ledger equals the " +
       "batch build; torn segments and replays converge (exactly-once)") {
     import spark.implicits._
