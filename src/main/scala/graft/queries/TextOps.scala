@@ -1847,6 +1847,129 @@ object TextOps extends QueryGroup {
        |QUALIFY rnk <= $wsK
        |ORDER BY rnk""".stripMargin))
 
+  // --------------------------------------------------------------- T29
+  // RECIPROCAL RANK FUSION quality ensemble (Cormack/Clarke/Büttcher,
+  // SIGIR 2009): no single quality signal is trustworthy alone — the
+  // intrinsic score (t2) rewards stopword-stuffed boilerplate, the
+  // DSIR weight (t27) rewards target-lookalikes, repetition (t7's
+  // ratio) only catches one failure mode — so production selection
+  // fuses RANKS, not raw scores (scores live on incomparable scales;
+  // ranks are scale-free): rrf(d) = Σ_s 1/(C + rank_s(d)), C = 60, and
+  // the top-K by fused score is the kept set. Scale: each signal ranks
+  // a NARROW doc-sized frame through the two-job global rank (no
+  // window, no corpus-wide sort of wide rows); the fusion join is
+  // doc-sized×3 on doc_id; final selection is the bounded-heap top-K
+  // with the three rank columns re-attached by a K-row broadcast
+  // join. Cross-engine: ranks are exact integers (score orders are the
+  // t24-class per-row doubles and t27's exact decimal), and rrf is a
+  // fixed three-term IEEE sum of reciprocals of exact integers —
+  // bit-identical on both engines.
+  private[queries] val rrfC = 60L
+  private[queries] val rrfK = 50
+  private val t29 = QueryDef(
+    "t29_rank_fusion",
+    (s, dir) => {
+      import graft.operators.GlobalOrder.withGlobalRank
+      val d = docs(s, dir)
+      val q = d.select(col("doc_id") +: qualityColumns("text"): _*)
+        .select(col("doc_id"), col("quality_score"))
+      val rq = withGlobalRank(q,
+        Seq(col("quality_score").desc, col("doc_id")), "r_q")
+        .select(col("doc_id"), col("r_q"))
+      val rd = withGlobalRank(
+        graft.operators.ScratchCache.scratch(dsirScores(s, dir))
+          .select(col("doc_id"), col("lw")),
+        Seq(col("lw").desc, col("doc_id")), "r_d")
+        .select(col("doc_id"), col("r_d"))
+      val w = words(col("text"))
+      val rep = d.select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(w)).cast(DoubleType) /
+          size(w).cast(DoubleType)).as("dup_ratio"))
+      val rr = withGlobalRank(rep,
+        Seq(col("dup_ratio").asc, col("doc_id")), "r_r")
+        .select(col("doc_id"), col("r_r"))
+      val fused = rq.join(rd, "doc_id").join(rr, "doc_id")
+        .withColumn("rrf",
+          lit(1.0) / (col("r_q") + rrfC).cast(DoubleType) +
+          lit(1.0) / (col("r_d") + rrfC).cast(DoubleType) +
+          lit(1.0) / (col("r_r") + rrfC).cast(DoubleType))
+      val top = fused
+        .agg(graft.functions.TopKAggregate
+          .topKByScore(col("rrf"), col("doc_id"), rrfK).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col.id").as("doc_id"),
+          (col("pos") + 1).cast(LongType).as("rank"))
+      fused.join(broadcast(top), "doc_id")
+        .select(col("doc_id"), col("r_q"), col("r_d"), col("r_r"),
+          col("rrf"), col("rank"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH feat AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(w),1,6))::BIGINT % $dsirB AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS w
+       |        FROM documents)
+       |  GROUP BY doc_id, lang, b
+       |), bstat AS (
+       |  SELECT b,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(SUM(c) AS BIGINT) AS cr
+       |  FROM feat GROUP BY b
+       |), tot AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS nt,
+       |    CAST(SUM(c) AS BIGINT) AS nr
+       |  FROM feat
+       |), lam AS (
+       |  SELECT b, CAST(ln(
+       |      ((ct+1)::DOUBLE / (cr+1)::DOUBLE)
+       |      * ((nr+$dsirB)::DOUBLE / (nt+$dsirB)::DOUBLE))
+       |    AS DECIMAL(18,9)) AS lam
+       |  FROM bstat, tot
+       |), logw AS (
+       |  SELECT f.doc_id,
+       |    SUM(CAST(f.c AS DECIMAL(10,0)) * l.lam) AS lw
+       |  FROM feat f JOIN lam l USING (b)
+       |  GROUP BY f.doc_id
+       |), quality AS (
+       |  SELECT doc_id,
+       |    (CAST(${oHits(Seq("the", "a", "of"))} AS DOUBLE)
+       |       / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.5
+       |    + (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |       / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.1
+       |      AS quality_score
+       |  FROM documents
+       |), rep AS (
+       |  SELECT doc_id,
+       |    1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+       |      / CAST(len(string_split(text,' ')) AS DOUBLE) AS dup_ratio
+       |  FROM documents
+       |), rq AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY quality_score DESC, doc_id) AS BIGINT) AS r_q
+       |  FROM quality
+       |), rd AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY lw DESC, doc_id) AS BIGINT) AS r_d
+       |  FROM logw
+       |), rr AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY dup_ratio ASC, doc_id) AS BIGINT) AS r_r
+       |  FROM rep
+       |), fused AS (
+       |  SELECT doc_id, r_q, r_d, r_r,
+       |    1.0/CAST(r_q + $rrfC AS DOUBLE)
+       |      + 1.0/CAST(r_d + $rrfC AS DOUBLE)
+       |      + 1.0/CAST(r_r + $rrfC AS DOUBLE) AS rrf
+       |  FROM rq JOIN rd USING (doc_id) JOIN rr USING (doc_id)
+       |)
+       |SELECT doc_id, r_q, r_d, r_r, rrf, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused
+       |) WHERE rank <= $rrfK ORDER BY rank""".stripMargin))
+
   /** The t25 pipeline seam: drop every flagged document from a corpus
     * frame (doc_id-keyed anti-join; `pairs` is t25's output shape or
     * any (doc_id, ...) flag set).
@@ -1858,5 +1981,6 @@ object TextOps extends QueryGroup {
 
   override val queries: Seq[QueryDef] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
+      t29)
 }

@@ -613,4 +613,27 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     p should not include "Window"
     p should include("topk_by_score")
   }
+
+  test("t29: fused scores self-consistent, strictly rank-ordered, " +
+      "deterministic; selection is the bounded-heap top-k, no window") {
+    val df = run("t29_rank_fusion")
+    val out = df.collect()
+    out.length shouldBe graft.queries.TextOps.rrfK
+    out.map(_.getLong(5)).toSeq shouldBe (1L to out.length).toSeq
+    // rrf is exactly the three-term reciprocal sum of the emitted ranks
+    out.foreach { r =>
+      val expect = 1.0 / (r.getLong(1) + 60) + 1.0 / (r.getLong(2) + 60) +
+        1.0 / (r.getLong(3) + 60)
+      r.getDouble(4) shouldBe expect
+    }
+    // ordered by fused score (doc_id tiebreak)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(4) > b.getDouble(4) ||
+        (a.getDouble(4) == b.getDouble(4) && a.getLong(0) < b.getLong(0)))
+    }
+    run("t29_rank_fusion").collect().map(_.toSeq).toSeq shouldBe
+      out.map(_.toSeq).toSeq
+    val p = df.queryExecution.executedPlan.toString
+    p should not include "Window"
+  }
 }
