@@ -594,5 +594,109 @@ object PipelineOps extends QueryGroup {
        |WHERE cfill.cum_tok - cfill.n_tok < b.budget
        |ORDER BY cid, doc_id""".stripMargin))
 
-  override val queries: Seq[QueryDef] = Seq(p1, p2, p3, p4)
+  // ---------------------------------------------------------------- P5
+  // The TRAINING-SET REFRESH chain — the run that turns a standing
+  // corpus into next week's training export, in the order a production
+  // pipeline must apply it:
+  //
+  //   near-dup collapse (d7 keepers) → leakage-safe holdout split
+  //   (t10's hash rule over the DEDUPED corpus — post-dedup, doc-keyed
+  //   = cluster-keyed, c3's guarantee for free) → DSIR importance
+  //   selection of the TRAIN slice only (t27's scoring over exactly
+  //   the corpus being selected from — selecting before the split
+  //   would leak selection bias into val/test) → deterministic shard
+  //   shuffle of the selected set (t26's seeded Fibonacci deal).
+  //
+  // One lazy plan; the only corpus-sized shuffles are dedup's prefix
+  // join, the scoring aggregation, and the two narrow range ranks
+  // (selection + shard positions) — every stats table broadcasts.
+  // Oracle: the recursive keeper CTEs chained into the full DSIR CTE
+  // stack chained into the shard arithmetic — dedup, split, model,
+  // selection, and deal are all hash-verified END TO END.
+  private val p5 = QueryDef(
+    "p5_training_corpus_v5",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val keep = DedupOps.keeperIds(s, dir)
+      val bucket = substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val train = d.join(keep, "doc_id").filter(bucket < "e6")
+        .select("doc_id", "lang", "text")
+      val scores = graft.operators.ScratchCache.scratch(
+        TextOps.dsirScoresOver(train))
+      val ranked = graft.operators.GlobalOrder.withGlobalRank(
+        scores, Seq(col("lw").desc, col("doc_id")), "rnk")
+      val n = train.agg(count(lit(1)).as("n"))
+      val sel = ranked.crossJoin(broadcast(n))
+        .filter(col("rnk") <=
+          ((col("n") + 3L) / 4L).cast(org.apache.spark.sql.types
+            .LongType))
+        .select("doc_id")
+      val keyed = sel
+        .withColumn("k",
+          pmod((col("doc_id") + lit(TextOps.shardSeed)) *
+            lit(TextOps.shardMult), lit(TextOps.shardMod)))
+        .withColumn("shard",
+          floor(col("k") / lit(TextOps.shardDiv.toDouble))
+            .cast(org.apache.spark.sql.types.LongType))
+      graft.operators.GlobalOrder.withGroupedRank(
+          keyed, Seq("shard"), Seq(col("k"), col("doc_id")), "pos")
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    },
+    Some(s"""WITH RECURSIVE ${DedupOps.keeperCtes},
+       |train AS (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM documents d JOIN keepers USING (doc_id)
+       |  WHERE substr(md5(d.doc_id::VARCHAR), 1, 2) < 'e6'
+       |), feat AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(w),1,6))::BIGINT % ${TextOps.dsirB} AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS w
+       |        FROM train)
+       |  GROUP BY doc_id, lang, b
+       |), bstat AS (
+       |  SELECT b,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(SUM(c) AS BIGINT) AS cr
+       |  FROM feat GROUP BY b
+       |), tot AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS nt,
+       |    CAST(SUM(c) AS BIGINT) AS nr
+       |  FROM feat
+       |), lam AS (
+       |  SELECT b, CAST(ln(
+       |      ((ct+1)::DOUBLE / (cr+1)::DOUBLE)
+       |      * ((nr+${TextOps.dsirB})::DOUBLE / (nt+${TextOps.dsirB})::DOUBLE))
+       |    AS DECIMAL(18,9)) AS lam
+       |  FROM bstat, tot
+       |), logw AS (
+       |  SELECT f.doc_id,
+       |    SUM(CAST(f.c AS DECIMAL(10,0)) * l.lam) AS lw
+       |  FROM feat f JOIN lam l USING (b)
+       |  GROUP BY f.doc_id
+       |), ranked AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY lw DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM logw
+       |), sel AS (
+       |  SELECT doc_id FROM ranked, (SELECT COUNT(*) AS n FROM train) t
+       |  WHERE rnk <= (t.n + 3) // 4
+       |), keyed AS (
+       |  SELECT doc_id,
+       |    ((doc_id + ${TextOps.shardSeed}) * ${TextOps.shardMult})
+       |      % ${TextOps.shardMod} AS k
+       |  FROM sel
+       |)
+       |SELECT CAST(k // ${TextOps.shardDiv} AS BIGINT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY k // ${TextOps.shardDiv} ORDER BY k, doc_id)
+       |    AS BIGINT) AS pos,
+       |  doc_id
+       |FROM keyed
+       |ORDER BY shard, pos""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(p1, p2, p3, p4, p5)
 }

@@ -1705,12 +1705,17 @@ object TextOps extends QueryGroup {
     * plan) and so pipelines can reuse the score without the selection.
     */
   private[queries] def dsirScores(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame = dsirScoresOver(docs(s, dir))
+
+  /** t27's scoring over an arbitrary (doc_id, lang, text) frame — the
+    * pipeline seam (p5 scores its deduped train slice, building the
+    * target/raw models from exactly the corpus being selected from).
+    */
+  private[queries] def dsirScoresOver(d: DataFrame): DataFrame = {
     val bucket = conv(substring(md5(col("w").cast("binary")), 1, 6),
       16, 10).cast(LongType) % dsirB
     val feat = graft.operators.ScratchCache.scratch(
-      docs(s, dir)
-        .select(col("doc_id"), col("lang"),
+      d.select(col("doc_id"), col("lang"),
           explode(words(col("text"))).as("w"))
         .groupBy(col("doc_id"), col("lang"), bucket.as("b"))
         .agg(count(lit(1)).as("c")))

@@ -636,4 +636,30 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     val p = df.queryExecution.executedPlan.toString
     p should not include "Window"
   }
+
+  test("p5: stage contracts — every exported doc is a deduped keeper " +
+      "in the train bucket, the export is the exact train quarter, " +
+      "shards are contiguous and the deal is deterministic") {
+    val out = run("p5_training_corpus_v5").collect()
+    out should not be empty
+    val ids = out.map(_.getLong(2)).toSet
+    val keepers = run("d7_dedup_apply").collect().map(_.getLong(0)).toSet
+    def t10Bucket(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+    }
+    ids.subsetOf(keepers) shouldBe true
+    all(ids.map(t10Bucket)) should be < "e6"
+    // exactly ceil(|train|/4) exported
+    val nTrain = keepers.count(t10Bucket(_) < "e6").toLong
+    out.length.toLong shouldBe (nTrain + 3) / 4
+    // contiguous 1..n_shard positions per shard
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.map(_.getLong(1)).sorted.toSeq shouldBe
+        (1L to rows.length).toSeq
+    }
+    run("p5_training_corpus_v5").collect().map(_.toSeq).toSeq shouldBe
+      out.map(_.toSeq).toSeq
+  }
 }
