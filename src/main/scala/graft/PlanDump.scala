@@ -21,7 +21,9 @@ object PlanDump {
         "c1l_cluster_mixture_ledger", "c2l_cluster_token_budget_ledger",
         "t26_shard_shuffle", "p4_training_corpus_v4",
         "d16_bloom_dedup", "t27_dsir_select",
-        "t28_weighted_sample", "s13_ann_tombstoned").foreach { n =>
+        "t28_weighted_sample", "s13_ann_tombstoned",
+        "c3_leakage_split", "t29_rank_fusion",
+        "p5_training_corpus_v5").foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
