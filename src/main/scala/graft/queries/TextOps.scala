@@ -1642,7 +1642,15 @@ object TextOps extends QueryGroup {
   // re-seeding re-deals every epoch. Scale: one narrow projection +
   // one range-partitioned rank; at 100 TB the sort key is 16 bytes/row.
   private[queries] val shardSeed = 7L
-  private[queries] val shardMult = 2654435761L // ⌊2³²/φ⌋, odd
+  // ⌊2³¹/φ⌋, odd. A 31-bit multiplier, NOT the classic 32-bit
+  // 2654435761: the id is pre-reduced mod 2³² (below), and
+  // (2³²−1)·2654435761 ≈ 1.1e19 overflows int64 — ANSI Spark throws
+  // and DuckDB errors the same way — which a real corpus hits as soon
+  // as doc ids pass ~3.5e9 rows (found at the sf1 scale probe, r18).
+  // (2³²−1)·1327217885 ≈ 5.7e18 stays inside int64 on both engines;
+  // an odd multiplier mod a power of two mixes the top bits the same
+  // way (Knuth §6.4).
+  private[queries] val shardMult = 1327217885L
   private[queries] val shardMod = 4294967296L // 2³²
   private[queries] val shardDiv = 536870912L // 2²⁹ → 8 shards (top 3 bits)
   private val t26 = QueryDef(
@@ -1650,8 +1658,8 @@ object TextOps extends QueryGroup {
     (s, dir) => {
       val keyed = Tables.load(s, dir, "documents").select(col("doc_id"))
         .withColumn("k",
-          pmod((col("doc_id") + lit(shardSeed)) * lit(shardMult),
-            lit(shardMod)))
+          pmod(pmod(col("doc_id") + lit(shardSeed), lit(shardMod)) *
+            lit(shardMult), lit(shardMod)))
         // exact: k < 2³² and the divisor is a power of two, so the
         // double quotient is exact and floor matches integer division
         .withColumn("shard",
@@ -1663,7 +1671,7 @@ object TextOps extends QueryGroup {
     },
     Some(s"""WITH keyed AS (
        |  SELECT doc_id,
-       |    ((doc_id + $shardSeed) * $shardMult) % $shardMod AS k
+       |    (((doc_id + $shardSeed) % $shardMod) * $shardMult) % $shardMod AS k
        |  FROM documents
        |)
        |SELECT CAST(k // $shardDiv AS BIGINT) AS shard,
