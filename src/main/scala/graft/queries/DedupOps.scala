@@ -1621,6 +1621,33 @@ object DedupOps extends QueryGroup {
     import graft.functions.BloomMembership
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // SINGLE-WRITER (exclusive-create lock, a sibling of the ledger):
+    // d9's plain hash ledger tolerates concurrent refreshes (worst
+    // case duplicate ledger rows — still correct), but the filter
+    // sidecar does NOT: two racers would each commit stored ∪ own-novel
+    // (commitBloom's read-increment-write clobbers the other's
+    // version) while BOTH append, leaving the committed filter missing
+    // the loser's hashes — false negatives, i.e. wrong answers, the
+    // exact invariant d16 rides on. A crash leaves a stale lock that
+    // WEDGES rather than corrupts (the compact-lock contract: delete
+    // it after confirming no refresher is live).
+    val lock = new org.apache.hadoop.fs.Path(path + "__refresh_lock")
+    fs.mkdirs(lock.getParent)
+    val acquired =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    require(acquired, s"refresh lock $lock already held — " +
+      "refreshLedgerBloomed is single-writer; if the holder crashed, " +
+      "delete the lock after confirming no refresher is live")
+    try refreshLedgerBloomedLocked(s, path, prior)
+    finally fs.delete(lock, false)
+  }
+
+  private def refreshLedgerBloomedLocked(s: SparkSession, path: String,
+      prior: DataFrame): Unit = {
+    import graft.functions.BloomMembership
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!ledgerDataExists(fs, p)) {
       refreshLedger(s, path, prior) // overwrite bootstrap clears dir
       // sketch from the just-written parquet (a column read — cheaper

@@ -868,19 +868,24 @@ object SimilarityOps extends QueryGroup {
     * compute against a slim id-only read, the corpus is never
     * re-assigned.
     */
-  private[graft] def refreshIvfLedger(s: SparkSession, path: String,
-      prior: DataFrame): Unit = withAppendLease(fsOf(s, path), path) {
-    // a compaction that crashed between its two renames leaves the
-    // ledger under __compact_backup and nothing live; restore it here
-    // too (not just in compactIvfLedger) — otherwise this call would
-    // BOOTSTRAP a fresh ledger and fork the index
-    val fs0 = fsOf(s, path)
-    // single-writer: an append racing a live compaction's rename-aside
-    // window would land its segment in the dir about to be moved aside
-    // and silently vanish from the promoted ledger. Lease-then-check
-    // (the lease above is acquired FIRST): the compactor's order is
-    // lock-then-check-lease, so an interleaving can make both sides
-    // back off but never lets an append segment ride into the swap.
+  /** Writer preconditions shared by EVERY segment writer (appends AND
+    * tombstones), checked under the held append lease:
+    *
+    *  - refuse while a compaction holds its lock: a segment committed
+    *    during the rename-aside window would land in the dir about to
+    *    be moved aside and silently vanish from the promoted ledger
+    *    (for a tombstone segment that is a LOST TAKEDOWN — the removed
+    *    vector would resurface). Lease-then-check: the compactor's
+    *    order is lock-then-check-lease, so an interleaving can make
+    *    both sides back off but never lets a segment ride into the
+    *    swap;
+    *  - restore a crashed compaction's `__compact_backup` (ledger
+    *    moved aside, staging never promoted) BEFORE writing — a write
+    *    into the empty live path would otherwise recreate the dir and
+    *    defeat the next reader's restore guard, forking the index.
+    */
+  private def guardSegmentWriter(
+      fs0: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     require(!fs0.exists(hPath(path + "__compact_lock")),
       s"compaction in progress on $path (lock present) — retry the " +
         "append after it completes; if the compactor crashed, delete " +
@@ -889,6 +894,11 @@ object SimilarityOps extends QueryGroup {
         fs0.exists(hPath(path + "__compact_backup")))
       require(fs0.rename(hPath(path + "__compact_backup"), hPath(path)),
         s"could not restore $path from its compaction backup")
+  }
+
+  private[graft] def refreshIvfLedger(s: SparkSession, path: String,
+      prior: DataFrame): Unit = withAppendLease(fsOf(s, path), path) {
+    guardSegmentWriter(fsOf(s, path), path)
     s8CleanTorn(s, path)
     val centDir = s"$path/centroids"
     if (s8CommittedSegs(s, path).isEmpty) {
@@ -1021,6 +1031,11 @@ object SimilarityOps extends QueryGroup {
   private[graft] def tombstoneIds(s: SparkSession, path: String,
       ids: DataFrame): Unit = withAppendLease(fsOf(s, path), path) {
     val fs = fsOf(s, path)
+    // same writer preconditions as refreshIvfLedger: a tombstone
+    // committed into a compaction's rename-aside window would be
+    // DELETED un-applied (a lost takedown), and a write after a
+    // crashed compaction would fork the index over its backup
+    guardSegmentWriter(fs, path)
     val novel = ids.select("vec_id").distinct()
       .join(s8Tombs(s, path), Seq("vec_id"), "left_anti")
       .localCheckpoint()

@@ -1901,11 +1901,15 @@ object TextOps extends QueryGroup {
       val rr = withGlobalRank(rep,
         Seq(col("dup_ratio").asc, col("doc_id")), "r_r")
         .select(col("doc_id"), col("r_r"))
-      val fused = rq.join(rd, "doc_id").join(rr, "doc_id")
-        .withColumn("rrf",
-          lit(1.0) / (col("r_q") + rrfC).cast(DoubleType) +
-          lit(1.0) / (col("r_d") + rrfC).cast(DoubleType) +
-          lit(1.0) / (col("r_r") + rrfC).cast(DoubleType))
+      // pinned: fused feeds the top-K aggregate AND the final re-join —
+      // unpinned, the second action replays the three rank pipelines
+      // and the fusion join (the t27/p5 re-execution class, same fix)
+      val fused = graft.operators.ScratchCache.scratch(
+        rq.join(rd, "doc_id").join(rr, "doc_id")
+          .withColumn("rrf",
+            lit(1.0) / (col("r_q") + rrfC).cast(DoubleType) +
+            lit(1.0) / (col("r_d") + rrfC).cast(DoubleType) +
+            lit(1.0) / (col("r_r") + rrfC).cast(DoubleType)))
       val top = fused
         .agg(graft.functions.TopKAggregate
           .topKByScore(col("rrf"), col("doc_id"), rrfK).as("top"))

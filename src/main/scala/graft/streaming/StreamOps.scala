@@ -339,14 +339,21 @@ object StreamOps {
     * splits the batch map-side: provably-novel rows skip the ledger
     * join entirely, and only Bloom positives (true re-ingests + the
     * ~2% fp tail) pay the exact anti-join — the result is EXACTLY
-    * ST6's, spec-gated. In-stream dedup stays the watermark-bounded
-    * key state; `bloom = None` (pre-bootstrap, sidecar deleted)
-    * degrades to ST6's full join, never to a wrong answer. The filter
-    * bytes ride the task closure like a broadcast model; a refreshed
-    * sidecar is picked up by restarting the query (the stream-static
-    * JOIN side, by contrast, re-plans per trigger — d16's crash
-    * ordering guarantees any committed filter ⊇ the ledger it rode in
-    * with, so a filter older than the re-read ledger is still safe).
+    * ST6's over the same ledger state, spec-gated. In-stream dedup
+    * stays the watermark-bounded key state; `bloom = None`
+    * (pre-bootstrap, sidecar deleted) degrades to ST6's full join,
+    * never to a wrong answer.
+    *
+    * SNAPSHOT semantics — both sides fixed at stream start: the filter
+    * bytes ride the task closure, and the ledger's FILE LISTING is
+    * pinned at construction (explicit file list, not a re-listing
+    * path). Correctness requires filter ⊇ the ledger actually joined;
+    * ST6's re-plan-per-trigger behavior would let a concurrently
+    * GROWN ledger outrun the fixed filter — a hash appended mid-stream
+    * would test bloom-negative, skip the join, and be emitted as a
+    * false novel. Pinning the listing keeps filter and join consistent
+    * by construction; picking up a refreshed ledger (filter AND files)
+    * is a query restart, the same contract as any broadcast model.
     */
   def bloomGuardedIngest(
       docs: DataFrame,
@@ -356,15 +363,32 @@ object StreamOps {
       tsCol: String,
       watermarkDelay: String): DataFrame = {
     val hashed = docs.withColumn("content_hash", md5(col(textCol)))
+    // pin the ledger snapshot the filter was built against: a
+    // file-backed frame re-lists per trigger, so freeze its current
+    // file set (explicit file list). Applies when the frame's columns
+    // come straight from the files (the canonical raw-ledger read);
+    // computed/renamed frames fall through untouched — such a caller
+    // owns its own snapshotting, and non-file frames are static anyway
+    val pinned = {
+      val files = ledger.inputFiles
+      if (files.isEmpty) ledger
+      else {
+        val raw = ledger.sparkSession.read
+          .parquet(files.toIndexedSeq: _*)
+        if (ledger.columns.forall(raw.columns.contains))
+          raw.select(ledger.columns.map(col).toIndexedSeq: _*)
+        else ledger
+      }
+    }
     val novel = bloom match {
       case None =>
-        hashed.join(broadcast(ledger), Seq("content_hash"), "left_anti")
+        hashed.join(broadcast(pinned), Seq("content_hash"), "left_anti")
       case Some(bits) =>
         val mc = graft.functions.BloomMembership
           .mightContain(bits, xxhash64(col("content_hash")))
         hashed.filter(!mc).unionByName(
           hashed.filter(mc)
-            .join(broadcast(ledger), Seq("content_hash"), "left_anti"))
+            .join(broadcast(pinned), Seq("content_hash"), "left_anti"))
     }
     novel
       .withWatermark(tsCol, watermarkDelay)

@@ -749,6 +749,25 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
       SimilarityOps.s8Assign(spark, tpath, None)
         .filter(col("vec_id") % 7 === 1).count() shouldBe 0L
       probeLive() shouldBe before
+      // writer guards: a takedown REFUSES while a compaction holds its
+      // lock (a tombstone committed into the rename-aside window would
+      // be deleted un-applied — a lost takedown)...
+      val lockF = new java.io.File(tpath + "__compact_lock")
+      lockF.createNewFile() shouldBe true
+      val deadOne = e.filter(col("vec_id") === 0).select("vec_id")
+      an[IllegalArgumentException] should be thrownBy
+        SimilarityOps.tombstoneIds(spark, tpath, deadOne)
+      lockF.delete() shouldBe true
+      // ...and restores a crashed compaction's backup before writing
+      // (a write into the empty live path would fork the index)
+      val fs = new org.apache.hadoop.fs.Path(tpath).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(tpath),
+        new org.apache.hadoop.fs.Path(tpath + "__compact_backup"))
+      SimilarityOps.tombstoneIds(spark, tpath, deadOne)
+      SimilarityOps.s8CommittedSegs(spark, tpath) should not be empty
+      SimilarityOps.s8Tombs(spark, tpath).collect()
+        .map(_.getLong(0)).toSet shouldBe Set(0L)
     } finally {
       rm(new java.io.File(tpath))
       rm(new java.io.File(tpath + "__compact_staging"))

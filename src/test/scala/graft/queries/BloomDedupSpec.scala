@@ -55,6 +55,10 @@ class BloomDedupSpec extends AnyFunSuite with Matchers {
     runD16() // second refresh exercises the merge path
     val bloom = DedupOps.readBloom(spark, path)
     bloom shouldBe defined
+    // the committed filter carries the designed geometry (merge
+    // compatibility rides on every version sharing it)
+    graft.functions.BloomMembership.bitSize(bloom.get) shouldBe
+      graft.functions.BloomMembership.defaultNumBits
     val misses = spark.read.parquet(path)
       .filter(!graft.functions.BloomMembership
         .mightContain(bloom.get, xxhash64(col("content_hash"))))
@@ -125,6 +129,21 @@ class BloomDedupSpec extends AnyFunSuite with Matchers {
       .queryExecution.executedPlan.toString
     if (nPos == 0L) planBatch should not include "LeftAnti"
     else planBatch.split("LeftAnti").length shouldBe 2
+  }
+
+  test("refresh is single-writer: a held lock refuses (wedge, not " +
+      "corrupt) and release restores service") {
+    // two concurrent refreshes could each commit stored ∪ own-novel —
+    // the committed filter would miss the loser's hashes (false
+    // negatives = wrong answers), hence the exclusive-create lock
+    val path = freshState()
+    val lock = new java.io.File(path + "__refresh_lock")
+    lock.getParentFile.mkdirs()
+    lock.createNewFile() shouldBe true
+    an[IllegalArgumentException] should be thrownBy runD16()
+    lock.delete() shouldBe true
+    runD16().size should be > 0
+    lock.exists() shouldBe false // released after a successful run
   }
 
   test("ledger stays append-only in steady state (maintenance is " +
