@@ -1554,6 +1554,13 @@ object DedupOps extends QueryGroup {
       if (!fs.exists(vf)) None
       else {
         val st = fs.getFileStatus(vf)
+        // a caller-sized filter (numBits is configurable) past 2 GiB
+        // would overflow the Int allocation below into a
+        // NegativeArraySizeException — fail with the real reason
+        require(st.getLen <= Int.MaxValue.toLong,
+          s"Bloom sidecar $vf is ${st.getLen} bytes — filters ≥ 2 GiB " +
+            "cannot load as one array; shard by hash prefix instead " +
+            "(BloomMembership sizing notes)")
         val bytes = new Array[Byte](st.getLen.toInt)
         val din = fs.open(vf)
         try din.readFully(0L, bytes) finally din.close()
@@ -1580,18 +1587,32 @@ object DedupOps extends QueryGroup {
   private def commitBloom(fs: org.apache.hadoop.fs.FileSystem,
       path: String, bits: Array[Byte]): Unit = {
     val marker = bloomMarker(path)
+    // an unparsable/empty marker (e.g. a crash mid-overwrite before
+    // this method wrote via rename — or a manual truncation) reads as
+    // version 0: the refresh self-heals by committing v1 rather than
+    // wedging on NumberFormatException (the documented contract:
+    // every crash point self-heals)
     val prev = if (fs.exists(marker)) {
       val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in).mkString.trim.stripPrefix("v")
-        .toLong
-      finally in.close()
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      scala.util.Try(txt.stripPrefix("v").toLong).getOrElse(0L)
     } else 0L
     val vname = s"v${prev + 1}"
     val vf = new org.apache.hadoop.fs.Path(s"$path/_bloom/$vname.bloom")
     val out = fs.create(vf, true)
     try out.write(bits) finally out.close()
-    val mout = fs.create(marker, true)
+    // marker flip is WRITE-TEMP + RENAME, never an in-place overwrite:
+    // fs.create(marker, true) truncates first, so a crash between
+    // truncate and close would leave an empty marker; a rename is the
+    // filesystem's atomic unit (the segment-commit discipline)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/_bloom/_CURRENT.tmp${System.nanoTime()}")
+    val mout = fs.create(tmp, true)
     try mout.write(vname.getBytes("UTF-8")) finally mout.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    require(fs.rename(tmp, marker),
+      s"could not promote Bloom marker $tmp -> $marker")
     if (prev > 0L)
       try fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/_bloom/v$prev.bloom"), false)
@@ -1694,8 +1715,15 @@ object DedupOps extends QueryGroup {
         hashed.join(prunedByPrefix(ledger, hashed).select("content_hash"),
           Seq("content_hash"), "left_anti")
       case Some(bits) =>
-        val mc = graft.functions.BloomMembership
-          .mightContain(bits, xxhash64(col("content_hash")))
+        // null content_hash (null text) routes to the JOIN branch
+        // explicitly: a null key never matches in left_anti, so such
+        // rows are KEPT — identical to the bloom=None (d9) plan. Left
+        // to the probe's own null semantics the row could fail both
+        // `mc` and `!mc` and silently vanish, breaking the "degrades
+        // to d9, never a wrong answer" equivalence.
+        val mc = col("content_hash").isNull ||
+          graft.functions.BloomMembership
+            .mightContain(bits, xxhash64(col("content_hash")))
         val cand = hashed.filter(mc)
         hashed.filter(!mc).unionByName(
           cand.join(prunedByPrefix(ledger, cand).select("content_hash"),

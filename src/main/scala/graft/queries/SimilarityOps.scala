@@ -1286,7 +1286,7 @@ object SimilarityOps extends QueryGroup {
     * an ingest pipeline racing itself is a bug to surface. Linear
     * backoff, ~30 s worst case, then the original error propagates.
     */
-  private def withLeaseRetry[A](attempts: Int = 5)(body: => A): A = {
+  private[graft] def withLeaseRetry[A](attempts: Int = 5)(body: => A): A = {
     def go(i: Int): A =
       try body catch {
         case e: IllegalArgumentException if i < attempts &&

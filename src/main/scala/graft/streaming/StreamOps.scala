@@ -365,27 +365,44 @@ object StreamOps {
     val hashed = docs.withColumn("content_hash", md5(col(textCol)))
     // pin the ledger snapshot the filter was built against: a
     // file-backed frame re-lists per trigger, so freeze its current
-    // file set (explicit file list). Applies when the frame's columns
-    // come straight from the files (the canonical raw-ledger read);
-    // computed/renamed frames fall through untouched — such a caller
-    // owns its own snapshotting, and non-file frames are static anyway
+    // file set (explicit file list). Applies ONLY when the frame is a
+    // BARE file scan (optionally column-pruned) — decided by inspecting
+    // the logical plan's shape, not column names: a filtered /
+    // row-transformed frame that happens to preserve columns must NOT
+    // be replaced by the full unfiltered file set (rows the caller
+    // excluded would then count as duplicates and novel documents be
+    // wrongly dropped). Such frames fall through untouched — the
+    // caller owns its own snapshotting — and non-file frames are
+    // static anyway.
+    def bareScan(p: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Boolean = p match {
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        pr.projectList.forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.AttributeReference
+        ]) && bareScan(pr.child)
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        bareScan(a.child)
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+      case _ => false
+    }
     val pinned = {
       val files = ledger.inputFiles
-      if (files.isEmpty) ledger
-      else {
-        val raw = ledger.sparkSession.read
-          .parquet(files.toIndexedSeq: _*)
-        if (ledger.columns.forall(raw.columns.contains))
-          raw.select(ledger.columns.map(col).toIndexedSeq: _*)
-        else ledger
-      }
+      if (files.isEmpty || !bareScan(ledger.queryExecution.analyzed)) ledger
+      else ledger.sparkSession.read
+        .parquet(files.toIndexedSeq: _*)
+        .select(ledger.columns.map(col).toIndexedSeq: _*)
     }
     val novel = bloom match {
       case None =>
         hashed.join(broadcast(pinned), Seq("content_hash"), "left_anti")
       case Some(bits) =>
-        val mc = graft.functions.BloomMembership
-          .mightContain(bits, xxhash64(col("content_hash")))
+        // null content_hash routes to the JOIN branch explicitly (the
+        // probe's null semantics must not decide): a null key never
+        // matches in left_anti, so null-text rows are kept — exactly
+        // the bloom=None (ST6/d9) behavior
+        val mc = col("content_hash").isNull ||
+          graft.functions.BloomMembership
+            .mightContain(bits, xxhash64(col("content_hash")))
         hashed.filter(!mc).unionByName(
           hashed.filter(mc)
             .join(broadcast(pinned), Seq("content_hash"), "left_anti"))
@@ -422,8 +439,16 @@ object StreamOps {
     takedowns.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.queries.SimilarityOps.tombstoneIds(
-          batch.sparkSession, path, batch.select(col("vec_id")))
+        // lease-retried (the batch call sites' discipline): a transient
+        // append-lease / compaction conflict is exactly the concurrency
+        // the lease protocol anticipates — it must back off, not fail
+        // the micro-batch and kill the query (idempotency makes the
+        // retry safe: a replayed append writes nothing)
+        graft.queries.SimilarityOps.withLeaseRetry() {
+          graft.queries.SimilarityOps.tombstoneIds(
+            batch.sparkSession, path, batch.select(col("vec_id")))
+        }
+        ()
       }
   }
 

@@ -146,6 +146,46 @@ class BloomDedupSpec extends AnyFunSuite with Matchers {
     lock.exists() shouldBe false // released after a successful run
   }
 
+  test("an empty/garbled _CURRENT marker self-heals on the next " +
+      "refresh instead of wedging (crash between truncate and close)") {
+    val path = freshState()
+    val expected = runD16()
+    // simulate the legacy in-place-overwrite crash artifact: an empty
+    // marker file (the current writer uses temp+rename and cannot
+    // produce one, but a pre-fix state or manual truncation can)
+    val marker = new java.io.File(s"$path/_bloom/_CURRENT")
+    new java.io.FileOutputStream(marker).close()
+    marker.length() shouldBe 0L
+    // readBloom degrades safely (no committed version resolvable)
+    DedupOps.readBloom(spark, path) shouldBe None
+    // and the refresh self-heals: parses the garbage as version 0,
+    // commits v1, service restored — never NumberFormatException
+    noException should be thrownBy runD16()
+    runD16() shouldBe expected
+    DedupOps.readBloom(spark, path) shouldBe defined
+  }
+
+  test("null content_hash routes to the join branch and is KEPT — " +
+      "guarded ≡ d9's plan on a null-bearing batch") {
+    val path = freshState()
+    runD16()
+    val bloom = DedupOps.readBloom(spark, path)
+    import spark.implicits._
+    val withNull = batch.select("doc_id", "text").unionByName(
+      Seq((-1L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val guarded = DedupOps.bloomGuardedDedup(withNull,
+        spark.read.parquet(path), bloom)
+      .orderBy(col("content_hash").asc_nulls_first)
+      .collect().map(_.toSeq).toSeq
+    val plain = DedupOps.bloomGuardedDedup(withNull,
+        spark.read.parquet(path), None)
+      .orderBy(col("content_hash").asc_nulls_first)
+      .collect().map(_.toSeq).toSeq
+    guarded shouldBe plain
+    // the null-text row survives as its own (null-keyed) group
+    guarded.count(r => r.head == null) shouldBe 1
+  }
+
   test("ledger stays append-only in steady state (maintenance is " +
       "O(novel), not O(corpus))") {
     freshState()

@@ -242,6 +242,49 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     runArm(None, "st16none") shouldBe Set(2L) // degraded arm identical
   }
 
+  test("ST16 snapshot pin applies ONLY to bare file scans: a filtered " +
+      "file-backed ledger is honored, not replaced by the full file set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("st16pin").toFile.getAbsolutePath
+    Seq("keep this hash", "caller excluded this hash").toDF("text")
+      .select(md5(col("text")).as("content_hash"),
+        lit("live").as("status"))
+      .withColumn("status",
+        when(col("content_hash") === md5(lit("caller excluded this hash")),
+          lit("removed")).otherwise(col("status")))
+      .write.mode("overwrite").parquet(dir)
+
+    def runWith(ledger: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val in = MemoryStream[(Long, String, Timestamp)](spark)
+      val name = s"st16pin${System.nanoTime()}"
+      val out = StreamOps.bloomGuardedIngest(
+        in.toDF.toDF("doc_id", "text", "ts"), ledger, None,
+        textCol = "text", tsCol = "ts", watermarkDelay = "10 seconds")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(
+          (1L, "keep this hash", ts(100)), // ledgered → dropped
+          (2L, "caller excluded this hash", ts(101)), // removed → NOVEL
+          (3L, "fresh doc", ts(102)))
+        q.processAllAvailable()
+        spark.table(name).select("doc_id").collect()
+          .map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    // row-filtered frame: the caller excluded the "removed" row — the
+    // pin must fall through (a column-name check would silently swap
+    // in the unfiltered files and wrongly drop doc 2)
+    runWith(spark.read.parquet(dir)
+      .filter(col("status") === "live")
+      .select("content_hash")) shouldBe Set(2L, 3L)
+    // bare (column-pruned) scan: pinned to the explicit file list and
+    // fully honored — both ledgered rows drop
+    runWith(spark.read.parquet(dir)
+      .select("content_hash")) shouldBe Set(3L)
+  }
+
   test("ST7 streaming span decontamination: ledger overlap drops documents") {
     import spark.implicits._
     val holdout = "the quick brown fox jumps over the lazy dog every day"
