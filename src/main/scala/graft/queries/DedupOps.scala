@@ -911,6 +911,7 @@ object DedupOps extends QueryGroup {
       prior: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    restoreTakedownBackups(fs, p) // heal a torn takedown swap first
     if (!ledgerDataExists(fs, p))
       withPfx(prior).write.partitionBy("pfx").mode("overwrite").parquet(path)
     else {
@@ -1290,6 +1291,7 @@ object DedupOps extends QueryGroup {
     if (!fs.exists(p) && fs.exists(backup))
       require(fs.rename(backup, p), s"could not restore $backup to $path")
     require(fs.exists(p), s"no ledger at $path")
+    val hadBloom = fs.exists(bloomMarker(path))
     val staging = new org.apache.hadoop.fs.Path(path + "__compact_staging")
     fs.delete(staging, true)
     val df = s.read.parquet(path)
@@ -1314,6 +1316,162 @@ object DedupOps extends QueryGroup {
         throw e
     }
     fs.delete(backup, true)
+    // d16 interplay (r19): the swap moved any `_bloom/` sidecar aside
+    // with the old dir and dropped it with the backup — readers would
+    // degrade to the full join until the next refresh self-heals.
+    // Better: compaction is also the fp-creep BOUND for takedowns
+    // (removeFromHashLedger shrinks the ledger but not the filter —
+    // safe, only over-approximate), so REBUILD the filter from the
+    // compacted rows whenever the pre-swap ledger carried one.
+    s.catalog.refreshByPath(path) // raw renames: invalidate listings
+    if (hadBloom)
+      commitBloom(fs, path,
+        buildBloom(s.read.parquet(path).select("content_hash")))
+  }
+
+  /** Restore any per-prefix takedown swap that crashed between its two
+    * renames (live `pfx=X` gone, `pfx=X__takedown_backup` present) —
+    * called at every hash-ledger writer entry, so a torn
+    * [[removeFromHashLedger]] self-heals instead of silently serving a
+    * ledger missing one prefix slice. Metadata-sized (one listing).
+    */
+  // takedown scratch dirs live INSIDE the ledger dir under leading
+  // underscores (the `_bloom` trick): invisible to the parquet scan's
+  // partition discovery, so a crash window can never surface removed
+  // rows under a garbage partition value
+  private def takedownStagingDir(p: org.apache.hadoop.fs.Path,
+      pf: String) = new org.apache.hadoop.fs.Path(p, s"_takedown_staging_$pf")
+  private def takedownBackupDir(p: org.apache.hadoop.fs.Path,
+      pf: String) = new org.apache.hadoop.fs.Path(p, s"_takedown_backup_$pf")
+
+  private def restoreTakedownBackups(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(p))
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_takedown_backup_")) {
+          val live = new org.apache.hadoop.fs.Path(p,
+            s"pfx=${n.stripPrefix("_takedown_backup_")}")
+          if (!fs.exists(live))
+            require(fs.rename(st.getPath, live),
+              s"could not restore ${st.getPath}")
+          else fs.delete(st.getPath, true) // swap completed; drop relic
+        } else if (n.startsWith("_takedown_staging_"))
+          fs.delete(st.getPath, true) // stale staging: always safe
+      }
+
+  /** TAKEDOWN for the d9/d16 content-hash ledger (r19): remove
+    * `hashes` (a `content_hash` frame — the reclaimed/DMCA'd/opted-out
+    * content), so a legitimate future re-submission of that content
+    * re-evaluates as NOVEL instead of being silently swallowed as a
+    * duplicate — the gap an append-only hash ledger structurally has.
+    *
+    * PREFIX-PRUNED staged rewrite (the F16 swap at partition grain):
+    * only the ≤16 `pfx=` partitions actually containing a removed hash
+    * are rewritten — a takedown touches p/16 of the ledger's bytes,
+    * never O(ledger). Each affected partition dir is rewritten to a
+    * staging sibling (rows anti-joined against the broadcast takedown
+    * set), then swapped rename-aside: at every instant the partition
+    * exists under its live name or its `__takedown_backup` name, and
+    * every writer entry (refreshes, removals) restores a torn swap
+    * first. Idempotent — removing absent hashes rewrites nothing.
+    *
+    * d16's Bloom sidecar is delete-friendly BY CONSTRUCTION: removing
+    * ledger rows PRESERVES bloom ⊇ ledger (the filter only
+    * over-approximates — a removed hash tests positive, pays the exact
+    * join, finds nothing, and is correctly NOVEL), so the filter is
+    * left untouched here; the fp creep is bounded by
+    * [[compactLedger]]'s rebuild-on-compact rule (spec-gated).
+    * Single-writer via the same exclusive-create lock discipline as
+    * the d16 refresh (two racing removals could double-swap a
+    * partition dir).
+    */
+  private[graft] def removeFromHashLedger(s: SparkSession, path: String,
+      hashes: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(ledgerDataExists(fs, p), s"no hash ledger at $path")
+    val lock = new org.apache.hadoop.fs.Path(path + "__takedown_lock")
+    val acquired =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    require(acquired, s"takedown lock $lock already held — " +
+      "removeFromHashLedger is single-writer; if the holder crashed, " +
+      "delete the lock after confirming no remover is live")
+    try {
+      restoreTakedownBackups(fs, p)
+      // takedown-sized; consumed per affected prefix below
+      val dead = hashes.select("content_hash").distinct().localCheckpoint()
+      val pfxs = dead
+        .select(substring(col("content_hash"), 1, 1).as("pfx"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      pfxs.foreach { pf =>
+        val live = new org.apache.hadoop.fs.Path(p, s"pfx=$pf")
+        if (fs.exists(live)) {
+          val rows = s.read.parquet(live.toString)
+          val kept = rows.join(
+            broadcast(dead.filter(
+              substring(col("content_hash"), 1, 1) === pf)),
+            Seq("content_hash"), "left_anti")
+          // rewrite only when the partition actually holds a removed
+          // hash — an untouched slice keeps its files byte-identical
+          if (kept.count() < rows.count()) {
+            val staging = takedownStagingDir(p, pf)
+            val backup = takedownBackupDir(p, pf)
+            fs.delete(staging, true)
+            kept.coalesce(1).write.mode("overwrite")
+              .parquet(staging.toString)
+            fs.delete(backup, true)
+            require(fs.rename(live, backup), s"could not move $live aside")
+            try require(fs.rename(staging, live),
+              s"could not promote $staging")
+            catch { case e: Throwable => fs.rename(backup, live); throw e }
+            fs.delete(backup, true)
+          }
+        }
+      }
+      // the swap went through raw FS renames, which Spark's cached
+      // file indexes don't see (Spark only invalidates paths IT
+      // writes): refresh so standing frames — including a stream's
+      // per-trigger replanned static side — re-list instead of
+      // failing on the replaced files
+      s.catalog.refreshByPath(path)
+    } finally fs.delete(lock, false)
+  }
+
+  /** TAKEDOWN for the d13 band-index ledger (r19): drop the removed
+    * documents' index rows — each row carries the doc's band keys AND
+    * its shingle set, so one row drop removes both the candidate
+    * routes and the verify payload, and a future near-duplicate (or
+    * re-submission) of reclaimed content re-evaluates as novel. The
+    * ledger is unpartitioned (minhashIndex layout), so the rewrite is
+    * the F16 whole-ledger staged swap with the takedown anti-joined
+    * out — same crash contract as [[compactLedger]] (staging fully
+    * written, rename-aside, restore-on-next-call), and the next
+    * [[refreshNearDupLedger]] of the same doc re-indexes it (novelty
+    * keys on ledger doc_ids, which the removal just shrank).
+    */
+  private[graft] def removeFromBandLedger(s: SparkSession, path: String,
+      docIds: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(path + "__compact_backup")
+    if (!fs.exists(p) && fs.exists(backup))
+      require(fs.rename(backup, p), s"could not restore $backup to $path")
+    require(fs.exists(p), s"no band ledger at $path")
+    val staging = new org.apache.hadoop.fs.Path(path + "__takedown_staging")
+    fs.delete(staging, true)
+    s.read.parquet(path)
+      .join(broadcast(docIds.select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(backup, true)
+    require(fs.rename(p, backup), s"could not move $path aside")
+    try require(fs.rename(staging, p), s"could not promote $staging")
+    catch { case e: Throwable => fs.rename(backup, p); throw e }
+    fs.delete(backup, true)
+    s.catalog.refreshByPath(path) // raw renames: invalidate listings
   }
 
   /** The d13 band probe: batch index rows against a ledger-index frame
@@ -1669,6 +1827,7 @@ object DedupOps extends QueryGroup {
     import graft.functions.BloomMembership
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    restoreTakedownBackups(fs, p) // heal a torn takedown swap first
     if (!ledgerDataExists(fs, p)) {
       refreshLedger(s, path, prior) // overwrite bootstrap clears dir
       // sketch from the just-written parquet (a column read — cheaper

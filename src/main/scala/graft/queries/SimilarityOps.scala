@@ -980,6 +980,8 @@ object SimilarityOps extends QueryGroup {
         try require(fs.rename(hPath(staging), live), "could not promote")
         catch { case e: Throwable => fs.rename(backup, live); throw e }
         fs.delete(backup, true)
+        // raw renames: invalidate cached file listings for the path
+        s.catalog.refreshByPath(path)
       }
     } finally fs.delete(lock, false)
   }
@@ -1349,10 +1351,12 @@ object SimilarityOps extends QueryGroup {
     * cosine) — everything above the tap is cross-checked, including
     * the two id joins.
     */
-  private[queries] def knnGraphCtes(tap: String): String =
+  private[queries] def knnGraphCtes(tap: String,
+      candWhere: String = ""): String =
     s"""cand AS (
        |  SELECT qid, vec_id
        |  FROM read_parquet('${graft.sources.VerifyTap.root}/$tap/*.parquet')
+       |  $candWhere
        |), pairs AS (
        |  SELECT c.qid, c.vec_id, eq.embedding AS qe, ev.embedding AS embedding
        |  FROM cand c
@@ -1642,6 +1646,20 @@ object SimilarityOps extends QueryGroup {
     * per-qid top-KG (exact by the heap-merge property — header). The
     * tap (ids only, s9's side-effect discipline) carries the union so
     * the oracle re-checks cosines, merge, and ranks.
+    *
+    * HONORS COMMITTED TOMBSTONES (s14, r19): a taken-down vec_id must
+    * vanish from the graph TWICE — as a query vertex (its own
+    * neighbor list) and as a NEIGHBOR inside other vectors' top-KG
+    * lists — so the read anti-joins the broadcast tombstone set on
+    * BOTH columns, above the tap (the s13 pre-exclusion tap pattern:
+    * the oracle re-derives the takedown set and the exclusion itself,
+    * so a leaked tombstoned vertex hash-fails) and BELOW the heap
+    * (exclusion before ranking lets lower-ranked alive candidates
+    * backfill from the union — ranks are over the ALIVE candidate
+    * set). With no committed tombstone the set is an empty local
+    * relation and the anti-joins fold away. Every seam consumer
+    * (d15l/s11l/p4, [[knnGraphRefinedLedger]]) honors deletes through
+    * this one read — honoring deletes is the READER's contract.
     */
   private[graft] def s10Graph(s: SparkSession, path: String,
       tap: Option[String]): DataFrame = {
@@ -1651,7 +1669,12 @@ object SimilarityOps extends QueryGroup {
       .reduce(_ unionByName _)
     tap.foreach(t => graft.sources.VerifyTap(
       all.select(col("qid"), col("vec_id")), t, coalesce = false))
-    topKAgg(all, KG, ordered = false)
+    val tombs = s8Tombs(s, path)
+    val alive = all
+      .join(broadcast(tombs.select(col("vec_id").as("qid"))),
+        Seq("qid"), "left_anti")
+      .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+    topKAgg(alive, KG, ordered = false)
   }
 
   /** F16's rename-aside compaction for the s10 segment chain — the
@@ -1684,17 +1707,27 @@ object SimilarityOps extends QueryGroup {
         require(fs.rename(backup, live), s"could not restore $backup")
       require(fs.exists(live), s"no s10 ledger at $path")
       val segs = s8CommittedSegs(s, path)
-      if (segs.size > 1) {
+      val tombSegs = tombCommittedSegs(s, path)
+      if (segs.size > 1 || tombSegs.nonEmpty) {
+        // takedown-sized; consumed by several purge joins below
+        val tombs = s8Tombs(s, path).localCheckpoint()
         val staging = path + "__compact_staging"
         fs.delete(hPath(staging), true)
         s.read.parquet(s"$path/centroids")
           .write.mode("overwrite").parquet(s"$staging/centroids")
-        // consumed once each, wholly before the swap
+        // consumed once each, wholly before the swap. Committed
+        // tombstones are APPLIED physically on every dir (the
+        // compactIvfLedger contract — promoting without applying them
+        // would resurrect every takedown): assign/ids drop the
+        // tombstoned VECTORS, probes drop the tombstoned OWNERS
         s10SegUnion(s, path, "assign", None, s10AssignCols, segs)
+          .join(broadcast(tombs), Seq("vec_id"), "left_anti")
           .repartition(col("cid")).write.partitionBy("cid")
           .mode("overwrite").parquet(s"$staging/assign/seg-0")
         s10SegUnion(s, path, "probes", None,
             s10ProbeColsOf(s10IsSlim(s, path)), segs)
+          .join(broadcast(tombs.select(col("vec_id").as("qid"))),
+            Seq("qid"), "left_anti")
           .repartition(col("cid")).write.partitionBy("cid")
           .mode("overwrite").parquet(s"$staging/probes/seg-0")
         // the layout marker must survive the swap — a compacted slim
@@ -1703,10 +1736,13 @@ object SimilarityOps extends QueryGroup {
           fs.create(hPath(s"$staging/__slim_probes"), true).close()
         s.read.parquet(s"$staging/assign/seg-0").select("vec_id")
           .write.mode("overwrite").parquet(s"$staging/ids/seg-0")
-        // edge fold = the merge read itself (exact, idempotent)
-        s10Graph(s, path, None)
-          .select(col("qid"), col("neighbor_id").as("vec_id"),
-            col("cosine"))
+        // edge fold = the merge read itself (exact, idempotent; the
+        // read already excludes tombstones on BOTH sides) — PLUS the
+        // repair round when a takedown was applied: a vertex that
+        // lost neighbors to the exclusion can sit under KG edges
+        // (recall decay) until its list is refilled (s14 / r18
+        // verdict #2)
+        repairedEdges(s, path, segs, tombs, tombSegs.nonEmpty, staging)
           .write.mode("overwrite").parquet(s"$staging/edges/seg-0")
         fs.mkdirs(hPath(s"$staging/commits"))
         fs.create(hPath(s"$staging/commits/seg-0"), true).close()
@@ -1715,8 +1751,80 @@ object SimilarityOps extends QueryGroup {
         try require(fs.rename(hPath(staging), live), "could not promote")
         catch { case e: Throwable => fs.rename(backup, live); throw e }
         fs.delete(backup, true)
+        // raw renames: invalidate cached file listings for the path
+        s.catalog.refreshByPath(path)
       }
     } finally fs.delete(lock, false)
+  }
+
+  /** Compaction's edge output: the excluding merged read, REPAIRED for
+    * the vertices a takedown decayed (s14, r19). Every purge leaves
+    * < KG edges on "affected" vectors — the alive vertices that held a
+    * tombstoned id in their stored lists — until their neighborhoods
+    * are refilled. The repair is ONE descent round (the F21 machinery)
+    * RESTRICTED to the affected set: candidates are
+    * neighbors-of-neighbors through the purged graph's bounded
+    * symmetric adjacency, so the compute is O(affected · (2·KG)²) —
+    * affected is bounded by the takedown set's stored in-degree, never
+    * the corpus — and tombstoned ids are anti-joined out of the novel
+    * candidates so a repair can never resurrect a takedown. Scoring
+    * vectors come from the staging's just-written PURGED assign rows
+    * (id-keyed fetches; a tombstoned vector physically cannot score).
+    * Non-affected vertices' candidate sets are exactly their purged
+    * rows, so the final top-KG re-rank leaves them row-identical
+    * (spec-gated).
+    */
+  private def repairedEdges(s: SparkSession, path: String,
+      segs: Seq[Int], tombs: DataFrame, hasTombs: Boolean,
+      staging: String): DataFrame = {
+    // the excluding merged read IS the purged graph (s10Graph honors
+    // tombstones); output-sized (≤ n·KG), pinned — consumed by the
+    // adjacency, the anti-join, and the final union
+    val purged = s10Graph(s, path, None)
+      .select(col("qid"), col("neighbor_id").as("vec_id"), col("cosine"))
+      .localCheckpoint()
+    if (!hasTombs) purged
+    else {
+      // rebase derivatives on materialized RDDs before re-meeting
+      // `purged` in joins/unions (the nnDescentRound discipline —
+      // duplicate-attribute arms trip Catalyst's constraint rewrite)
+      def fresh(df: DataFrame): DataFrame =
+        s.createDataFrame(df.rdd, df.schema)
+      val affected = segs
+        .map(k => s.read.parquet(s"$path/edges/seg-$k"))
+        .reduce(_ unionByName _)
+        .join(broadcast(tombs), Seq("vec_id")) // lost-neighbor edges
+        .select("qid").distinct()
+        .join(broadcast(tombs.select(col("vec_id").as("qid"))),
+          Seq("qid"), "left_anti") // the removed vertex itself: gone
+        .localCheckpoint()
+      val rev = fresh(topKAgg(purged.select(col("vec_id").as("qid"),
+          col("qid").as("vec_id"), col("cosine")), KG, ordered = false)
+        .select(col("qid"), col("neighbor_id").as("vec_id")))
+      val adj = fresh(purged.select("qid", "vec_id").unionByName(rev)
+        .dropDuplicates("qid", "vec_id")
+        .localCheckpoint())
+      val novelPairs = adj.join(broadcast(affected), Seq("qid")).as("a")
+        .join(adj.as("b"), col("a.vec_id") === col("b.qid"))
+        .select(col("a.qid").as("qid"), col("b.vec_id").as("vec_id"))
+        .filter(col("qid") =!= col("vec_id"))
+        .dropDuplicates("qid", "vec_id")
+        .join(purged.select("qid", "vec_id"), Seq("qid", "vec_id"),
+          "left_anti")
+        .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+      val vecSrc = s.read.parquet(s"$staging/assign/seg-0")
+        .select(col("vec_id"), col("embedding"))
+      val novel = fresh(novelPairs
+        .join(vecSrc.select(col("vec_id").as("qid"),
+          col("embedding").as("qe")), Seq("qid"))
+        .join(vecSrc, Seq("vec_id"))
+        .withColumn("cosine", cosine(col("qe"), col("embedding")))
+        .select("qid", "vec_id", "cosine")
+        .localCheckpoint())
+      topKAgg(purged.unionByName(novel), KG, ordered = false)
+        .select(col("qid"), col("neighbor_id").as("vec_id"),
+          col("cosine"))
+    }
   }
 
   private val s10 = QueryDef(
@@ -2023,6 +2131,59 @@ object SimilarityOps extends QueryGroup {
        |SELECT qid, rank, vec_id AS neighbor_id, cosine
        |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin))
 
+  // --------------------------------------------------------------- S14
+  // TOMBSTONES for the kNN-GRAPH ledger — s13's takedown path one
+  // level up (r18 verdict #2): a removed vector must vanish from the
+  // maintained graph TWICE — as a query vertex AND as a neighbor
+  // inside other vectors' top-KG lists — and, unlike the retrieval
+  // index, a graph purge DAMAGES the survivors: every vertex that held
+  // the removed id now has < KG edges (recall decay) until repaired.
+  // Machinery: the tombstone chain is [[tombstoneIds]] verbatim (the
+  // s8/s10 ledgers share the committed-segment + lease protocol, so
+  // the writer is path-generic); the merged read [[s10Graph]]
+  // anti-joins the broadcast tombstone set on BOTH columns below the
+  // heap — lower-ranked alive candidates backfill from the union
+  // immediately — and every seam consumer (d15l/s11l/p4,
+  // knnGraphRefinedLedger) honors deletes through that one read.
+  // PHYSICAL removal + repair ride [[compactKnnLedger]]: assign/
+  // probes/ids purge their tombstoned rows, and the edge fold runs
+  // ONE descent round restricted to the AFFECTED vertices
+  // ([[repairedEdges]] — O(affected·(2KG)²), F21's machinery, never
+  // O(n)) so decayed neighborhoods refill before the tomb chain is
+  // cleared. Oracle: the s13 pre-exclusion tap pattern — the tap
+  // carries the PRE-exclusion edge union and DuckDB re-derives the
+  // takedown set (vec_id ≡ 3 mod [[s13Mod]]), the two-sided
+  // exclusion, the cosines, and the re-rank, so a leaked takedown
+  // hash-fails on either side. Own ledger path (tombstoning the
+  // shared s10 ledger would change every other graph consumer's
+  // driver-run output under their exclusion-blind oracles).
+  private[graft] def s14LedgerPath(dir: String): String = {
+    val f = new java.io.File(dir)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(f.getAbsolutePath.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+    s"/tmp/graft_state/graft_s14_knn_${f.getName}_${digest}_p1"
+  }
+
+  private val s14 = QueryDef(
+    "s14_knn_tombstoned",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val path = s14LedgerPath(dir)
+      // day 1 bootstrap + day 2 batch (the s10 shape), then a takedown
+      withLeaseRetry() { refreshKnnLedger(s, path,
+        e.filter(pmod(col("vec_id"), lit(8)) =!= 5)) }
+      withLeaseRetry() { refreshKnnLedger(s, path, e) }
+      withLeaseRetry() { tombstoneIds(s, path,
+        e.filter(pmod(col("vec_id"), lit(s13Mod)) === 3)
+          .select("vec_id")) }
+      s10Graph(s, path, Some("s14_cand")).orderBy("qid", "rank")
+    },
+    Some(s"""WITH ${knnGraphCtes("s14_cand",
+        s"WHERE qid % $s13Mod <> 3 AND vec_id % $s13Mod <> 3")}
+       |SELECT qid, rank, vec_id AS neighbor_id, cosine
+       |FROM granked ORDER BY qid, rank""".stripMargin))
+
   // --------------------------------------------------------------- T25
   // (machinery for TextOps' t25_embedding_decontam — the family file
   // owns the QueryDef; the LSH internals live here with s2/s7.)
@@ -2055,5 +2216,6 @@ object SimilarityOps extends QueryGroup {
         col("cosine"))
 
   override val queries: Seq[QueryDef] =
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s11l, s12, s13)
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s11l, s12, s13,
+      s14)
 }

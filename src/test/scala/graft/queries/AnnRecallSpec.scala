@@ -775,6 +775,133 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("S14 graph tombstones: takedowns vanish as qid AND neighbor, " +
+      "replay appends nothing, the seam honors deletes, compaction " +
+      "purges physically and REPAIRS decayed neighborhoods to the floor") {
+    import org.apache.spark.sql.functions.col
+    // the driver-shaped query: no tombstoned id on EITHER side
+    val out = SparkEntry.queries("s14_knn_tombstoned")(
+      spark, TestSpark.sfDir).collect()
+    out should not be empty
+    out.foreach { r =>
+      (r.getLong(0) % SimilarityOps.s13Mod) should not be 3L // qid
+      (r.getLong(2) % SimilarityOps.s13Mod) should not be 3L // neighbor
+    }
+    // replay idempotency: same output, no new tomb segment
+    val dpath = SimilarityOps.s14LedgerPath(TestSpark.sfDir)
+    val segsBefore = new java.io.File(s"$dpath/tombcommits").list().sorted
+    SparkEntry.queries("s14_knn_tombstoned")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq shouldBe out.map(_.toSeq).toSeq
+    new java.io.File(s"$dpath/tombcommits").list().sorted shouldBe
+      segsBefore
+
+    // dedicated temp ledger: ONE bootstrap segment, so the stored
+    // union holds exactly KG edges per vertex and every vertex that
+    // lost a neighbor is genuinely under-KG until repaired
+    val tpath = s"/tmp/graft_state/graft_s14_spec_${java.util.UUID
+      .randomUUID().toString.take(8)}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      SimilarityOps.refreshKnnLedger(spark, tpath, e)
+      val dead = e.filter(col("vec_id") % 7 === 1).select("vec_id")
+      val deadIds = dead.collect().map(_.getLong(0)).toSet
+      SimilarityOps.tombstoneIds(spark, tpath, dead)
+      def graphRows(path: String) =
+        SimilarityOps.s10Graph(spark, path, None)
+          .select("qid", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      // the excluding read: neither side surfaces a takedown
+      val decayed = graphRows(tpath)
+      decayed.foreach { case (q, n) =>
+        deadIds should not contain q
+        deadIds should not contain n
+      }
+      // decay is real: some alive vertex sits under KG edges
+      val decayedCounts = decayed.groupBy(_._1).view.mapValues(_.length)
+      val underKg = decayedCounts.filter(_._2 < SimilarityOps.KG).keys.toSet
+      underKg should not be empty
+      // the SEAM honors deletes (d15l/s11l/p4 all read through it)
+      SimilarityOps.knnGraph(spark, TestSpark.sfDir, None,
+          SimilarityOps.LedgerGraph(tpath))
+        .select("qid", "neighbor_id").collect().foreach { r =>
+          deadIds should not contain r.getLong(0)
+          deadIds should not contain r.getLong(1)
+        }
+      // exact top-KG graph over the ALIVE corpus (in-memory reference)
+      val alive = e.filter(!col("vec_id").isin(deadIds.toSeq: _*))
+      val vecs = alive.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val exact: Map[Long, Set[Long]] = vecs.map { case (q, qe) =>
+        q -> vecs.toSeq.filter(_._1 != q)
+          .map { case (v, ve) => (v, cos(qe, ve)) }
+          .sortBy { case (v, c) => (-c, v) }
+          .take(SimilarityOps.KG).map(_._1).toSet
+      }
+      def recallOf(rows: Array[(Long, Long)]): Double = {
+        val g = rows.groupBy(_._1).view
+          .mapValues(_.map(_._2).toSet).toMap
+        val hits = exact.keys.toSeq.map { q =>
+          g.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble /
+            exact(q).size }
+        hits.sum / hits.size
+      }
+      val decayedRecall = recallOf(decayed)
+      // compaction purges physically on EVERY dir and repairs
+      SimilarityOps.compactKnnLedger(spark, tpath)
+      SimilarityOps.s8Tombs(spark, tpath).count() shouldBe 0L
+      spark.read.parquet(s"$tpath/assign/seg-0")
+        .filter(col("vec_id").isin(deadIds.toSeq: _*))
+        .count() shouldBe 0L
+      spark.read.parquet(s"$tpath/ids/seg-0")
+        .filter(col("vec_id").isin(deadIds.toSeq: _*))
+        .count() shouldBe 0L
+      spark.read.parquet(s"$tpath/probes/seg-0")
+        .filter(col("qid").isin(deadIds.toSeq: _*))
+        .count() shouldBe 0L
+      val repaired = graphRows(tpath)
+      repaired.foreach { case (q, n) =>
+        deadIds should not contain q
+        deadIds should not contain n // repair never resurrects
+      }
+      // every decayed neighborhood refilled to exactly KG edges
+      val repairedCounts = repaired.groupBy(_._1).view
+        .mapValues(_.length).toMap
+      underKg.foreach { q => repairedCounts(q) shouldBe SimilarityOps.KG }
+      // non-affected vertices untouched by the repair re-rank
+      val decayedByQ = decayed.groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      decayedByQ.keys.filterNot(underKg).foreach { q =>
+        repaired.filter(_._1 == q).map(_._2).toSet shouldBe decayedByQ(q)
+      }
+      // repair restores recall: monotone over the decayed read, and
+      // the repaired ledger clears the s9-class floor vs the exact
+      // alive graph
+      val repairedRecall = recallOf(repaired)
+      repairedRecall should be >= decayedRecall
+      repairedRecall should be >= 0.6
+      // post-compaction, a RE-SUBMISSION of reclaimed content is
+      // novel again (the ids sidecar was purged): it re-indexes
+      SimilarityOps.refreshKnnLedger(spark, tpath, e)
+      SimilarityOps.s8CommittedSegs(spark, tpath) shouldBe Seq(0, 1)
+      graphRows(tpath).map(_._1).toSet
+        .intersect(deadIds) should not be empty
+    } finally {
+      rm(new java.io.File(tpath))
+      rm(new java.io.File(tpath + "__compact_staging"))
+      rm(new java.io.File(tpath + "__compact_backup"))
+    }
+  }
+
   test("T25 embedding decontamination: every flagged pair truly clears " +
       "the radius on exact cosines; eval suite never flags itself; " +
       "the pipeline seam drops exactly the flagged docs") {

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Takedowns for the TEXT-side ledgers (r19): the d9/d16 content-hash
+  * ledger and the d13 band index are append-only, so without a removal
+  * path a taken-down document's hash stays ledgered forever and a
+  * legitimate future re-submission of reclaimed content is silently
+  * swallowed as a duplicate. These tests prove: post-takedown re-ingest
+  * is NOVEL on all three ledgers, removals are prefix-pruned (d9/d16)
+  * and idempotent, every crash point self-heals, d16's bloom ⊇ ledger
+  * invariant survives ledger shrinkage (only fp creep, bounded by the
+  * rebuild-on-compact rule), and a per-trigger-replanned stream (ST6
+  * shape) picks up the shrunk ledger.
+  */
+class LedgerTakedownSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+  }
+
+  private def tmpPath(tag: String) =
+    s"/tmp/graft_state/graft_takedown_${tag}_${java.util.UUID
+      .randomUUID().toString.take(8)}"
+
+  private def hashesOf(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.toDF("text").select(md5(col("text")).as("content_hash"))
+  }
+
+  private def batchOf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("d9 hash ledger: removal is prefix-pruned, idempotent, and " +
+      "makes re-submitted reclaimed content NOVEL again") {
+    val path = tmpPath("d9")
+    try {
+      val keepTexts = (0 until 40).map(i => s"standing doc number $i")
+      val deadTexts = (0 until 10).map(i => s"reclaimed doc number $i")
+      DedupOps.refreshLedger(spark, path,
+        hashesOf(keepTexts ++ deadTexts))
+      val batch = batchOf(
+        deadTexts.zipWithIndex.map { case (t, i) => (100L + i, t) } ++
+          Seq((200L, keepTexts.head), (201L, "genuinely new doc")))
+      // pre-takedown: reclaimed content is swallowed as duplicate
+      val pre = DedupOps.incrementalDedup(batch,
+        spark.read.parquet(path)).collect()
+      pre.map(_.getLong(1)).toSet shouldBe Set(201L)
+
+      // untouched prefix slices stay byte-identical
+      val deadPfx = hashesOf(deadTexts)
+        .select(substring(col("content_hash"), 1, 1)).distinct()
+        .collect().map(_.getString(0)).toSet
+      def snapshot() = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(path))
+          .filter(_.getName.startsWith("part-"))
+          .map(f => (f.getPath, f.lastModified, f.length)).sortBy(_._1)
+      }
+      val before = snapshot()
+      DedupOps.removeFromHashLedger(spark, path, hashesOf(deadTexts))
+      val after = snapshot()
+      val untouchedBefore = before.filterNot(r =>
+        deadPfx.exists(pf => r._1.contains(s"pfx=$pf/")))
+      val untouchedAfter = after.filterNot(r =>
+        deadPfx.exists(pf => r._1.contains(s"pfx=$pf/")))
+      untouchedAfter shouldBe untouchedBefore
+
+      // post-takedown: the same content re-evaluates as novel; the
+      // standing hashes still dedup
+      val post = DedupOps.incrementalDedup(batch,
+        spark.read.parquet(path)).collect()
+      post.map(_.getLong(1)).toSet shouldBe
+        (Set(201L) ++ (100L until 110L))
+      // idempotent: removing the same hashes again rewrites nothing
+      val s1 = snapshot()
+      DedupOps.removeFromHashLedger(spark, path, hashesOf(deadTexts))
+      snapshot() shouldBe s1
+      // and a refresh re-ledgers the reclaimed content as novel
+      DedupOps.refreshLedger(spark, path, hashesOf(deadTexts))
+      DedupOps.incrementalDedup(batch, spark.read.parquet(path))
+        .collect().map(_.getLong(1)).toSet shouldBe Set(201L)
+    } finally rm(new java.io.File(path))
+  }
+
+  test("d9 hash ledger: takedown crash points self-heal (torn swap " +
+      "restored, stale staging discarded, held lock refuses)") {
+    val path = tmpPath("d9crash")
+    try {
+      val texts = (0 until 30).map(i => s"crash case doc $i")
+      DedupOps.refreshLedger(spark, path, hashesOf(texts))
+      val total = spark.read.parquet(path).count()
+      // simulate a crash BETWEEN the two renames: live slice moved to
+      // its backup name, never promoted
+      val dir = new java.io.File(path)
+      val somePfx = dir.listFiles().map(_.getName)
+        .filter(_.startsWith("pfx=")).head.stripPrefix("pfx=")
+      new java.io.File(path, s"pfx=$somePfx")
+        .renameTo(new java.io.File(path, s"_takedown_backup_$somePfx")) shouldBe true
+      // a stale staging dir from a crash mid-write
+      new java.io.File(path, s"_takedown_staging_$somePfx").mkdirs()
+      // the next writer entry heals both
+      DedupOps.refreshLedger(spark, path, hashesOf(texts))
+      spark.read.parquet(path).count() shouldBe total
+      new java.io.File(path, s"_takedown_backup_$somePfx")
+        .exists() shouldBe false
+      new java.io.File(path, s"_takedown_staging_$somePfx")
+        .exists() shouldBe false
+      // single-writer: a held lock refuses (wedge, not corrupt)
+      val lock = new java.io.File(path + "__takedown_lock")
+      lock.createNewFile() shouldBe true
+      an[IllegalArgumentException] should be thrownBy
+        DedupOps.removeFromHashLedger(spark, path,
+          hashesOf(Seq(texts.head)))
+      lock.delete() shouldBe true
+      DedupOps.removeFromHashLedger(spark, path, hashesOf(Seq(texts.head)))
+      spark.read.parquet(path).count() shouldBe total - 1
+    } finally rm(new java.io.File(path))
+  }
+
+  test("d13 band ledger: a removed document stops matching near-dups " +
+      "and re-ingests as novel (re-indexed)") {
+    val path = tmpPath("d13")
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron pi rho sigma tau kappa2"
+      val ledgerDocs = batchOf(Seq(
+        (1L, base), // the doc to take down
+        (2L, "completely different words nothing shared here at all " +
+          "ten tokens")))
+      DedupOps.refreshNearDupLedger(spark, path, ledgerDocs)
+      // a near-duplicate of doc 1 (one word changed)
+      val probe = graft.operators.ScratchCache.scratch(
+        DedupOps.minhashIndex(batchOf(Seq(
+          (10L, base.replace("kappa2", "omega"))))))
+      DedupOps.nearDupProbe(probe, spark.read.parquet(path))
+        .select("j").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+      // takedown: the band rows AND shingle set go with the row
+      import spark.implicits._
+      DedupOps.removeFromBandLedger(spark, path, Seq(1L).toDF("doc_id"))
+      DedupOps.nearDupProbe(probe, spark.read.parquet(path))
+        .count() shouldBe 0L
+      spark.read.parquet(path).filter(col("doc_id") === 1L)
+        .count() shouldBe 0L
+      // reclaimed content re-ingests as NOVEL: the refresh re-indexes
+      // it (novelty keys on the ledger's doc_ids, which just shrank)
+      DedupOps.refreshNearDupLedger(spark, path, ledgerDocs)
+      spark.read.parquet(path).filter(col("doc_id") === 1L)
+        .count() shouldBe 1L
+      DedupOps.nearDupProbe(probe, spark.read.parquet(path))
+        .select("j").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+    } finally {
+      rm(new java.io.File(path))
+      rm(new java.io.File(path + "__compact_backup"))
+      rm(new java.io.File(path + "__takedown_staging"))
+      graft.operators.ScratchCache.releaseAll()
+    }
+  }
+
+  test("d16: bloom superset invariant SURVIVES ledger shrinkage (the " +
+      "removed hash pays the exact join and is correctly novel), and " +
+      "compaction rebuilds the filter (fp-creep bound)") {
+    val path = tmpPath("d16")
+    try {
+      val keepTexts = (0 until 40).map(i => s"bloomed standing doc $i")
+      val deadTexts = (0 until 8).map(i => s"bloomed reclaimed doc $i")
+      DedupOps.refreshLedgerBloomed(spark, path,
+        hashesOf(keepTexts ++ deadTexts))
+      val bloomBefore = DedupOps.readBloom(spark, path)
+      bloomBefore shouldBe defined
+      DedupOps.removeFromHashLedger(spark, path, hashesOf(deadTexts))
+      // the filter is untouched — and still a superset of the SHRUNK
+      // ledger (no false negative is possible under deletion)
+      DedupOps.readBloom(spark, path).get.toSeq shouldBe
+        bloomBefore.get.toSeq
+      spark.read.parquet(path)
+        .filter(!graft.functions.BloomMembership.mightContain(
+          bloomBefore.get, xxhash64(col("content_hash"))))
+        .count() shouldBe 0L
+      // re-submission of reclaimed content is NOVEL through the
+      // guarded plan, identical to the exact (bloom-less) arm
+      val batch = batchOf(
+        deadTexts.zipWithIndex.map { case (t, i) => (300L + i, t) } ++
+          Seq((400L, keepTexts.head)))
+      val guarded = DedupOps.bloomGuardedDedup(batch,
+          spark.read.parquet(path), DedupOps.readBloom(spark, path))
+        .orderBy("content_hash").collect().map(_.toSeq).toSeq
+      val exact = DedupOps.bloomGuardedDedup(batch,
+          spark.read.parquet(path), None)
+        .orderBy("content_hash").collect().map(_.toSeq).toSeq
+      guarded shouldBe exact
+      guarded.map(_(1).asInstanceOf[Long]).toSet shouldBe
+        (300L until 308L).toSet
+      // compaction bounds the fp creep: the filter is REBUILT from the
+      // compacted (shrunk) rows — new version committed, invariant
+      // intact, reads unchanged
+      DedupOps.compactLedger(spark, path)
+      val rebuilt = DedupOps.readBloom(spark, path)
+      rebuilt shouldBe defined
+      // genuinely rebuilt from the shrunk rows (the compaction swap
+      // starts a fresh sidecar lineage): fewer set bits than the
+      // pre-takedown filter, not the same bitmap carried over
+      rebuilt.get.toSeq should not equal bloomBefore.get.toSeq
+      spark.read.parquet(path)
+        .filter(!graft.functions.BloomMembership.mightContain(
+          rebuilt.get, xxhash64(col("content_hash"))))
+        .count() shouldBe 0L
+      DedupOps.bloomGuardedDedup(batch, spark.read.parquet(path),
+          rebuilt)
+        .orderBy("content_hash").collect().map(_.toSeq).toSeq shouldBe
+        guarded
+    } finally rm(new java.io.File(path))
+  }
+
+  test("ST6-shape streaming dedup over a taken-down ledger: the shrunk " +
+      "state is honored on RESTART (the static-side snapshot contract) " +
+      "and reclaimed content is then kept") {
+    // A running stream's path-based static relation PINS its file
+    // listing (a V1 relation's InMemoryFileIndex) — a takedown REWRITE
+    // of a prefix dir is therefore not visible to an in-flight query
+    // (unlike appends, a shrink replaces files), and picking it up is
+    // a query restart: the same contract ST16 documents for its filter
+    // snapshot, and the same one any broadcast-model refresh has.
+    // This test proves the restart path end-to-end: drop → takedown →
+    // restart with a re-read ledger → the reclaimed content is NOVEL.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val path = tmpPath("st6")
+    try {
+      val texts = Seq("streamed standing doc", "streamed reclaimed doc")
+      DedupOps.refreshLedger(spark, path, hashesOf(texts))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      def startQuery(name: String) = graft.streaming.StreamOps
+        .incrementalDedup(
+          in.toDF.toDF("doc_id", "text", "ts"),
+          spark.read.parquet(path).select("content_hash"),
+          textCol = "text", tsCol = "ts", watermarkDelay = "10 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val q1 = startQuery("takedown_st6a")
+      try {
+        in.addData((1L, "streamed reclaimed doc", ts(100)))
+        q1.processAllAvailable() // ledgered → dropped
+        spark.table("takedown_st6a").count() shouldBe 0L
+      } finally q1.stop()
+      DedupOps.removeFromHashLedger(spark, path,
+        hashesOf(Seq("streamed reclaimed doc")))
+      // restart: the static side re-reads the (shrunk) ledger
+      val q2 = startQuery("takedown_st6b")
+      try {
+        in.addData((2L, "streamed reclaimed doc", ts(101)),
+          (3L, "streamed standing doc", ts(102)))
+        q2.processAllAvailable()
+        val kept = spark.table("takedown_st6b").select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+        // the checkpoint-less restart replays from offset 0: the
+        // reclaimed hash is admitted exactly ONCE (doc 1, its first
+        // arrival; doc 2 drops as its in-stream duplicate) and the
+        // standing hash still drops — post-takedown the content is
+        // novel, with in-stream dedup semantics intact
+        kept shouldBe Set(1L)
+      } finally q2.stop()
+    } finally rm(new java.io.File(path))
+  }
+}
