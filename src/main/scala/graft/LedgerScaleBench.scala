@@ -28,6 +28,10 @@ object LedgerScaleBench {
     if (args.headOption.contains("s10")) {
       s10Scenario(small, args.lift(1).getOrElse("/tmp/graft_sf1")); return
     }
+    if (args.headOption.contains("retrain")) {
+      retrainScenario(small, args.lift(1).getOrElse("/tmp/graft_sf1"))
+      return
+    }
     if (args.headOption.contains("d15")) {
       d15Scenario(sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
         "/tmp/graft_sf1")); return
@@ -160,6 +164,41 @@ object LedgerScaleBench {
     timeMaint(p1x, "s8_maint_batch_vs_1x_index")
     timeMaint(p10x, "s8_maint_warmup_10x")
     timeMaint(p10x, "s8_maint_batch_vs_10x_index")
+    spark.stop()
+  }
+
+  /** Quantizer retrain migration cost vs corpus size (r19): the
+    * scheduled offline job's price — one corpus re-train + re-assign +
+    * staged swap — against a 1× and a 10× standing index. The cost is
+    * O(corpus·cells) by construction (cells ≈ √n, so ~n^1.5 assignment
+    * compute plus one corpus read/write); the number at stake is how
+    * that lands next to the daily O(batch) maintenance it amortizes
+    * over. Run: `sbt "runMain graft.LedgerScaleBench retrain"`.
+    */
+  private def retrainScenario(small: String, big: String): Unit = {
+    val spark = GraftSession.local(32, "graft-retrain-scale")
+    import graft.queries.SimilarityOps
+    def ledgerOf(dir: String): String = {
+      val e = Tables.load(spark, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val path = SimilarityOps.s8LedgerPath(dir)
+      SimilarityOps.refreshIvfLedger(spark, path,
+        e.filter(pmod(col("vec_id"), lit(8)) =!= 5))
+      SimilarityOps.refreshIvfLedger(spark, path, e)
+      path
+    }
+    def timeRetrain(path: String, label: String): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SimilarityOps.retrainIvfLedger(spark, path)
+      println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val p1x = ledgerOf(small)
+    timeRetrain(p1x, "retrain_1x_index")
+    timeRetrain(p1x, "retrain_1x_index_rep2")
+    val p10x = ledgerOf(big)
+    timeRetrain(p10x, "retrain_10x_index")
+    timeRetrain(p10x, "retrain_10x_index_rep2")
     spark.stop()
   }
 

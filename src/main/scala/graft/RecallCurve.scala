@@ -26,6 +26,7 @@ import graft.sources.Tables
   */
 object RecallCurve {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("filtered")) { filteredCurve(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.01")
     val rounds = args.headOption.map(_.toInt).getOrElse(2)
@@ -96,6 +97,65 @@ object RecallCurve {
         .count() // edges the round replaced with closer neighbors
       println(f"[curve] round=$r recall=${recallOf(g)}%.4f " +
         f"improved_edges=$improved sec=$sec%.2f")
+    }
+    spark.stop()
+  }
+
+  /** s12's recall-vs-SELECTIVITY curve (r19): predicate-filtered ANN
+    * recall at four predicate selectivities (50% → 0.1% of the corpus)
+    * under nprobe escalation (boost 0/1/2/4/all-cells). A highly
+    * selective predicate leaves few allowed vectors inside the default
+    * probe budget — the curve measures how recall decays with
+    * selectivity and what each extra probed cell buys back (at
+    * nprobe ≥ cells the filtered read is EXACT by construction — the
+    * escalation knob's ceiling). Predicates are deterministic id
+    * classes (vec_id % m = 0), so the curve is reproducible; recall is
+    * vs the predicate-filtered exact brute force per query.
+    * Run: `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.RecallCurve
+    * filtered"`; recorded in BASELINE §recall-curve r19.
+    */
+  private def filteredCurve(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      "graft-filtered-curve")
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.VectorFunctions.cosine
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = SimilarityOps.s8LedgerPath(sfDir) + "_filteredcurve"
+    SimilarityOps.refreshIvfLedger(spark, path, e)
+    val cells = spark.read.parquet(s"$path/centroids").count().toInt
+    val q = e.filter(col("vec_id") < 8).localCheckpoint()
+    println(s"[curve] filtered-ANN sf=$sfDir cells=$cells " +
+      s"n=${e.count()}")
+    for (m <- Seq(2L, 10L, 100L, 1000L)) {
+      // exact filtered top-10 per query (brute force over the allowed
+      // class — dev-corpus yardstick)
+      val truth = SimilarityOps.topKAgg(
+          e.filter(pmod(col("vec_id"), lit(m)) === 0)
+            .join(broadcast(q.select(col("vec_id").as("qid"),
+              col("embedding").as("qe"))), col("qid") =!= col("vec_id"))
+            .withColumn("cosine", cosine(col("qe"), col("embedding")))
+            .select("qid", "vec_id", "cosine"))
+        .select("qid", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (boost <- Seq(0, 1, 2, 4, cells)) {
+        val t0 = System.nanoTime()
+        val got = SimilarityOps.topKAgg(
+            SimilarityOps.s8Probe(spark, path, q, boost)
+              .filter(pmod(col("vec_id"), lit(m)) === 0)
+              .withColumn("cosine", cosine(col("qe"), col("embedding")))
+              .select("qid", "vec_id", "cosine"))
+          .select("qid", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val r = got.intersect(truth).size.toDouble / truth.size
+        println(f"[curve] selectivity=1/$m boost=$boost " +
+          f"recall=$r%.4f truth=${truth.size} got=${got.size} " +
+          f"sec=$sec%.2f")
+      }
     }
     spark.stop()
   }

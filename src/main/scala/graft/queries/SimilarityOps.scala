@@ -986,6 +986,80 @@ object SimilarityOps extends QueryGroup {
     } finally fs.delete(lock, false)
   }
 
+  /** QUANTIZER RETRAIN MIGRATION (r19, the r18 verdict's #4): s8's
+    * centroids are trained once at bootstrap and fixed forever — the
+    * production trade that makes assignment deterministic and
+    * incremental ≡ from-scratch provable — with retraining deferred to
+    * "a scheduled offline job". This IS that job: when the corpus has
+    * drifted from its bootstrap distribution (occupancy skew, recall
+    * decay), train FRESH centroids on the standing corpus (cells
+    * re-keyed to its CURRENT size — a ledger that grew 100× since
+    * bootstrap gets √(100n) cells, not its stale √n) and re-assign
+    * every committed row through a staged parallel build.
+    *
+    * Atomicity is the compaction machinery verbatim (retrain IS a
+    * compaction-class whole-ledger rewrite, so it takes the SAME
+    * lock — a retrain and a compaction cannot interleave): the staging
+    * ledger (new centroids + one re-assigned seg-0 + ids + marker) is
+    * fully written while the live dir stays untouched, then the
+    * rename-aside swap flips readers to the new quantizer in one
+    * metadata operation — a reader mid-migration reads the OLD
+    * quantizer's committed state until the flip, and every crash
+    * point is the compaction backup/restore contract (writers restore
+    * `__compact_backup` before touching the path). Committed
+    * tombstones are applied during the rewrite (the physical-removal
+    * hazard is the same as compaction's) and the retrained ledger
+    * starts tomb-free. Determinism: trainCentroids' hash-sampled
+    * seeds + exact-decimal Lloyd means make the retrained ledger
+    * row-identical to a from-scratch bootstrap over the same corpus
+    * (spec-gated), so downstream readers (s8/s12/s13 probes, the
+    * c1l/c2l quantizer seam) migrate with no contract change — their
+    * next read simply probes the new cells.
+    */
+  private[graft] def retrainIvfLedger(s: SparkSession,
+      path: String): Unit = {
+    val fs = fsOf(s, path)
+    val live = hPath(path)
+    val backup = hPath(path + "__compact_backup")
+    val lock = hPath(path + "__compact_lock")
+    fs.mkdirs(lock.getParent)
+    val acquired =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    require(acquired, s"compaction lock $lock already held — " +
+      "retrainIvfLedger is single-writer (shares the compaction " +
+      "lock); if the holder crashed, delete the lock after confirming " +
+      "none is live")
+    try {
+      requireNoAppendInFlight(fs, path)
+      if (!fs.exists(live) && fs.exists(backup))
+        require(fs.rename(backup, live), s"could not restore $backup")
+      require(fs.exists(live), s"no s8 ledger at $path")
+      val staging = path + "__compact_staging"
+      fs.delete(hPath(staging), true)
+      // the standing corpus = committed assign rows minus committed
+      // tombstones; a plain frame over the segment scans — each
+      // consumer below (count, training sample, re-assign) is its own
+      // pruned read, the bootstrap discipline (never a corpus-sized
+      // driver pin)
+      val corpus = s8Assign(s, path, None).select("vec_id", "embedding")
+        .join(broadcast(s8Tombs(s, path)), Seq("vec_id"), "left_anti")
+      val n = corpus.count()
+      val cells = LshTuning.ivfCellsFor(n, ivfCellsFloor)
+      trainCentroids(corpus, cells, n)
+        .write.mode("overwrite").parquet(s"$staging/centroids")
+      val cents = s.read.parquet(s"$staging/centroids")
+      s8WriteSeg(s, staging, 0,
+        assignNearest(corpus, cents).select("vec_id", "cid", "embedding"))
+      fs.delete(backup, true)
+      require(fs.rename(live, backup), s"could not move $path aside")
+      try require(fs.rename(hPath(staging), live), "could not promote")
+      catch { case e: Throwable => fs.rename(backup, live); throw e }
+      fs.delete(backup, true)
+      s.catalog.refreshByPath(path)
+    } finally fs.delete(lock, false)
+  }
+
   // --------------------------------------------------------------- S13
   // TOMBSTONES (deletes) for the persisted IVF ledger — the takedown
   // path every production index needs and append-only ledgers lack: a
@@ -1074,11 +1148,22 @@ object SimilarityOps extends QueryGroup {
   /** The daily query plan alone: probe the PERSISTED index with query
     * vectors `q` (request-sized). Factored from [[s8Candidates]] so
     * `LedgerScaleBench` times exactly this plan against a grown index.
+    *
+    * `nprobeBoost` widens the probe budget by that many extra cells —
+    * the ESCALATION knob for predicate-filtered retrieval (s12): a
+    * highly selective predicate leaves few allowed vectors inside the
+    * default nprobe cells, starving the re-rank below k results /
+    * tanking recall; boosting trades a linearly larger index read for
+    * coverage (nprobe ≥ cells degenerates to the exact filtered scan —
+    * recall 1.0 by construction, spec-gated). The recall-vs-selectivity
+    * curve behind the knob's sizing is `graft.RecallCurve filtered`
+    * (BASELINE §recall-curve r19).
     */
   private[graft] def s8Probe(s: SparkSession, path: String,
-      q: DataFrame): DataFrame = {
+      q: DataFrame, nprobeBoost: Int = 0): DataFrame = {
     val cents = s.read.parquet(s"$path/centroids")
-    val nprobe = LshTuning.nprobeFor(cents.count().toInt, nprobeFloor)
+    val nprobe = LshTuning.nprobeFor(cents.count().toInt, nprobeFloor) +
+      nprobeBoost
     val probeRows = probeNearest(q, cents, nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("cid"))

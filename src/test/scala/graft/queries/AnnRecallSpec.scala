@@ -696,6 +696,56 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     r should be >= 0.5
   }
 
+  test("S12 filtered ANN under a HIGHLY SELECTIVE predicate: nprobe " +
+      "escalation recovers recall, and the full probe budget is EXACT") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.cosine
+    // own ledger (the shared s8 one belongs to the driver queries)
+    val path = SimilarityOps.s8LedgerPath(TestSpark.sfDir) + "_selspec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      SimilarityOps.refreshIvfLedger(spark, path, e)
+      val cells = spark.read.parquet(s"$path/centroids").count().toInt
+      val q = e.filter(col("vec_id") < 8).localCheckpoint()
+      // selective predicate: ~2% of the corpus is allowed
+      val m = 50L
+      def recallAt(boost: Int): Double = {
+        val truth = SimilarityOps.topKAgg(
+            e.filter(pmod(col("vec_id"), lit(m)) === 0)
+              .join(broadcast(q.select(col("vec_id").as("qid"),
+                col("embedding").as("qe"))),
+                col("qid") =!= col("vec_id"))
+              .withColumn("cosine", cosine(col("qe"), col("embedding")))
+              .select("qid", "vec_id", "cosine"))
+          .select("qid", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = SimilarityOps.topKAgg(
+            SimilarityOps.s8Probe(spark, path, q, boost)
+              .filter(pmod(col("vec_id"), lit(m)) === 0)
+              .withColumn("cosine", cosine(col("qe"), col("embedding")))
+              .select("qid", "vec_id", "cosine"))
+          .select("qid", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        got.intersect(truth).size.toDouble / truth.size
+      }
+      val base = recallAt(0)
+      val boosted = recallAt(2)
+      val full = recallAt(cells)
+      info(f"selective-predicate recall: base=$base%.3f " +
+        f"boost2=$boosted%.3f full=$full%.3f (cells=$cells)")
+      // escalation never hurts, and the full budget is EXACT by
+      // construction (every cell probed ⇒ every allowed vector scored)
+      boosted should be >= base
+      full should be >= boosted
+      full shouldBe 1.0
+    } finally {
+      rm(new java.io.File(path))
+    }
+  }
+
   test("S13 tombstoned ANN: takedowns never surface, replay appends " +
       "nothing, torn tomb segments invisible, compaction purges " +
       "physically and equals the excluded read") {
@@ -772,6 +822,84 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
       rm(new java.io.File(tpath))
       rm(new java.io.File(tpath + "__compact_staging"))
       rm(new java.io.File(tpath + "__compact_backup"))
+    }
+  }
+
+  test("S8 quantizer retrain migration: retrained ledger equals a " +
+      "from-scratch bootstrap on the same corpus, re-keys cells to the " +
+      "grown size, applies tombstones, and crash windows recover") {
+    import org.apache.spark.sql.functions._
+    val base = s"/tmp/graft_state/graft_retrain_spec_${java.util.UUID
+      .randomUUID().toString.take(8)}"
+    val grown = s"${base}_grown"
+    val fresh = s"${base}_fresh"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      // a ledger that GREW 4x since bootstrap: its cells are keyed to
+      // the bootstrap-time quarter, stale for the standing corpus
+      SimilarityOps.refreshIvfLedger(spark, grown,
+        e.filter(pmod(col("vec_id"), lit(4)) === 0))
+      SimilarityOps.refreshIvfLedger(spark, grown, e)
+      val cellsBefore = spark.read.parquet(s"$grown/centroids").count()
+      // a takedown lands before the retrain — the rewrite must apply it
+      val dead = e.filter(pmod(col("vec_id"), lit(29)) === 2)
+        .select("vec_id")
+      val deadIds = dead.collect().map(_.getLong(0)).toSet
+      SimilarityOps.tombstoneIds(spark, grown, dead)
+      SimilarityOps.retrainIvfLedger(spark, grown)
+      // cells re-keyed to the CURRENT corpus size
+      val cellsAfter = spark.read.parquet(s"$grown/centroids").count()
+      cellsAfter should be > cellsBefore
+      // retrained ≡ from-scratch bootstrap over the same alive corpus
+      SimilarityOps.refreshIvfLedger(spark, fresh,
+        e.filter(!col("vec_id").isin(deadIds.toSeq: _*)))
+      def cents(p: String) = spark.read.parquet(s"$p/centroids")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      def assigns(p: String) = SimilarityOps.s8Assign(spark, p, None)
+        .select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      cents(grown) shouldBe cents(fresh)
+      assigns(grown) shouldBe assigns(fresh)
+      // tombstones applied physically, chain cleared
+      SimilarityOps.s8Tombs(spark, grown).count() shouldBe 0L
+      assigns(grown).map(_._1).toSet
+        .intersect(deadIds) shouldBe Set.empty
+      // readers through the flip: the probe plans against the NEW
+      // quantizer and returns valid rows; the quantizer seam (c1l/c2l)
+      // reads the new centroids
+      val probe = SimilarityOps.s8Probe(spark, grown,
+        e.filter(col("vec_id") < 8))
+      probe.count() should be > 0L
+      SimilarityOps.quantizerCentroids(spark, TestSpark.sfDir,
+        SimilarityOps.StoredQuantizer(grown)).count() shouldBe cellsAfter
+      // appends keep working after the migration (novelty against the
+      // retrained ids: everything known, nothing appended)
+      SimilarityOps.refreshIvfLedger(spark, grown,
+        e.filter(!col("vec_id").isin(deadIds.toSeq: _*)))
+      SimilarityOps.s8CommittedSegs(spark, grown) shouldBe Seq(0)
+      // crash window between the two renames: live gone, backup
+      // present — the next retrain restores and completes
+      val fs = new org.apache.hadoop.fs.Path(grown).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(grown),
+        new org.apache.hadoop.fs.Path(grown + "__compact_backup"))
+      SimilarityOps.retrainIvfLedger(spark, grown)
+      assigns(grown) shouldBe assigns(fresh)
+      // single-writer: the shared compaction lock refuses a retrain
+      val lockF = new java.io.File(grown + "__compact_lock")
+      lockF.createNewFile() shouldBe true
+      an[IllegalArgumentException] should be thrownBy
+        SimilarityOps.retrainIvfLedger(spark, grown)
+      lockF.delete() shouldBe true
+    } finally {
+      Seq(grown, fresh).foreach { p =>
+        rm(new java.io.File(p))
+        rm(new java.io.File(p + "__compact_staging"))
+        rm(new java.io.File(p + "__compact_backup"))
+      }
     }
   }
 
