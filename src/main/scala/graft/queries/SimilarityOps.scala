@@ -1305,26 +1305,49 @@ object SimilarityOps extends QueryGroup {
       .select("qid", "vec_id", "cosine")
   }
 
+  /** Below this corpus size a tapped build ROUTES THROUGH the scored
+    * tap; at or above it the tap is a SIDE EFFECT and the join runs
+    * twice. Measured, not guessed (the d4/q36 arm discipline —
+    * `graft.TapRouteBench`, BASELINE §sf10 r19): r18 shipped the
+    * tap-route unconditionally on the argument that one execution +
+    * a 24 B/row read-back must beat two executions — the r19 sf10
+    * measurement FALSIFIED it (s9 249.6 vs 157.7 s, d15 333.3 vs
+    * 169.0 s, same window, s11 control named): the candidate join's
+    * per-row work is register-cheap, so streaming the candidates a
+    * second time into the partial heaps costs less than writing AND
+    * reading the candidate-sized (n^1.75-row) tap. Tap-route wins
+    * only where the whole build is constants (sf0.01: 1.90 vs
+    * 2.09 s) — below this threshold the write is one small file and
+    * the saved execution is the larger term. Production (tap = None)
+    * is single-execution with zero tap IO under either arm.
+    */
+  private[graft] val tapRouteMaxN = 10000L
+
   private[graft] def knnGraphEdges(s: SparkSession, dir: String,
-      tap: Option[String], nprobeBoost: Int = 0, k: Int = KG)
-      : DataFrame = {
+      tap: Option[String], nprobeBoost: Int = 0, k: Int = KG,
+      forceTapRoute: Option[Boolean] = None): DataFrame = {
     val scored = knnGraphScored(s, dir, nprobeBoost)
-    // Oracle tap: the plan ROUTES THROUGH the tap (r18) — the tap
-    // write is the single execution of the candidate join, scoring
-    // included, and the top-k heap reads the 24 B/row (qid, vec_id,
-    // cosine) parquet back. r17's side-effect tap executed the
-    // n^1.5-candidate join TWICE (once to write ids, once when the
-    // returned plan was consumed) — d15's sf10 wall was ~2× the build
-    // for exactly this reason (r17 verdict #4). The r14 measurements
-    // that rejected tap-routing were for the VECTOR-carrying tap
-    // (qe+embedding per candidate, ~20× these bytes); the scored tap
-    // keeps the join+cosine inside one codegen stage and writes only
-    // ids+score. The extra cosine column is invisible to the oracle
-    // (knnGraphCtes selects qid, vec_id and re-scores from the
-    // embeddings table). None still skips the tap entirely (s11 taps
-    // its own merged union; knnGraphRefined verifies via recall).
-    val out = tap.fold(scored)(t =>
-      graft.sources.VerifyTap(scored, t, coalesce = false))
+    // Oracle tap, SIZE-KEYED (r19 — see tapRouteMaxN): small corpora
+    // route through the scored tap (one execution; the tap write IS
+    // the build and the heap reads 24 B/row back); large corpora
+    // write the ids tap as a side effect and let the returned plan
+    // re-execute the join — two streamed executions beat a
+    // candidate-sized write+read at every data-dominated scale
+    // (BASELINE §sf10 r19). Both arms feed the identical oracle (it
+    // reads qid/vec_id and re-scores from the embeddings table) and
+    // produce identical edges (same scored plan — spec-gated).
+    // None skips the tap entirely (s11 taps its own merged union;
+    // knnGraphRefined verifies via recall).
+    val out = tap.fold(scored) { t =>
+      val route = forceTapRoute.getOrElse(
+        emb(s, dir).count() < tapRouteMaxN)
+      if (route) graft.sources.VerifyTap(scored, t, coalesce = false)
+      else {
+        graft.sources.VerifyTap(
+          scored.select(col("qid"), col("vec_id")), t, coalesce = false)
+        scored
+      }
+    }
     topKAgg(out, k, ordered = false)
   }
 

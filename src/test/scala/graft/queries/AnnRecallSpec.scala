@@ -825,6 +825,25 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("S9 tap arms: the size-keyed tap-route and side-effect arms " +
+      "produce identical edges and identical oracle candidate sets") {
+    // the r19 TapRouteBench decision (BASELINE §sf10 r19) keys the
+    // oracle-tap arm on corpus size; whichever arm runs, the build's
+    // output and the tap the oracle reads must be the same
+    val a = SimilarityOps.knnGraphEdges(spark, TestSpark.sfDir,
+        Some("s9arm_route"), forceTapRoute = Some(true))
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val b = SimilarityOps.knnGraphEdges(spark, TestSpark.sfDir,
+        Some("s9arm_side"), forceTapRoute = Some(false))
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    a shouldBe b
+    def tapIds(name: String) = spark.read
+      .parquet(s"${graft.sources.VerifyTap.root}/$name")
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    tapIds("s9arm_route") shouldBe tapIds("s9arm_side")
+  }
+
   test("S8 quantizer retrain migration: retrained ledger equals a " +
       "from-scratch bootstrap on the same corpus, re-keys cells to the " +
       "grown size, applies tombstones, and crash windows recover") {
