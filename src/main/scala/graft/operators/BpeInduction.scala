@@ -134,6 +134,112 @@ object BpeInduction {
     merges.toSeq
   }
 
+  /** BATCHED merge training (r19, the production-vocab path): the
+    * exact inducer's round-per-merge loop is ~32k SEQUENTIAL Spark
+    * jobs at a real tokenizer vocabulary — a driver-latency wall no
+    * per-round optimization removes (merge k+1 depends on merge k).
+    * The SentencePiece-style batching trick cuts rounds ~B×: each
+    * round collects the top `batchB·4` pairs (still one bounded
+    * driver collect) and accepts a SYMBOL-DISJOINT prefix in rank
+    * order — a pair is accepted only if its left, its right, and its
+    * concatenation share no symbol with any previously accepted pair
+    * of the round (the concatenation guard covers "accept (a,b) while
+    * (ab,c) is also ranked": the new `ab` occurrences would change
+    * (ab,c)'s count mid-batch).
+    *
+    * WHY disjointness makes the batch sound: two symbol-disjoint
+    * merges cannot overlap in any word (an overlap forces a shared
+    * symbol), so their rewrites commute, AND applying one cannot
+    * create or destroy occurrences of the other (it only creates
+    * pairs containing its concatenation and destroys pairs containing
+    * its operands) — every accepted pair's recorded count is its TRUE
+    * at-selection count, exactly what the single-merge inducer would
+    * have recorded had it picked that pair next.
+    *
+    * THE DEVIATION CONTRACT (measured in BpeInductionSpec + BASELINE
+    * §bpe-batched): the batch may diverge from the exact merge
+    * SEQUENCE after its first member — the exact algorithm, having
+    * applied merge #1, can promote a brand-new pair (e.g. (ab, c))
+    * above this round's #2; batching commits to the ranking as of the
+    * round start. `batchB = 1` is EXACTLY the single-merge algorithm
+    * (spec-gated equality); fidelity at production batch sizes is
+    * measured as merge-SET agreement vs the exact reference on the
+    * real corpus and floored in the spec. Rounds shrink from nMerges
+    * to ~nMerges/B; each round stays O(dictionary) with a
+    * pair-vocabulary-bounded shuffle.
+    */
+  def trainMergesBatched(docs: DataFrame, textCol: String, nMerges: Int,
+      batchB: Int = 64, checkpointEvery: Int = 8)
+      : Seq[((String, String), Long)] =
+    trainMergesBatchedRounds(docs, textCol, nMerges, batchB,
+      checkpointEvery).flatten.take(nMerges)
+
+  /** [[trainMergesBatched]] with the ROUND STRUCTURE exposed: one
+    * inner Seq per round, each symbol-disjoint by construction (the
+    * spec re-checks the invariant per returned round).
+    */
+  def trainMergesBatchedRounds(docs: DataFrame, textCol: String,
+      nMerges: Int, batchB: Int = 64, checkpointEvery: Int = 8)
+      : Seq[Seq[((String, String), Long)]] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var dict = dictionary(docs, textCol).localCheckpoint()
+    var liveCp = org.apache.spark.sql.GraftBridge.materializedRdd(dict)
+    val rounds =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[((String, String), Long)]]
+    def merges = rounds.iterator.map(_.size).sum
+    var round = 0
+    var done = false
+    while (merges < nMerges && !done) {
+      val want = math.min(batchB, nMerges - merges)
+      // over-fetch 4×: the disjointness filter rejects interacting
+      // pairs; a bounded driver collect either way (≤ 4·batchB rows)
+      val top = dict.flatMap(ws =>
+          ws.syms.iterator.zip(ws.syms.iterator.drop(1))
+            .map { case (x, y) => (x, y, ws.n) })
+        .toDF("a", "b", "w")
+        .groupBy("a", "b").agg(sum("w").as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(math.max(want * 4, 8)).collect()
+      if (top.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val accepted =
+          scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
+        top.iterator.foreach { r =>
+          val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (accepted.size < want &&
+              !used(a) && !used(b) && !used(a + b)) {
+            accepted += (((a, b), cnt))
+            used += a; used += b; used += (a + b)
+          }
+        }
+        // rank-1 is always symbol-disjoint with the empty set, so a
+        // non-empty top guarantees progress
+        rounds += accepted.toSeq
+        val batch = accepted.map(_._1).toSeq
+        val next = dict.map { ws =>
+          batch.foldLeft(ws) { case (w, (a, b)) =>
+            if (w.syms.indices.exists(i => i + 1 < w.syms.length &&
+                w.syms(i) == a && w.syms(i + 1) == b))
+              w.copy(syms = mergePair(w.syms, a, b))
+            else w
+          }
+        }
+        round += 1
+        if (round % checkpointEvery == 0) {
+          val cut = next.localCheckpoint()
+          liveCp.foreach(_.unpersist(blocking = false))
+          liveCp = org.apache.spark.sql.GraftBridge.materializedRdd(cut)
+          dict = cut
+        } else dict = next
+      }
+    }
+    liveCp.foreach(_.unpersist(blocking = false))
+    rounds.toSeq
+  }
+
   /** Segment one word with a learned merge list (applied in training
     * order — the standard encode path for new text).
     */

@@ -39,6 +39,71 @@ class BpeInductionSpec extends AnyFunSuite with Matchers {
       BpeInduction.trainMerges(docs, "text", 8)
   }
 
+  test("batched training: batchB=1 IS the exact algorithm; batches " +
+      "are symbol-disjoint with true at-selection counts; fidelity " +
+      "vs the exact sequence measured and floored") {
+    val n = 25
+    val exact = BpeInduction.trainMerges(docs, "text", n)
+    // degenerate batch = the single-merge algorithm, merge for merge
+    BpeInduction.trainMergesBatched(docs, "text", n, batchB = 1) shouldBe
+      exact
+    // production batch: every round's accepted set is symbol-disjoint
+    // — re-checked per ACTUAL round via the rounds-exposing variant
+    // (a pair's operands/concatenation never collide within a round)
+    val roundsOut = BpeInduction.trainMergesBatchedRounds(docs, "text",
+      n, batchB = 8)
+    val batched = roundsOut.flatten
+    batched.length shouldBe n
+    roundsOut.foreach { window =>
+      window.size should be <= 8
+      val syms = scala.collection.mutable.HashSet.empty[String]
+      window.foreach { case ((a, b), _) =>
+        syms(a) shouldBe false
+        syms(b) shouldBe false
+        syms(a + b) shouldBe false
+        syms += a; syms += b; syms += (a + b)
+      }
+    }
+    // batching genuinely compresses rounds on this corpus
+    roundsOut.size should be < n
+    // deterministic
+    BpeInduction.trainMergesBatched(docs, "text", n, batchB = 8) shouldBe
+      batched
+    // the first batch's FIRST merge is the exact algorithm's first
+    // merge, and its count is the true max (shared ranking)
+    batched.head shouldBe exact.head
+    // fidelity contract: the batched merge SET may diverge from the
+    // exact sequence's, and HOW MUCH is corpus-dependent — this
+    // 31-word toy vocabulary is the adversarial case (after a few
+    // merges the exact sequence is dominated by DEPTH: chains of
+    // newly-created symbols extending the same frequent words, which
+    // disjointness forbids within a round, so batching picks breadth).
+    // A real Zipfian vocabulary amortizes chains across many words
+    // (BASELINE §bpe-batched). Measured here and floored per B: the
+    // fidelity knob IS B (smaller batches track the sequence closer,
+    // B=1 exactly).
+    val exactSet = exact.map(_._1).toSet
+    def overlapAt(bb: Int): Double =
+      BpeInduction.trainMergesBatched(docs, "text", n, batchB = bb)
+        .map(_._1).toSet.intersect(exactSet).size.toDouble / n
+    val o2 = overlapAt(2)
+    val o8 = batched.map(_._1).toSet.intersect(exactSet).size.toDouble / n
+    info(f"batched-vs-exact merge-set overlap at n=$n: " +
+      f"B=2 $o2%.2f, B=8 $o8%.2f (toy 31-word vocabulary)")
+    o2 should be >= 0.75
+    o8 should be >= 0.4
+    o2 should be >= o8 // smaller batches track the exact sequence closer
+    // the batched tokenizer still round-trips losslessly
+    val segs = BpeInduction.encode(docs.limit(50), "text",
+      batched.map(_._1))
+    segs.collect().foreach { r =>
+      val text = r.getString(0)
+      val detok = r.getSeq[String](1).mkString("")
+        .replace(BpeInduction.EndOfWord, " ").trim
+      detok shouldBe text.split(" ").filter(_.nonEmpty).mkString(" ")
+    }
+  }
+
   test("segment() reproduces training segmentations and encode() scales it") {
     val n = 15
     val merges = BpeInduction.trainMerges(docs, "text", n).map(_._1)
