@@ -1935,6 +1935,59 @@ object SimilarityOps extends QueryGroup {
     }
   }
 
+  /** [[retrainIvfLedger]]'s sibling for the kNN-GRAPH ledger (r19):
+    * fresh quantizer + full graph rebuild of the standing corpus
+    * (committed assign rows minus committed tombstones) as a staged
+    * ledger, swapped in under the shared compaction lock. The staging
+    * build IS a from-scratch bootstrap — `refreshKnnLedger` on the
+    * staging path trains cells re-keyed to the CURRENT corpus size and
+    * writes seg-0's s9 graph — so retrained ≡ from-scratch holds by
+    * construction (and is spec-asserted against an independent fresh
+    * path); readers (s10Graph, the d15l/s11l/p4 seam, F21's refined
+    * read) stay on the old ledger's committed state until the one-
+    * rename flip. The retrain cost is the bootstrap's own n^1.5 class,
+    * paid per scheduled migration and amortized over the daily
+    * O(batch) appends it re-anchors.
+    */
+  private[graft] def retrainKnnLedger(s: SparkSession,
+      path: String): Unit = {
+    val fs = fsOf(s, path)
+    val live = hPath(path)
+    val backup = hPath(path + "__compact_backup")
+    val lock = hPath(path + "__compact_lock")
+    fs.mkdirs(lock.getParent)
+    val acquired =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    require(acquired, s"compaction lock $lock already held — " +
+      "retrainKnnLedger is single-writer (shares the compaction " +
+      "lock); if the holder crashed, delete the lock after confirming " +
+      "none is live")
+    try {
+      requireNoAppendInFlight(fs, path)
+      if (!fs.exists(live) && fs.exists(backup))
+        require(fs.rename(backup, live), s"could not restore $backup")
+      require(fs.exists(live), s"no s10 ledger at $path")
+      val staging = path + "__compact_staging"
+      fs.delete(hPath(staging), true)
+      val segs = s8CommittedSegs(s, path)
+      val corpus = s10SegUnion(s, path, "assign", None,
+          Seq(col("vec_id"), col("embedding")), segs)
+        .join(broadcast(s8Tombs(s, path)), Seq("vec_id"), "left_anti")
+      // the staging build is a plain bootstrap (its own append lease
+      // on the staging path — disjoint from the live ledger's);
+      // layout follows the live marker
+      refreshKnnLedger(s, staging, corpus,
+        slimProbes = s10IsSlim(s, path))
+      fs.delete(backup, true)
+      require(fs.rename(live, backup), s"could not move $path aside")
+      try require(fs.rename(hPath(staging), live), "could not promote")
+      catch { case e: Throwable => fs.rename(backup, live); throw e }
+      fs.delete(backup, true)
+      s.catalog.refreshByPath(path)
+    } finally fs.delete(lock, false)
+  }
+
   private val s10 = QueryDef(
     "s10_knn_incremental",
     (s, dir) => {

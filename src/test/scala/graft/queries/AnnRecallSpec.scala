@@ -922,6 +922,62 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("S10 graph-ledger retrain migration: retrained graph equals a " +
+      "from-scratch bootstrap over the alive corpus; readers flip " +
+      "atomically; crash window recovers") {
+    import org.apache.spark.sql.functions._
+    val base = s"/tmp/graft_state/graft_knn_retrain_${java.util.UUID
+      .randomUUID().toString.take(8)}"
+    val grown = s"${base}_grown"
+    val fresh = s"${base}_fresh"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      // grown ledger: bootstrap on a quarter, append the rest; then a
+      // takedown the retrain must apply
+      SimilarityOps.refreshKnnLedger(spark, grown,
+        e.filter(pmod(col("vec_id"), lit(4)) === 0))
+      SimilarityOps.refreshKnnLedger(spark, grown, e)
+      val dead = e.filter(pmod(col("vec_id"), lit(31)) === 5)
+        .select("vec_id")
+      val deadIds = dead.collect().map(_.getLong(0)).toSet
+      SimilarityOps.tombstoneIds(spark, grown, dead)
+      val cellsBefore = spark.read.parquet(s"$grown/centroids").count()
+      SimilarityOps.retrainKnnLedger(spark, grown)
+      spark.read.parquet(s"$grown/centroids")
+        .count() should be > cellsBefore // re-keyed to the grown size
+      // reference: a fresh bootstrap over the same alive corpus
+      SimilarityOps.refreshKnnLedger(spark, fresh,
+        e.filter(!col("vec_id").isin(deadIds.toSeq: _*)))
+      def graph(p: String) = SimilarityOps.s10Graph(spark, p, None)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+      graph(grown) shouldBe graph(fresh)
+      // tombstones applied + cleared; dead ids gone everywhere
+      SimilarityOps.s8Tombs(spark, grown).count() shouldBe 0L
+      graph(grown).map(_.head.asInstanceOf[Long]).toSet
+        .intersect(deadIds) shouldBe Set.empty
+      // appends keep working (all alive ids known → no-op)
+      SimilarityOps.refreshKnnLedger(spark, grown,
+        e.filter(!col("vec_id").isin(deadIds.toSeq: _*)))
+      SimilarityOps.s8CommittedSegs(spark, grown) shouldBe Seq(0)
+      // crash window between the renames recovers on the next retrain
+      val fs = new org.apache.hadoop.fs.Path(grown).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(grown),
+        new org.apache.hadoop.fs.Path(grown + "__compact_backup"))
+      SimilarityOps.retrainKnnLedger(spark, grown)
+      graph(grown) shouldBe graph(fresh)
+    } finally {
+      Seq(grown, fresh).foreach { p =>
+        rm(new java.io.File(p))
+        rm(new java.io.File(p + "__compact_staging"))
+        rm(new java.io.File(p + "__compact_backup"))
+      }
+    }
+  }
+
   test("S14 graph tombstones: takedowns vanish as qid AND neighbor, " +
       "replay appends nothing, the seam honors deletes, compaction " +
       "purges physically and REPAIRS decayed neighborhoods to the floor") {
