@@ -1917,7 +1917,63 @@ object DedupOps extends QueryGroup {
        |WHERE content_hash NOT IN (SELECT content_hash FROM ledger)
        |GROUP BY content_hash ORDER BY content_hash""".stripMargin))
 
+  // --------------------------------------------------------------- D17
+  // Reclaimed-content re-ingest — the takedown path DRIVEN through the
+  // oracle gate: a deterministic slice of the standing corpus'
+  // ledgered hashes is taken down (removeFromHashLedger's prefix-
+  // pruned staged rewrite), and today's batch then dedups against the
+  // SHRUNK ledger, so re-submissions of reclaimed content come back
+  // NOVEL while still-standing hashes keep deduping. The oracle
+  // re-derives the post-takedown ledger from scratch (full set EXCEPT
+  // the removed-rule set — on HASHES, matching the operator: a hash
+  // shared by a removed and a standing document leaves with the
+  // takedown), so the persisted removal's end state is hash-verified,
+  // not just spec'd. Own ledger path; takedown rule doc_id % 7 = 2
+  // over the prior corpus (the s13/q42 deterministic-split shape).
+  private[graft] def d17LedgerPath(dir: String): String = {
+    val f = new java.io.File(dir)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(f.getAbsolutePath.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+    s"/tmp/graft_state/graft_d17_ledger_${f.getName}_${digest}_p1"
+  }
+
+  private val d17 = QueryDef(
+    "d17_reclaimed_reingest",
+    (s, dir) => {
+      val all = docs(s, dir)
+      val prior = all.filter(col("source") =!= "src2")
+        .select(md5(col("text")).as("content_hash")).distinct()
+      val path = d17LedgerPath(dir)
+      refreshLedger(s, path, prior)
+      val reclaimed = all.filter(col("source") =!= "src2" &&
+          pmod(col("doc_id"), lit(7)) === 2)
+        .select(md5(col("text")).as("content_hash")).distinct()
+      removeFromHashLedger(s, path, reclaimed)
+      incrementalDedup(all.filter(col("source") === "src2"),
+        s.read.parquet(path))
+        .orderBy("content_hash")
+    },
+    Some("""WITH ledger AS (
+       |  SELECT DISTINCT md5(text) AS content_hash
+       |  FROM documents WHERE source <> 'src2'
+       |), removed AS (
+       |  SELECT DISTINCT md5(text) AS content_hash
+       |  FROM documents WHERE source <> 'src2' AND doc_id % 7 = 2
+       |), live AS (
+       |  SELECT content_hash FROM ledger
+       |  EXCEPT SELECT content_hash FROM removed
+       |), batch AS (
+       |  SELECT md5(text) AS content_hash, doc_id
+       |  FROM documents WHERE source = 'src2'
+       |)
+       |SELECT content_hash, MIN(doc_id) AS keep_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_copies
+       |FROM batch
+       |WHERE content_hash NOT IN (SELECT content_hash FROM live)
+       |GROUP BY content_hash ORDER BY content_hash""".stripMargin))
+
   override val queries: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d8i, d9, d10, d11, d12, d13, d14,
-      d15, d15l, d16)
+      d15, d15l, d16, d17)
 }

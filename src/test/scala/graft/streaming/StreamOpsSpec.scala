@@ -863,6 +863,53 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("ST17 takedownStream against the kNN-GRAPH ledger: the shared " +
+      "segment protocol makes the stream path-generic — takedowns " +
+      "vanish from the merged read on both sides per trigger") {
+    // s14's streaming face needs no new operator: the s8/s10 ledgers
+    // share the committed-segment + lease protocol, so the SAME
+    // takedownStream lands tombstones on a graph ledger and s10Graph's
+    // two-sided exclusion honors them on its next read
+    import spark.implicits._
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val path = s"/tmp/graft_state/graft_st17g_$suffix"
+    val ckpt = s"/tmp/graft_state/graft_st17g_ckpt_$suffix"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    try {
+      val e = graft.sources.Tables.load(spark, TestSpark.sfDir,
+          "embeddings").select("vec_id", "embedding")
+      graft.queries.SimilarityOps.refreshKnnLedger(spark, path, e)
+      val dead = e.filter(col("vec_id") % 11 === 3)
+        .select("vec_id").collect().map(_.getLong(0))
+      val (b1, b2) = dead.splitAt(dead.length / 2)
+      val in = MemoryStream[Long](spark)
+      val q = StreamOps.takedownStream(in.toDF.toDF("vec_id"), path)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        graft.queries.SimilarityOps.s8Tombs(spark, path)
+          .collect().map(_.getLong(0)).toSet shouldBe dead.toSet
+        // replay appends nothing (the batch writer's novelty contract)
+        val segs = new java.io.File(s"$path/tombcommits").list().sorted
+        in.addData(b2: _*); q.processAllAvailable()
+        new java.io.File(s"$path/tombcommits").list().sorted shouldBe segs
+        // the merged graph read excludes on BOTH sides immediately
+        val g = graft.queries.SimilarityOps.s10Graph(spark, path, None)
+          .select("qid", "neighbor_id").collect()
+        val deadSet = dead.toSet
+        g.foreach { r =>
+          deadSet should not contain r.getLong(0)
+          deadSet should not contain r.getLong(1)
+        }
+        g.length should be > 0
+      } finally q.stop()
+    } finally {
+      rm(new java.io.File(path)); rm(new java.io.File(ckpt))
+    }
+  }
+
   test("ST12 streaming ANN ingest: micro-batched ledger equals the " +
       "batch build; torn segments and replays converge (exactly-once)") {
     import spark.implicits._
