@@ -1406,30 +1406,48 @@ object DedupOps extends QueryGroup {
       val pfxs = dead
         .select(substring(col("content_hash"), 1, 1).as("pfx"))
         .distinct().collect().map(_.getString(0)).toSeq.sorted
-      pfxs.foreach { pf =>
-        val live = new org.apache.hadoop.fs.Path(p, s"pfx=$pf")
-        if (fs.exists(live)) {
-          val rows = s.read.parquet(live.toString)
-          val kept = rows.join(
-            broadcast(dead.filter(
-              substring(col("content_hash"), 1, 1) === pf)),
-            Seq("content_hash"), "left_anti")
-          // rewrite only when the partition actually holds a removed
-          // hash — an untouched slice keeps its files byte-identical
-          if (kept.count() < rows.count()) {
-            val staging = takedownStagingDir(p, pf)
-            val backup = takedownBackupDir(p, pf)
-            fs.delete(staging, true)
-            kept.coalesce(1).write.mode("overwrite")
-              .parquet(staging.toString)
-            fs.delete(backup, true)
-            require(fs.rename(live, backup), s"could not move $live aside")
-            try require(fs.rename(staging, live),
-              s"could not promote $staging")
-            catch { case e: Throwable => fs.rename(backup, live); throw e }
-            fs.delete(backup, true)
-          }
+      // ONE pruned scan decides which partitions actually hold a
+      // removed hash (the prune lands as PartitionFilters), instead of
+      // a count job per candidate prefix — untouched slices keep
+      // their files byte-identical and the driver loop below pays one
+      // write job per AFFECTED prefix only
+      val affected = s.read.parquet(path)
+        .filter(col("pfx").isin(pfxs: _*))
+        .join(broadcast(dead), Seq("content_hash"))
+        .select(col("pfx").cast("string"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      if (affected.nonEmpty) {
+        // ONE parallel job rewrites every affected slice into a shared
+        // staging dir (partitionBy recreates the live pfx layout;
+        // repartition ON pfx keeps one file per slice — the
+        // refreshLedger write discipline), then each slice swaps by
+        // the same per-partition rename-aside protocol. Sequential
+        // per-prefix write jobs measured 16 × ~0.3 s of pure driver
+        // scheduling on a 16-prefix takedown; the work is one pruned
+        // scan either way.
+        val stagingAll = takedownStagingDir(p, "all")
+        fs.delete(stagingAll, true)
+        s.read.parquet(path)
+          .filter(col("pfx").isin(affected: _*))
+          .join(broadcast(dead), Seq("content_hash"), "left_anti")
+          .repartition(col("pfx"))
+          .write.partitionBy("pfx").mode("overwrite")
+          .parquet(stagingAll.toString)
+        affected.foreach { pf =>
+          val live = new org.apache.hadoop.fs.Path(p, s"pfx=$pf")
+          val staged = new org.apache.hadoop.fs.Path(stagingAll, s"pfx=$pf")
+          // a slice whose every row was removed writes no staged dir:
+          // swap in an empty one (the prefix may refill on re-ingest)
+          if (!fs.exists(staged)) fs.mkdirs(staged)
+          val backup = takedownBackupDir(p, pf)
+          fs.delete(backup, true)
+          require(fs.rename(live, backup), s"could not move $live aside")
+          try require(fs.rename(staged, live),
+            s"could not promote $staged")
+          catch { case e: Throwable => fs.rename(backup, live); throw e }
+          fs.delete(backup, true)
         }
+        fs.delete(stagingAll, true)
       }
       // the swap went through raw FS renames, which Spark's cached
       // file indexes don't see (Spark only invalidates paths IT
