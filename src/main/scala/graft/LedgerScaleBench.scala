@@ -87,7 +87,7 @@ object LedgerScaleBench {
     def timeNearDup(path: String, label: String): Unit = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      DedupOps.nearDupProbe(batchIdx, spark.read.parquet(path))
+      DedupOps.nearDupProbe(batchIdx, DedupOps.readBandLedger(spark, path))
         .write.format("noop").mode("overwrite").save()
       println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }

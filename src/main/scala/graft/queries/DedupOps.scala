@@ -907,7 +907,48 @@ object DedupOps extends QueryGroup {
     df.withColumn("pfx", substring(col("content_hash"), 1, 1))
       .repartition(col("pfx"))
 
+  /** Exclusive-create per-ledger WRITER lock (`__takedown_lock`):
+    * serializes every heal-or-mutate entry — refreshes, takedowns,
+    * compaction — on one ledger path. The r19-advice race this closes:
+    * a refresh healing a torn swap while a REMOVER is live would
+    * "restore" a slice the remover just renamed aside and discard the
+    * remover's staging — failing the takedown mid-flight and silently
+    * re-exposing removed hashes; and a bare append landing between a
+    * staged swap's snapshot read and its renames is discarded with the
+    * backup dir (lost ingest). Non-blocking: a held lock REFUSES
+    * (wedge, not corrupt); a crashed holder leaves a stale lock for
+    * the operator to delete after confirming no writer is live (the
+    * `__refresh_lock` contract).
+    */
+  private def withTakedownLock[T](fs: org.apache.hadoop.fs.FileSystem,
+      path: String, who: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(path + "__takedown_lock")
+    fs.mkdirs(lock.getParent)
+    val acquired =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    require(acquired, s"takedown lock $lock already held — $who " +
+      "shares the single-writer ledger lock; if the holder crashed, " +
+      "delete the lock after confirming no writer is live")
+    try body finally fs.delete(lock, false)
+  }
+
   private[graft] def refreshLedger(s: SparkSession, path: String,
+      prior: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // heal-then-append under the shared writer lock (r19-advice): the
+    // heal must never race a live takedown's swap, and the append must
+    // never land inside one
+    withTakedownLock(fs, path, "refreshLedger") {
+      refreshLedgerHeld(s, path, prior)
+    }
+  }
+
+  /** [[refreshLedger]]'s body, caller already holding the writer lock
+    * (the bloomed refresh nests here under its own acquisition).
+    */
+  private def refreshLedgerHeld(s: SparkSession, path: String,
       prior: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1241,21 +1282,84 @@ object DedupOps extends QueryGroup {
   }
 
   /** Bootstrap-or-append the band-index ledger: only doc_ids absent
-    * from the ledger are (re)indexed — maintenance is O(novel docs),
-    * the corpus is never re-shingled.
+    * from the LIVE ledger (physical rows minus tombstones) are
+    * (re)indexed — maintenance is O(novel docs), the corpus is never
+    * re-shingled. A tombstoned doc_id re-submitted is RESURRECTED by
+    * clearing its tombstone: its index rows are still physically in
+    * place (the tombstones ⊆ ledger-ids invariant) and keyed by the
+    * doc_id refresh never re-indexes, so un-shadowing them is exactly
+    * the append the doc would otherwise get — without ever creating
+    * duplicate rows for one id. Runs under the shared writer lock: the
+    * r19 verdict race (a bare append landing inside a takedown's or
+    * compaction's staged swap is silently discarded with the backup)
+    * is closed by serialization, and the tombstone-set rewrite below
+    * must not interleave with a takedown's tombstone append.
     */
   private[graft] def refreshNearDupLedger(s: SparkSession, path: String,
       prior: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      minhashIndex(prior).write.mode("overwrite").parquet(path)
-    else {
-      val novel = prior.join(
-          s.read.parquet(path).select("doc_id"), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      if (!novel.isEmpty)
-        minhashIndex(novel).write.mode("append").parquet(path)
+    withTakedownLock(fs, path, "refreshNearDupLedger") {
+      val backup = new org.apache.hadoop.fs.Path(path + "__compact_backup")
+      if (!fs.exists(p) && fs.exists(backup))
+        require(fs.rename(backup, p), s"could not restore $backup to $path")
+      healBandTombstoneSwap(fs, p)
+      if (!fs.exists(p))
+        minhashIndex(prior).write.mode("overwrite").parquet(path)
+      else {
+        val tomb = readBandTombstones(s, path)
+        val ledgerIds = s.read.parquet(path).select("doc_id")
+        val liveIds = tomb.fold(ledgerIds)(t =>
+          ledgerIds.join(broadcast(t), Seq("doc_id"), "left_anti"))
+        val novel = prior.join(liveIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        if (!novel.isEmpty) {
+          // resurrect = novel ∩ tombstones (takedown-sized): physical
+          // rows exist — clear the tombstone instead of re-indexing
+          val resurrect = tomb
+            .map(t => novel.select("doc_id")
+              .join(broadcast(t), Seq("doc_id"), "left_semi")
+              .distinct().localCheckpoint())
+            .filter(!_.isEmpty)
+          val fresh = resurrect.fold(novel)(r =>
+            novel.join(broadcast(r), Seq("doc_id"), "left_anti"))
+          if (!fresh.isEmpty)
+            minhashIndex(fresh).write.mode("append").parquet(path)
+          resurrect.foreach { r =>
+            // tombstone-set rewrite (tombstone-sized) by the staged
+            // swap discipline; a crash between the renames heals at
+            // the next writer entry ([[healBandTombstoneSwap]]), and
+            // a crash BEFORE this point just leaves the resurrected
+            // ids shadowed until the next refresh retries (novelty
+            // still sees them as absent-from-live — self-healing)
+            val remaining = tomb.get
+              .join(broadcast(r), Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+            if (remaining.isEmpty)
+              // every outstanding takedown was resurrected: an empty
+              // dir and no dir mean the same thing — take the simpler
+              // (and atomically observable) state
+              fs.delete(bandTombDir(p), true)
+            else {
+              val stg = bandTombStaging(p)
+              fs.delete(stg, true)
+              remaining.coalesce(1).write.mode("overwrite")
+                .parquet(stg.toString)
+              val b = bandTombBackup(p)
+              fs.delete(b, true)
+              require(fs.rename(bandTombDir(p), b),
+                s"could not move ${bandTombDir(p)} aside")
+              try require(fs.rename(stg, bandTombDir(p)),
+                s"could not promote $stg")
+              catch {
+                case e: Throwable => fs.rename(b, bandTombDir(p)); throw e
+              }
+              fs.delete(b, true)
+            }
+          }
+        }
+      }
+      s.catalog.refreshByPath(path)
     }
   }
 
@@ -1284,6 +1388,18 @@ object DedupOps extends QueryGroup {
   private[graft] def compactLedger(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // writer lock (r19-advice): compaction's snapshot-read → staged
+    // swap must not race a takedown (each would delete the other's
+    // mid-swap backup) or discard an append/tombstone landing between
+    // its snapshot and its renames
+    withTakedownLock(fs, path, "compactLedger") {
+      compactLedgerHeld(s, path)
+    }
+  }
+
+  private def compactLedgerHeld(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val backup = new org.apache.hadoop.fs.Path(path + "__compact_backup")
     // finish a crashed predecessor: staging is always safe to discard
     // (the live dir was intact when it was being written); a leftover
@@ -1291,10 +1407,24 @@ object DedupOps extends QueryGroup {
     if (!fs.exists(p) && fs.exists(backup))
       require(fs.rename(backup, p), s"could not restore $backup to $path")
     require(fs.exists(p), s"no ledger at $path")
+    // heal a torn PER-PREFIX takedown swap BEFORE snapshotting
+    // (r19-advice high): the parquet scan below skips the
+    // underscore-prefixed `_takedown_backup_X` dir, so an unhealed
+    // torn swap would compact a copy MISSING that whole prefix slice
+    // and then destroy the slice's only surviving copy with the backup
+    restoreTakedownBackups(fs, p)
+    healBandTombstoneSwap(fs, p)
     val hadBloom = fs.exists(bloomMarker(path))
     val staging = new org.apache.hadoop.fs.Path(path + "__compact_staging")
     fs.delete(staging, true)
-    val df = s.read.parquet(path)
+    // band-ledger tombstones are PURGED here (the d17 physical-removal
+    // rider): the compacted copy is built with the tombstoned doc_ids
+    // anti-joined out, and the `_tombstones` dir rides aside with the
+    // old dir and dies with the backup — takedowns stay O(takedown)
+    // at request time and the ledger pays one rewrite per compaction
+    // cycle it was already paying
+    val df = readBandTombstones(s, path).fold(s.read.parquet(path))(t =>
+      s.read.parquet(path).join(broadcast(t), Seq("doc_id"), "left_anti"))
     if (df.columns.contains("pfx"))
       // same write shape as refreshLedger's bootstrap: repartition ON
       // pfx so each of the 16 partition dirs gets exactly one task's
@@ -1392,14 +1522,7 @@ object DedupOps extends QueryGroup {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(ledgerDataExists(fs, p), s"no hash ledger at $path")
-    val lock = new org.apache.hadoop.fs.Path(path + "__takedown_lock")
-    val acquired =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    require(acquired, s"takedown lock $lock already held — " +
-      "removeFromHashLedger is single-writer; if the holder crashed, " +
-      "delete the lock after confirming no remover is live")
-    try {
+    withTakedownLock(fs, path, "removeFromHashLedger") {
       restoreTakedownBackups(fs, p)
       // takedown-sized; consumed per affected prefix below
       val dead = hashes.select("content_hash").distinct().localCheckpoint()
@@ -1455,41 +1578,118 @@ object DedupOps extends QueryGroup {
       // per-trigger replanned static side — re-list instead of
       // failing on the replaced files
       s.catalog.refreshByPath(path)
-    } finally fs.delete(lock, false)
+    }
   }
 
-  /** TAKEDOWN for the d13 band-index ledger (r19): drop the removed
-    * documents' index rows — each row carries the doc's band keys AND
-    * its shingle set, so one row drop removes both the candidate
-    * routes and the verify payload, and a future near-duplicate (or
-    * re-submission) of reclaimed content re-evaluates as novel. The
-    * ledger is unpartitioned (minhashIndex layout), so the rewrite is
-    * the F16 whole-ledger staged swap with the takedown anti-joined
-    * out — same crash contract as [[compactLedger]] (staging fully
-    * written, rename-aside, restore-on-next-call), and the next
-    * [[refreshNearDupLedger]] of the same doc re-indexes it (novelty
-    * keys on ledger doc_ids, which the removal just shrank).
+  // ---- d13 band-ledger TOMBSTONES (r20) -----------------------------
+  // The band ledger stores each doc's FULL shingle set — at 100 TB it
+  // is the largest state in the system, so the r19 whole-ledger staged
+  // swap made a single DMCA request rewrite orders more bytes than the
+  // ~32 GB hash ledger's pruned p/16 slice. r20 adopts the s13 IVF
+  // pattern instead: a takedown APPENDS the doc_ids to a
+  // takedown-sized `_tombstones/` parquet INSIDE the ledger dir
+  // (leading underscore — invisible to the ledger's own scan, the
+  // `_bloom` trick), every read goes through [[readBandLedger]] which
+  // anti-joins the broadcast tombstone set, and the physical purge
+  // rides [[compactLedger]] (one rewrite per compaction cycle the
+  // ledger was already paying). Invariant maintained by the writers:
+  // tombstones ⊆ ledger doc_ids — so a tombstone always shadows real
+  // rows and re-admission (refresh) can resurrect by CLEARING the
+  // tombstone instead of re-indexing (the rows are still in place,
+  // keyed by the same doc_id the refresh would never re-index anyway).
+  private def bandTombDir(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p, "_tombstones")
+  private def bandTombBackup(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p, "_tombstones_backup")
+  private def bandTombStaging(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p, "_tombstones_staging")
+
+  /** Heal a tombstone-set rewrite that crashed between its renames —
+    * called at every band-ledger writer entry (the
+    * [[restoreTakedownBackups]] discipline, tombstone-sized).
+    */
+  private def healBandTombstoneSwap(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(p)) {
+      val live = bandTombDir(p)
+      val b = bandTombBackup(p)
+      if (fs.exists(b)) {
+        if (!fs.exists(live))
+          require(fs.rename(b, live), s"could not restore $b")
+        else fs.delete(b, true) // swap completed; drop relic
+      }
+      fs.delete(bandTombStaging(p), true) // stale staging: always safe
+    }
+
+  /** The standing tombstone set (distinct doc_ids), or None when no
+    * takedown is outstanding. Takedown-sized by the append-∩-ledger
+    * discipline — always broadcastable.
+    */
+  private[graft] def readBandTombstones(s: SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val t = bandTombDir(p)
+    if (fs.exists(t) &&
+        fs.listStatus(t).exists(_.getPath.getName.startsWith("part-")))
+      Some(s.read.parquet(t.toString).select("doc_id").distinct())
+    else None
+  }
+
+  /** THE read seam for the d13 band ledger — every consumer (the d13
+    * probe, ST10's static side, the scale bench) reads through here so
+    * outstanding takedowns are invisible everywhere at once: the
+    * broadcast anti-join costs one map-side probe per ledger row and
+    * nothing when no takedown is outstanding (the frame is the bare
+    * scan). Physical rows linger until [[compactLedger]] purges them.
+    */
+  private[graft] def readBandLedger(s: SparkSession,
+      path: String): DataFrame = {
+    val ledger = s.read.parquet(path)
+    readBandTombstones(s, path).fold(ledger)(t =>
+      ledger.join(broadcast(t), Seq("doc_id"), "left_anti"))
+  }
+
+  /** TAKEDOWN for the d13 band-index ledger (r19; r20 rewrite): shadow
+    * the removed documents' index rows — their band keys stop routing
+    * candidates and their shingle sets stop serving as verify payload
+    * through [[readBandLedger]], so reclaimed content re-evaluates as
+    * novel. O(takedown + one column-pruned id scan) per request, NEVER
+    * O(ledger): the request writes one takedown-sized tombstone file;
+    * the ledger's own files are untouched (IO-gated in
+    * LedgerTakedownSpec). Idempotent — already-tombstoned or absent
+    * ids append nothing. Single-writer under the shared ledger lock
+    * (a racing refresh/compaction could otherwise clear or purge
+    * tombstones out from under the append's snapshot).
     */
   private[graft] def removeFromBandLedger(s: SparkSession, path: String,
       docIds: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val backup = new org.apache.hadoop.fs.Path(path + "__compact_backup")
-    if (!fs.exists(p) && fs.exists(backup))
-      require(fs.rename(backup, p), s"could not restore $backup to $path")
-    require(fs.exists(p), s"no band ledger at $path")
-    val staging = new org.apache.hadoop.fs.Path(path + "__takedown_staging")
-    fs.delete(staging, true)
-    s.read.parquet(path)
-      .join(broadcast(docIds.select("doc_id").distinct()),
-        Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(staging.toString)
-    fs.delete(backup, true)
-    require(fs.rename(p, backup), s"could not move $path aside")
-    try require(fs.rename(staging, p), s"could not promote $staging")
-    catch { case e: Throwable => fs.rename(backup, p); throw e }
-    fs.delete(backup, true)
-    s.catalog.refreshByPath(path) // raw renames: invalidate listings
+    withTakedownLock(fs, path, "removeFromBandLedger") {
+      val backup = new org.apache.hadoop.fs.Path(path + "__compact_backup")
+      if (!fs.exists(p) && fs.exists(backup))
+        require(fs.rename(backup, p), s"could not restore $backup to $path")
+      require(fs.exists(p), s"no band ledger at $path")
+      healBandTombstoneSwap(fs, p)
+      // tombstone only ids PRESENT in the ledger (broadcast semi over
+      // the id column — pruned to one column, the same cost class as
+      // the hash ledger's affected-prefix probe) and not already
+      // tombstoned: preserves tombstones ⊆ ledger ids and makes the
+      // removal idempotent at zero bytes
+      val present = s.read.parquet(path).select("doc_id")
+        .join(broadcast(docIds.select("doc_id").distinct()),
+          Seq("doc_id"), "left_semi")
+        .distinct()
+      val novel = readBandTombstones(s, path)
+        .fold(present)(t =>
+          present.join(broadcast(t), Seq("doc_id"), "left_anti"))
+        .localCheckpoint()
+      if (!novel.isEmpty)
+        novel.coalesce(1).write.mode("append")
+          .parquet(bandTombDir(p).toString)
+      s.catalog.refreshByPath(path)
+    }
   }
 
   /** The d13 band probe: batch index rows against a ledger-index frame
@@ -1543,7 +1743,7 @@ object DedupOps extends QueryGroup {
       val batchIdx = graft.operators.ScratchCache.scratch(
         minhashIndex(all.filter(col("source") === "src0")
           .select("doc_id", "text")))
-      nearDupProbe(batchIdx, s.read.parquet(path)).orderBy("i", "j")
+      nearDupProbe(batchIdx, readBandLedger(s, path)).orderBy("i", "j")
     },
     Some(s"""WITH sh2 AS (
        |  SELECT doc_id, source,
@@ -1757,23 +1957,42 @@ object DedupOps extends QueryGroup {
           graft.functions.BloomMembership.defaultNumItems,
           graft.functions.BloomMembership.defaultNumBits)))
 
-  /** Commit a new filter version under `_bloom/`, marker last; the
-    * superseded version is GC'd best-effort after the flip.
+  /** Every committed `vN.bloom` version on disk — the marker-less
+    * source of truth for lineage recovery and orphan GC.
+    */
+  private def bloomVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_bloom")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).flatMap { n =>
+      if (n.startsWith("v") && n.endsWith(".bloom"))
+        scala.util.Try(
+          n.stripPrefix("v").stripSuffix(".bloom").toLong).toOption
+      else None
+    }
+  }
+
+  /** Commit a new filter version under `_bloom/`, marker last;
+    * superseded and orphaned versions are GC'd best-effort after the
+    * flip.
     */
   private def commitBloom(fs: org.apache.hadoop.fs.FileSystem,
       path: String, bits: Array[Byte]): Unit = {
     val marker = bloomMarker(path)
-    // an unparsable/empty marker (e.g. a crash mid-overwrite before
-    // this method wrote via rename — or a manual truncation) reads as
-    // version 0: the refresh self-heals by committing v1 rather than
-    // wedging on NumberFormatException (the documented contract:
-    // every crash point self-heals)
-    val prev = if (fs.exists(marker)) {
+    // a missing/unparsable marker (a crash in the delete→rename window
+    // below, or a manual truncation) falls back to the LISTING: the
+    // lineage resumes at max(vN)+1 instead of restarting at v1 — a
+    // restart would strand the old vN forever (the `prev`-targeted GC
+    // never reaches it) and accumulate sidecar garbage across such
+    // crashes (r19-advice). Self-heals rather than wedging on
+    // NumberFormatException (the documented contract).
+    val prev = (if (fs.exists(marker)) {
       val in = fs.open(marker)
       val txt = try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
-      scala.util.Try(txt.stripPrefix("v").toLong).getOrElse(0L)
-    } else 0L
+      scala.util.Try(txt.stripPrefix("v").toLong).toOption
+    } else None)
+      .getOrElse(bloomVersions(fs, path).foldLeft(0L)(math.max))
     val vname = s"v${prev + 1}"
     val vf = new org.apache.hadoop.fs.Path(s"$path/_bloom/$vname.bloom")
     val out = fs.create(vf, true)
@@ -1789,10 +2008,13 @@ object DedupOps extends QueryGroup {
     if (fs.exists(marker)) fs.delete(marker, false)
     require(fs.rename(tmp, marker),
       s"could not promote Bloom marker $tmp -> $marker")
-    if (prev > 0L)
+    // sweep EVERY non-current version, not just `prev` — collects
+    // orphans a marker-window crash left unreferenced (r19-advice)
+    bloomVersions(fs, path).filter(_ != prev + 1).foreach { v =>
       try fs.delete(
-        new org.apache.hadoop.fs.Path(s"$path/_bloom/v$prev.bloom"), false)
+        new org.apache.hadoop.fs.Path(s"$path/_bloom/v$v.bloom"), false)
       catch { case _: java.io.IOException => () }
+    }
   }
 
   /** d9's [[refreshLedger]] with the Bloom sidecar maintained under
@@ -1845,9 +2067,24 @@ object DedupOps extends QueryGroup {
     import graft.functions.BloomMembership
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // __refresh_lock (held by our caller) serializes BLOOMED refreshes
+    // against each other; the takedown lock additionally serializes
+    // the heal + append against a live takedown's swap (r19-advice).
+    // Acquisition order is always refresh-then-takedown, and both are
+    // non-blocking, so a cross-holder just refuses — never deadlocks.
+    withTakedownLock(fs, path, "refreshLedgerBloomed") {
+      refreshLedgerBloomedHeld(s, path, prior)
+    }
+  }
+
+  private def refreshLedgerBloomedHeld(s: SparkSession, path: String,
+      prior: DataFrame): Unit = {
+    import graft.functions.BloomMembership
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     restoreTakedownBackups(fs, p) // heal a torn takedown swap first
     if (!ledgerDataExists(fs, p)) {
-      refreshLedger(s, path, prior) // overwrite bootstrap clears dir
+      refreshLedgerHeld(s, path, prior) // overwrite bootstrap clears dir
       // sketch from the just-written parquet (a column read — cheaper
       // than re-deriving the corpus-sized prior pipeline)
       commitBloom(fs, path,

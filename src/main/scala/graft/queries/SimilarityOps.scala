@@ -1323,6 +1323,18 @@ object SimilarityOps extends QueryGroup {
     */
   private[graft] val tapRouteMaxN = 10000L
 
+  /** Corpus size per testdata dir, memoized: the tap-arm route key is
+    * a statistic of an immutable input table, so paying a full
+    * embeddings-scan count JOB on every tapped build (r19-advice) is
+    * pure overhead at exactly the large scales the side-effect arm
+    * exists for — one count per dir per JVM amortizes it to zero.
+    */
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusCount(s: SparkSession, dir: String): Long =
+    corpusCounts.computeIfAbsent(dir,
+      _ => java.lang.Long.valueOf(emb(s, dir).count())).longValue()
+
   private[graft] def knnGraphEdges(s: SparkSession, dir: String,
       tap: Option[String], nprobeBoost: Int = 0, k: Int = KG,
       forceTapRoute: Option[Boolean] = None): DataFrame = {
@@ -1340,7 +1352,7 @@ object SimilarityOps extends QueryGroup {
     // knnGraphRefined verifies via recall).
     val out = tap.fold(scored) { t =>
       val route = forceTapRoute.getOrElse(
-        emb(s, dir).count() < tapRouteMaxN)
+        corpusCount(s, dir) < tapRouteMaxN)
       if (route) graft.sources.VerifyTap(scored, t, coalesce = false)
       else {
         graft.sources.VerifyTap(

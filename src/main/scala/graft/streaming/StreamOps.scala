@@ -523,7 +523,11 @@ object StreamOps {
     * the documented ~2·10⁻⁴ per-pair miss.
     *
     * @param docs   streaming frame with `doc_id` and `textCol`
-    * @param ledger STATIC band-index frame (d13's ledger schema)
+    * @param ledger STATIC band-index frame (d13's ledger schema) —
+    *               pass `DedupOps.readBandLedger(s, path)` so
+    *               outstanding takedown tombstones are anti-joined out
+    *               (the r20 d13 takedown seam); a bare parquet read
+    *               would keep matching tombstoned docs
     * @return streaming (i = arriving doc, j = prior doc, jaccard)
     */
   def nearDupMatches(

@@ -127,43 +127,148 @@ class LedgerTakedownSpec extends AnyFunSuite with Matchers {
     } finally rm(new java.io.File(path))
   }
 
-  test("d13 band ledger: a removed document stops matching near-dups " +
-      "and re-ingests as novel (re-indexed)") {
+  test("d13 band ledger: takedown is a TOMBSTONE — O(takedown) bytes, " +
+      "ledger files untouched; matching stops through readBandLedger; " +
+      "re-ingest resurrects without duplicate rows; compaction purges") {
     val path = tmpPath("d13")
     try {
       val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
         "kappa lambda mu nu xi omicron pi rho sigma tau kappa2"
+      val base2 = "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen"
       val ledgerDocs = batchOf(Seq(
-        (1L, base), // the doc to take down
-        (2L, "completely different words nothing shared here at all " +
+        (1L, base), // the doc to take down (and later resurrect)
+        (2L, base2), // taken down later and PURGED by compaction
+        (3L, "completely different words nothing shared here at all " +
           "ten tokens")))
       DedupOps.refreshNearDupLedger(spark, path, ledgerDocs)
-      // a near-duplicate of doc 1 (one word changed)
+      // near-duplicates of docs 1 and 2 (one word changed each)
       val probe = graft.operators.ScratchCache.scratch(
         DedupOps.minhashIndex(batchOf(Seq(
-          (10L, base.replace("kappa2", "omega"))))))
-      DedupOps.nearDupProbe(probe, spark.read.parquet(path))
-        .select("j").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
-      // takedown: the band rows AND shingle set go with the row
+          (10L, base.replace("kappa2", "omega")),
+          (20L, base2.replace("seventeen", "eighteen"))))))
+      def matches() = DedupOps
+        .nearDupProbe(probe, DedupOps.readBandLedger(spark, path))
+        .select("j").collect().map(_.getLong(0)).toSet
+      matches() shouldBe Set(1L, 2L)
+
+      // IO GATE (the r19 verdict's weak): a takedown appends one
+      // tombstone-sized file — every ledger data file stays
+      // byte-identical, O(takedown) not O(ledger)
+      def dataFiles() = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(path))
+          .filter(f => f.getName.startsWith("part-") &&
+            !f.getPath.contains("_tombstones"))
+          .map(f => (f.getPath, f.lastModified, f.length)).sortBy(_._1)
+      }
+      val before = dataFiles()
       import spark.implicits._
       DedupOps.removeFromBandLedger(spark, path, Seq(1L).toDF("doc_id"))
-      DedupOps.nearDupProbe(probe, spark.read.parquet(path))
-        .count() shouldBe 0L
-      spark.read.parquet(path).filter(col("doc_id") === 1L)
-        .count() shouldBe 0L
-      // reclaimed content re-ingests as NOVEL: the refresh re-indexes
-      // it (novelty keys on the ledger's doc_ids, which just shrank)
-      DedupOps.refreshNearDupLedger(spark, path, ledgerDocs)
+      dataFiles() shouldBe before
+      matches() shouldBe Set(2L)
+      // physical rows linger (shadowed) until compaction
       spark.read.parquet(path).filter(col("doc_id") === 1L)
         .count() shouldBe 1L
-      DedupOps.nearDupProbe(probe, spark.read.parquet(path))
-        .select("j").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+      // idempotent + absent ids: zero new tombstone bytes
+      val tombFiles0 = new java.io.File(path, "_tombstones")
+        .listFiles().count(_.getName.startsWith("part-"))
+      DedupOps.removeFromBandLedger(spark, path,
+        Seq(1L, 999L).toDF("doc_id"))
+      new java.io.File(path, "_tombstones")
+        .listFiles().count(_.getName.startsWith("part-")) shouldBe
+        tombFiles0
+      matches() shouldBe Set(2L)
+
+      // RESURRECTION: re-ingesting doc 1 clears its tombstone — the
+      // standing rows un-shadow, and no duplicate row is created
+      DedupOps.refreshNearDupLedger(spark, path, ledgerDocs)
+      matches() shouldBe Set(1L, 2L)
+      spark.read.parquet(path).filter(col("doc_id") === 1L)
+        .count() shouldBe 1L
+      DedupOps.readBandTombstones(spark, path) shouldBe None
+
+      // PURGE rides compaction: tombstone doc 2, compact — physical
+      // rows gone, tombstones cleared, live matches preserved
+      DedupOps.removeFromBandLedger(spark, path, Seq(2L).toDF("doc_id"))
+      DedupOps.compactLedger(spark, path)
+      spark.read.parquet(path).filter(col("doc_id") === 2L)
+        .count() shouldBe 0L
+      DedupOps.readBandTombstones(spark, path) shouldBe None
+      matches() shouldBe Set(1L)
+      // and doc 2 then re-ingests as genuinely novel (re-indexed)
+      DedupOps.refreshNearDupLedger(spark, path, ledgerDocs)
+      matches() shouldBe Set(1L, 2L)
     } finally {
       rm(new java.io.File(path))
       rm(new java.io.File(path + "__compact_backup"))
-      rm(new java.io.File(path + "__takedown_staging"))
+      rm(new java.io.File(path + "__compact_staging"))
       graft.operators.ScratchCache.releaseAll()
     }
+  }
+
+  test("d13 band ledger: writers share one lock (takedown/refresh/" +
+      "compact refuse under a held lock) and a torn tombstone-rewrite " +
+      "swap heals at the next writer entry") {
+    val path = tmpPath("d13race")
+    try {
+      import spark.implicits._
+      val docs = batchOf(Seq(
+        (1L, "lock case doc one with some shared words in the middle"),
+        (2L, "another lock case doc with other words entirely here")))
+      DedupOps.refreshNearDupLedger(spark, path, docs)
+      DedupOps.removeFromBandLedger(spark, path, Seq(1L).toDF("doc_id"))
+      // a held writer lock REFUSES every band-ledger mutator (the r19
+      // double-swap/lost-append race is closed by serialization)
+      val lock = new java.io.File(path + "__takedown_lock")
+      lock.createNewFile() shouldBe true
+      an[IllegalArgumentException] should be thrownBy
+        DedupOps.removeFromBandLedger(spark, path, Seq(2L).toDF("doc_id"))
+      an[IllegalArgumentException] should be thrownBy
+        DedupOps.refreshNearDupLedger(spark, path, docs)
+      an[IllegalArgumentException] should be thrownBy
+        DedupOps.compactLedger(spark, path)
+      lock.delete() shouldBe true
+      // torn tombstone rewrite: live `_tombstones` renamed aside,
+      // never promoted (crash between the two renames) — the next
+      // writer entry restores it, so the takedown stays in force
+      new java.io.File(path, "_tombstones").renameTo(
+        new java.io.File(path, "_tombstones_backup")) shouldBe true
+      new java.io.File(path, "_tombstones_staging").mkdirs()
+      DedupOps.removeFromBandLedger(spark, path, Seq(999L).toDF("doc_id"))
+      new java.io.File(path, "_tombstones").exists() shouldBe true
+      new java.io.File(path, "_tombstones_backup").exists() shouldBe false
+      new java.io.File(path, "_tombstones_staging").exists() shouldBe false
+      DedupOps.readBandTombstones(spark, path).get
+        .collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+    } finally {
+      rm(new java.io.File(path))
+      rm(new java.io.File(path + "__compact_backup"))
+    }
+  }
+
+  test("compactLedger heals a torn hash takedown swap BEFORE " +
+      "snapshotting — the backed-up prefix slice survives compaction") {
+    // the r19-advice high: compaction's scan skips underscore dirs, so
+    // without the heal a torn takedown swap (live pfx=X renamed aside,
+    // never promoted) would compact a copy MISSING that slice and then
+    // destroy the slice's only copy with the backup
+    val path = tmpPath("compactheal")
+    try {
+      val texts = (0 until 30).map(i => s"compact heal doc $i")
+      DedupOps.refreshLedger(spark, path, hashesOf(texts))
+      val total = spark.read.parquet(path).count()
+      val dir = new java.io.File(path)
+      val somePfx = dir.listFiles().map(_.getName)
+        .filter(_.startsWith("pfx=")).head.stripPrefix("pfx=")
+      new java.io.File(path, s"pfx=$somePfx").renameTo(
+        new java.io.File(path, s"_takedown_backup_$somePfx")) shouldBe true
+      DedupOps.compactLedger(spark, path)
+      spark.read.parquet(path).count() shouldBe total
+      new java.io.File(path, s"_takedown_backup_$somePfx")
+        .exists() shouldBe false
+    } finally rm(new java.io.File(path))
   }
 
   test("d16: bloom superset invariant SURVIVES ledger shrinkage (the " +
