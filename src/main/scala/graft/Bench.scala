@@ -18,6 +18,16 @@ object Bench {
     * time-to-exception averaged into the headline (r5 recorded d9's
     * crash as a 0.07 s "result").
     */
+  /** The recursive-churn class (r20, BASELINE §noise): queries whose
+    * wall is dominated by iterative CC rounds over localCheckpoint
+    * blocks, where block placement varies run-to-run — same-code
+    * spread measured 7.7–13.1 s on d15 across windows, wide enough to
+    * masquerade as a round-over-round regression. These take min-of-4
+    * so one noisy sample can't set the recorded number.
+    */
+  private[graft] val churnQueries =
+    Set("d15_semantic_keep", "d15l_semantic_keep_ledger")
+
   private[graft] def benchOne(spark: SparkSession, name: String,
       fn: (SparkSession, String) => DataFrame,
       sfDir: String): Either[String, Double] = {
@@ -45,8 +55,11 @@ object Bench {
         for {
           a <- timed(); b <- timed()
           m = math.min(a, b)
-          f <- if (m > 5.0) timed().map(math.min(m, _)) else Right(m)
-        } yield f
+          f <- if (m > 5.0 || churnQueries(name))
+            timed().map(math.min(m, _)) else Right(m)
+          g <- if (churnQueries(name))
+            timed().map(math.min(f, _)) else Right(f)
+        } yield g
       } catch { case e: Throwable =>
         Left(s"${e.getClass.getName}: ${e.getMessage}") }
     clear()

@@ -32,6 +32,18 @@ object LedgerScaleBench {
       retrainScenario(small, args.lift(1).getOrElse("/tmp/graft_sf1"))
       return
     }
+    if (args.headOption.contains("retrainKnn")) {
+      retrainKnnScenario(small, args.lift(1).getOrElse("/tmp/graft_sf1"))
+      return
+    }
+    if (args.headOption.contains("s14repair")) {
+      s14RepairScenario(small, args.lift(1).getOrElse("/tmp/graft_sf1"))
+      return
+    }
+    if (args.headOption.contains("bandTakedown")) {
+      bandTakedownScenario(small, args.lift(1).getOrElse("/tmp/graft_sf1"))
+      return
+    }
     if (args.headOption.contains("d15")) {
       d15Scenario(sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
         "/tmp/graft_sf1")); return
@@ -199,6 +211,145 @@ object LedgerScaleBench {
     val p10x = ledgerOf(big)
     timeRetrain(p10x, "retrain_10x_index")
     timeRetrain(p10x, "retrain_10x_index_rep2")
+    spark.stop()
+  }
+
+  /** The GRAPH-side retrain migration wall vs corpus size (r20,
+    * closing the r19 verdict's evidence gap — `retrainKnnLedger` was
+    * spec-only while its IVF sibling had a measured arm): a standing
+    * s10 graph ledger of a 1× and a 10× corpus, retrained in place.
+    * The retrain IS a bootstrap-sized rebuild by design (re-keyed
+    * cells + fresh edges), so the honest claim is "one s9 build + one
+    * swap", not flatness — the rows pin that the migration wall tracks
+    * the REBUILD cost (compare the same round's s9 BenchSlice row),
+    * with no super-linear term hiding in the staged-swap machinery.
+    * Run after ScaleUp: `sbt "runMain graft.LedgerScaleBench
+    * retrainKnn"`; recorded in BASELINE §sf1.
+    */
+  private def retrainKnnScenario(small: String, big: String): Unit = {
+    val spark = GraftSession.local(32, "graft-retrain-knn-scale")
+    import graft.queries.SimilarityOps
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    def ledgerOf(dir: String, tag: String): String = {
+      val e = Tables.load(spark, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val path = s"/tmp/graft_state/graft_bench_retrainknn_$tag"
+      rm(new java.io.File(path))
+      // the s10/s14 two-day shape: bootstrap on 7/8ths, append the rest
+      SimilarityOps.refreshKnnLedger(spark, path,
+        e.filter(pmod(col("vec_id"), lit(8)) =!= 5))
+      SimilarityOps.refreshKnnLedger(spark, path, e)
+      path
+    }
+    def timeRetrain(path: String, label: String): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SimilarityOps.retrainKnnLedger(spark, path)
+      println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val p1x = ledgerOf(small, "1x")
+    timeRetrain(p1x, "retrainKnn_1x_graph")
+    timeRetrain(p1x, "retrainKnn_1x_graph_rep2")
+    val p10x = ledgerOf(big, "10x")
+    timeRetrain(p10x, "retrainKnn_10x_graph")
+    timeRetrain(p10x, "retrainKnn_10x_graph_rep2")
+    spark.stop()
+  }
+
+  /** s14's compaction-repair cost claim, measured (r20 — the
+    * O(affected·(2KG)²) argument had no bench arm): compact a graph
+    * ledger with ZERO tombstones (baseline — the pure rewrite wall),
+    * then the same ledger with a FIXED-size tombstone set, at a 1× and
+    * a 10× standing corpus. The repair delta (tombstoned − baseline)
+    * must track the AFFECTED set (≈ tombstones × occupancy), not the
+    * corpus — a repair that re-descended the whole graph would show a
+    * delta growing with n. Run after ScaleUp: `sbt "runMain
+    * graft.LedgerScaleBench s14repair"`; recorded in BASELINE §sf1.
+    */
+  private def s14RepairScenario(small: String, big: String): Unit = {
+    val spark = GraftSession.local(32, "graft-s14-repair-scale")
+    import graft.queries.SimilarityOps
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    def scenario(dir: String, tag: String): Unit = {
+      val e = Tables.load(spark, dir, "embeddings")
+        .select("vec_id", "embedding")
+      def fresh(sub: String): String = {
+        val path = s"/tmp/graft_state/graft_bench_s14rep_${tag}_$sub"
+        rm(new java.io.File(path))
+        SimilarityOps.refreshKnnLedger(spark, path, e)
+        path
+      }
+      def timeCompact(path: String, label: String): Unit = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SimilarityOps.compactKnnLedger(spark, path)
+        println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val base = fresh("base")
+      timeCompact(base, s"s14_compact_${tag}_no_tombs")
+      // FIXED absolute takedown (same ids at both scales: the small
+      // corpus' id range is a subset of the big one's) — the repair
+      // delta must not grow with the corpus behind it
+      val tomb = fresh("tomb")
+      val ids = Tables.load(spark, small, "embeddings")
+        .select("vec_id").filter(pmod(col("vec_id"), lit(97L)) === 13L)
+      SimilarityOps.tombstoneIds(spark, tomb, ids)
+      timeCompact(tomb, s"s14_compact_${tag}_tombed")
+    }
+    scenario(small, "1x")
+    scenario(big, "10x")
+    spark.stop()
+  }
+
+  /** The r20 band-ledger takedown's O(takedown) claim, measured at
+    * scale: tombstone-append a fixed takedown into the d13 band ledger
+    * of a 1× and a 10× corpus and time it (plus the probe read before
+    * and after, proving the anti-join seam costs nothing visible).
+    * The r19 staged-swap takedown paid a whole-ledger rewrite here —
+    * the number this arm replaces. Run after ScaleUp: `sbt "runMain
+    * graft.LedgerScaleBench bandTakedown"`; recorded in BASELINE §sf1.
+    */
+  private def bandTakedownScenario(small: String, big: String): Unit = {
+    val spark = GraftSession.local(32, "graft-band-takedown-scale")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    def ledgerOf(dir: String, tag: String): String = {
+      val prior = Tables.load(spark, dir, "documents")
+        .filter(col("source") =!= "src0").select("doc_id", "text")
+      val path = s"/tmp/graft_state/graft_bench_bandtd_$tag"
+      rm(new java.io.File(path))
+      DedupOps.refreshNearDupLedger(spark, path, prior)
+      path
+    }
+    val batchIdx = DedupOps.minhashIndex(
+      Tables.load(spark, small, "documents")
+        .filter(col("source") === "src0").select("doc_id", "text"))
+      .localCheckpoint()
+    def timeProbe(path: String, label: String): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      DedupOps.nearDupProbe(batchIdx, DedupOps.readBandLedger(spark, path))
+        .write.format("noop").mode("overwrite").save()
+      println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val ids = Tables.load(spark, small, "documents")
+      .filter(col("source") =!= "src0")
+      .select("doc_id").filter(pmod(col("doc_id"), lit(97L)) === 13L)
+    Seq(ledgerOf(small, "1x") -> "1x", ledgerOf(big, "10x") -> "10x")
+      .foreach { case (path, tag) =>
+        timeProbe(path, s"band_probe_${tag}_pre")
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        DedupOps.removeFromBandLedger(spark, path, ids)
+        println(f"[ledger] band_takedown_$tag " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        timeProbe(path, s"band_probe_${tag}_post")
+      }
     spark.stop()
   }
 

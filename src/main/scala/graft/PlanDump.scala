@@ -23,12 +23,15 @@ object PlanDump {
         "d16_bloom_dedup", "t27_dsir_select",
         "t28_weighted_sample", "s13_ann_tombstoned",
         "c3_leakage_split", "t29_rank_fusion",
-        "p5_training_corpus_v5").foreach { n =>
-      println(s"===== $n =====")
-      println(SparkEntry.queries(n)(spark, dir).queryExecution
-        .explainString(org.apache.spark.sql.execution.FormattedMode)
-        .linesIterator.take(40).mkString("\n"))
-    }
+        "p5_training_corpus_v5", "s14_knn_tombstoned",
+        "d17_reclaimed_reingest", "p6_takedown_refresh")
+      .filter(n => args.isEmpty || args.contains(n))
+      .foreach { n =>
+        println(s"===== $n =====")
+        println(SparkEntry.queries(n)(spark, dir).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+          .linesIterator.take(40).mkString("\n"))
+      }
     spark.stop()
   }
 }

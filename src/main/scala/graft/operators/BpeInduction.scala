@@ -167,9 +167,18 @@ object BpeInduction {
     * real corpus and floored in the spec. Rounds shrink from nMerges
     * to ~nMerges/B; each round stays O(dictionary) with a
     * pair-vocabulary-bounded shuffle.
+    *
+    * DEFAULT B = 8, on evidence (r20, BASELINE §bpe-batched): the
+    * 20k-word Zipfian sweep at 1024 merges read overlap 0.780 at B=8
+    * vs 0.489 at B=64 / 0.392 at B=256 with NO wall-clock win from
+    * the larger batches (62.0 / 66.8 / 58.7 s) — the staleness window
+    * of round-start ranking grows with B and no vocabulary shape
+    * repairs it, falsifying the r19 "Zipfian overlap → 1" expectation
+    * for large B. B=8 buys nearly all the round-count reduction at
+    * the best measured fidelity.
     */
   def trainMergesBatched(docs: DataFrame, textCol: String, nMerges: Int,
-      batchB: Int = 64, checkpointEvery: Int = 8)
+      batchB: Int = 8, checkpointEvery: Int = 8)
       : Seq[((String, String), Long)] =
     trainMergesBatchedRounds(docs, textCol, nMerges, batchB,
       checkpointEvery).flatten.take(nMerges)
@@ -179,7 +188,7 @@ object BpeInduction {
     * spec re-checks the invariant per returned round).
     */
   def trainMergesBatchedRounds(docs: DataFrame, textCol: String,
-      nMerges: Int, batchB: Int = 64, checkpointEvery: Int = 8)
+      nMerges: Int, batchB: Int = 8, checkpointEvery: Int = 8)
       : Seq[Seq[((String, String), Long)]] = {
     val spark = docs.sparkSession
     import spark.implicits._

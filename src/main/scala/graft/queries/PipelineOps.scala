@@ -703,5 +703,147 @@ object PipelineOps extends QueryGroup {
        |FROM keyed
        |ORDER BY shard, pos""".stripMargin))
 
-  override val queries: Seq[QueryDef] = Seq(p1, p2, p3, p4, p5)
+  // ---------------------------------------------------------------- P6
+  // The TAKEDOWN-REFRESH chain (r20) — the weekly run a production
+  // pipeline executes when content is reclaimed (DMCA/opt-out), in the
+  // order deletions must compose:
+  //
+  //   takedowns across ALL THREE ledger families — the d9/d17 content-
+  //   hash ledger (prefix-pruned slice swap), the d13 band index
+  //   (tombstone append, r20), the s10/s14 kNN graph (tombstone
+  //   segment) → re-ingest of a fresh batch against the SHRUNK state:
+  //   exact-novel admission (reclaimed content re-admits), near-dup
+  //   gate against the LIVE band ledger, and a retrieval-readiness
+  //   column from the tombstoned graph.
+  //
+  // Everything after the maintenance writes is ONE lazy plan: the
+  // ledger anti-join + batch agg (d9's plan), the band probe (d13's),
+  // and the graph read (s14's) feed one export frame. Takedown sets
+  // use doc_id % 13 == 4 — disjoint paths from d17 (%7==2) and s14
+  // (%13==3), so the p6 ledgers never share state with theirs.
+  // Idempotent across runs by the same argument as d17: each run
+  // refresh-resurrects then re-removes the same set, landing on the
+  // identical end state (hash-verified by the oracle below, which
+  // re-derives all three exclusions from scratch — EXCEPT for the
+  // hash ledger, brute-force Jaccard for the band gate, tap re-rank
+  // for the graph).
+  private def p6Path(dir: String, tag: String): String = {
+    val f = new java.io.File(dir)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(f.getAbsolutePath.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+    s"/tmp/graft_state/graft_p6_${tag}_${f.getName}_$digest"
+  }
+
+  private val p6 = QueryDef(
+    "p6_takedown_refresh",
+    (s, dir) => {
+      import SimilarityOps.withLeaseRetry
+      val d = Tables.load(s, dir, "documents")
+      val prior = d.filter(col("source") =!= "src2")
+      val reclaimed = prior.filter(pmod(col("doc_id"), lit(13L)) === 4L)
+      // stage 1: TAKEDOWNS on all three ledger families
+      val hashPath = p6Path(dir, "hash")
+      DedupOps.refreshLedger(s, hashPath,
+        prior.select(md5(col("text")).as("content_hash")).distinct())
+      DedupOps.removeFromHashLedger(s, hashPath,
+        reclaimed.select(md5(col("text")).as("content_hash")).distinct())
+      val bandPath = p6Path(dir, "band")
+      DedupOps.refreshNearDupLedger(s, bandPath,
+        prior.select("doc_id", "text"))
+      DedupOps.removeFromBandLedger(s, bandPath,
+        reclaimed.select("doc_id"))
+      val e = Tables.load(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val gPath = p6Path(dir, "graph")
+      withLeaseRetry() { SimilarityOps.refreshKnnLedger(s, gPath,
+        e.filter(pmod(col("vec_id"), lit(8)) =!= 5)) }
+      withLeaseRetry() { SimilarityOps.refreshKnnLedger(s, gPath, e) }
+      withLeaseRetry() { SimilarityOps.tombstoneIds(s, gPath,
+        e.filter(pmod(col("vec_id"), lit(13L)) === 4L).select("vec_id")) }
+      // stage 2: RE-INGEST against the shrunk hash ledger — reclaimed
+      // content re-admits as novel (the d17 contract)
+      val batch = d.filter(col("source") === "src2")
+      val novel = DedupOps.incrementalDedup(batch,
+        s.read.parquet(hashPath)).localCheckpoint()
+      // stage 3: NEAR-DUP GATE — each novel hash's keeper doc probed
+      // against the LIVE band ledger (tombstones anti-joined by the
+      // readBandLedger seam); a near-dup of standing content is not
+      // re-exported
+      val keepers = batch
+        .join(novel.select(col("keep_id").as("doc_id")), "doc_id")
+        .select("doc_id", "text")
+      val bIdx = graft.operators.ScratchCache.scratch(
+        DedupOps.minhashIndex(keepers))
+      val ndHit = DedupOps
+        .nearDupProbe(bIdx, DedupOps.readBandLedger(s, bandPath))
+        .select(col("i").as("nd_id")).distinct()
+      val admitted = novel
+        .join(ndHit, novel("keep_id") === ndHit("nd_id"), "left_anti")
+      // stage 4: retrieval readiness from the TOMBSTONED graph — how
+      // many live kNN neighbors each admitted doc still has (s14's
+      // two-sided exclusion; the tap feeds the oracle's exact re-rank)
+      val nn = SimilarityOps.s10Graph(s, gPath, Some("p6_graph"))
+        .groupBy("qid").agg(count(lit(1)).as("n_graph_neighbors"))
+      admitted
+        .join(nn, admitted("keep_id") === nn("qid"), "left")
+        .select(col("content_hash"), col("keep_id"), col("n_copies"),
+          coalesce(col("n_graph_neighbors"), lit(0L))
+            .as("n_graph_neighbors"))
+        .orderBy("content_hash")
+    },
+    Some(s"""WITH hledger AS (
+       |  SELECT DISTINCT md5(text) AS content_hash
+       |  FROM documents WHERE source <> 'src2'
+       |), hremoved AS (
+       |  SELECT DISTINCT md5(text) AS content_hash
+       |  FROM documents WHERE source <> 'src2' AND doc_id % 13 = 4
+       |), hlive AS (
+       |  SELECT content_hash FROM hledger
+       |  EXCEPT SELECT content_hash FROM hremoved
+       |), batch AS (
+       |  SELECT md5(text) AS content_hash, doc_id
+       |  FROM documents WHERE source = 'src2'
+       |), novel AS (
+       |  SELECT content_hash, MIN(doc_id) AS keep_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_copies
+       |  FROM batch
+       |  WHERE content_hash NOT IN (SELECT content_hash FROM hlive)
+       |  GROUP BY content_hash
+       |), sh2 AS (
+       |  SELECT doc_id, source,
+       |    list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
+       |                   for i in range(1, len(words)-1)]) AS sh
+       |  FROM (SELECT doc_id, source, string_split(text,' ') AS words
+       |        FROM documents)
+       |), cnt AS (SELECT doc_id, len(sh) AS n FROM sh2),
+       |tokb AS (
+       |  SELECT s.doc_id, unnest(s.sh) AS t
+       |  FROM sh2 s JOIN novel nv ON nv.keep_id = s.doc_id
+       |), tokp AS (
+       |  SELECT doc_id, unnest(sh) AS t FROM sh2
+       |  WHERE source <> 'src2' AND doc_id % 13 <> 4
+       |), nd AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+       |  FROM tokb a JOIN tokp b ON a.t = b.t GROUP BY 1, 2
+       |), ndhit AS (
+       |  SELECT DISTINCT i AS doc_id FROM nd
+       |  JOIN cnt ca ON ca.doc_id = nd.i JOIN cnt cb ON cb.doc_id = nd.j
+       |  WHERE CAST(shared AS DOUBLE)
+       |      / CAST(ca.n + cb.n - shared AS DOUBLE) >= ${DedupOps.jaccardT}
+       |), admitted AS (
+       |  SELECT * FROM novel
+       |  WHERE keep_id NOT IN (SELECT doc_id FROM ndhit)
+       |), ${SimilarityOps.knnGraphCtes("p6_graph",
+            s"WHERE qid % 13 <> 4 AND vec_id % 13 <> 4")},
+       |nn AS (
+       |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_graph_neighbors
+       |  FROM granked GROUP BY qid
+       |)
+       |SELECT a.content_hash, a.keep_id, a.n_copies,
+       |  COALESCE(nn.n_graph_neighbors, 0) AS n_graph_neighbors
+       |FROM admitted a LEFT JOIN nn ON nn.qid = a.keep_id
+       |ORDER BY content_hash""".stripMargin))
+
+  override val queries: Seq[QueryDef] = Seq(p1, p2, p3, p4, p5, p6)
 }

@@ -452,6 +452,55 @@ object StreamOps {
       }
   }
 
+  // --------------------------------------------------------------- ST18
+  /** Takedown-LIVE ingestion dedup (r20) — ST6 with the ledger side
+    * picked up PER TRIGGER, so a long-running ingest stream honors a
+    * takedown ([[graft.queries.DedupOps]] `removeFromHashLedger`)
+    * without a query restart — the gap the ST6/ST16 listing-pin
+    * contract documents. The split that makes it work: the in-stream
+    * dedup (watermark-bounded key state) stays IN the streaming plan,
+    * where Spark manages its state; the LEDGER anti-join — the
+    * takedown-sensitive stage — moves into `foreachBatch`, where each
+    * micro-batch is a batch frame and the ledger read is CONSTRUCTED
+    * fresh (new file listing) per trigger: a prefix slice swapped by a
+    * takedown, or rows appended by a refresh, are visible to the very
+    * next batch. (The remover also `refreshByPath`es, keeping the
+    * session's shared file-status cache coherent; a cross-JVM deploy
+    * points that cache off ledger paths or calls refreshByPath on its
+    * reader session.)
+    *
+    * Staleness bound, documented and spec-gated: a takedown is honored
+    * by the NEXT micro-batch — except for a hash that already entered
+    * the in-stream dedup state before the takedown, whose re-arrivals
+    * are suppressed as in-stream duplicates until the watermark passes
+    * it (bound = max(1 trigger, watermark horizon), vs ST6's
+    * restart-or-never). Stage order differs from ST6 (state first,
+    * ledger second) but the OUTPUT is identical: a ledgered hash is
+    * dropped by the batch join whether or not it also occupies state,
+    * and an unledgered duplicate is dropped by state either way.
+    *
+    * @param docs streaming frame with `textCol` and an event-time col
+    * @param ledgerPath d9/d16 hash-ledger path (re-read per trigger)
+    * @param sink per-batch consumer of the novel rows (batchDF, batchId)
+    */
+  def incrementalDedupLive(docs: DataFrame, ledgerPath: String,
+      textCol: String, tsCol: String, watermarkDelay: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ledger = batch.sparkSession.read.parquet(ledgerPath)
+          .select("content_hash")
+        sink(batch.join(broadcast(ledger),
+          Seq("content_hash"), "left_anti"), id)
+        ()
+      }
+
   // ---------------------------------------------------------------- ST9
   /** Streaming ANN over a PQ-coded static corpus (s5's streaming twin —
     * online retrieval): query vectors arrive on the stream, each

@@ -326,6 +326,50 @@ class LedgerTakedownSpec extends AnyFunSuite with Matchers {
     } finally rm(new java.io.File(path))
   }
 
+  test("ST18 takedown-LIVE dedup: a mid-stream takedown is honored by " +
+      "the NEXT micro-batch with NO query restart (per-trigger ledger " +
+      "re-read), while standing hashes still drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val path = tmpPath("st18")
+    try {
+      val texts = Seq("st18 standing doc", "st18 reclaimed doc")
+      DedupOps.refreshLedger(spark, path, hashesOf(texts))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = graft.streaming.StreamOps.incrementalDedupLive(
+        in.toDF.toDF("doc_id", "text", "ts"), path,
+        textCol = "text", tsCol = "ts", watermarkDelay = "10 seconds") {
+        (b, _) => b.select("doc_id").collect()
+          .foreach(r => got.synchronized { got += r.getLong(0) })
+      }.start()
+      try {
+        in.addData((1L, "st18 novel doc", ts(100)),
+          (2L, "st18 standing doc", ts(101)))
+        q.processAllAvailable()
+        // pre-takedown: novel emitted, ledgered standing dropped
+        got.toSet shouldBe Set(1L)
+        // takedown lands WHILE the query runs — no restart follows.
+        // (The reclaimed hash deliberately hasn't arrived in-stream
+        // yet: a pre-takedown arrival would occupy the dedup state and
+        // suppress re-arrivals until the watermark passes it — the
+        // documented staleness bound, not the contract under test.)
+        DedupOps.removeFromHashLedger(spark, path,
+          hashesOf(Seq("st18 reclaimed doc")))
+        in.addData((3L, "st18 reclaimed doc", ts(120)),
+          (4L, "st18 standing doc", ts(121)))
+        q.processAllAvailable()
+        // the NEXT batch already honors the takedown: reclaimed is
+        // novel; the standing hash still drops (doc 4 dies in the
+        // in-stream state AND the ledger join — both agree)
+        got.toSet shouldBe Set(1L, 3L)
+      } finally q.stop()
+    } finally rm(new java.io.File(path))
+  }
+
   test("ST6-shape streaming dedup over a taken-down ledger: the shrunk " +
       "state is honored on RESTART (the static-side snapshot contract) " +
       "and reclaimed content is then kept") {
