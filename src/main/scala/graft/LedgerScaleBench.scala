@@ -277,9 +277,16 @@ object LedgerScaleBench {
     def scenario(dir: String, tag: String): Unit = {
       val e = Tables.load(spark, dir, "embeddings")
         .select("vec_id", "embedding")
+      // TWO-segment ledgers (the s10 two-day shape): a single-segment
+      // no-tombstone ledger short-circuits compaction entirely, which
+      // would time 0.03 s for the baseline and bill the whole session
+      // warmup to the tombed arm (the first cut of this arm did
+      // exactly that)
       def fresh(sub: String): String = {
         val path = s"/tmp/graft_state/graft_bench_s14rep_${tag}_$sub"
         rm(new java.io.File(path))
+        SimilarityOps.refreshKnnLedger(spark, path,
+          e.filter(pmod(col("vec_id"), lit(8)) =!= 5))
         SimilarityOps.refreshKnnLedger(spark, path, e)
         path
       }
@@ -289,6 +296,10 @@ object LedgerScaleBench {
         SimilarityOps.compactKnnLedger(spark, path)
         println(f"[ledger] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      // untimed warmup compaction on a throwaway ledger: the codegen/
+      // planning constants of the compaction path must not land on
+      // whichever timed arm happens to run first
+      SimilarityOps.compactKnnLedger(spark, fresh("warm"))
       val base = fresh("base")
       timeCompact(base, s"s14_compact_${tag}_no_tombs")
       // FIXED absolute takedown (same ids at both scales: the small

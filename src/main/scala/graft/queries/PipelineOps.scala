@@ -775,9 +775,12 @@ object PipelineOps extends QueryGroup {
         .select("doc_id", "text")
       val bIdx = graft.operators.ScratchCache.scratch(
         DedupOps.minhashIndex(keepers))
-      val ndHit = DedupOps
+      // batch-bounded (≤ one row per probed keeper): broadcast the
+      // gate — without the hint the probe-derived side has no size
+      // estimate and plans as a sort-merge anti join
+      val ndHit = broadcast(DedupOps
         .nearDupProbe(bIdx, DedupOps.readBandLedger(s, bandPath))
-        .select(col("i").as("nd_id")).distinct()
+        .select(col("i").as("nd_id")).distinct())
       val admitted = novel
         .join(ndHit, novel("keep_id") === ndHit("nd_id"), "left_anti")
       // stage 4: retrieval readiness from the TOMBSTONED graph — how
