@@ -501,6 +501,35 @@ object StreamOps {
         ()
       }
 
+  /** [[nearDupMatches]]' takedown-LIVE face (r20) — the same
+    * per-trigger-re-read treatment as [[incrementalDedupLive]], for
+    * the BAND ledger: ST10 is stateless stream-side (per-row minhash +
+    * one stream-static probe), so the WHOLE operator moves into
+    * `foreachBatch`, where each micro-batch probes a freshly
+    * constructed `readBandLedger` read — a band tombstone appended by
+    * `removeFromBandLedger` mid-stream stops its doc matching on the
+    * very next trigger, and a resurrection (refresh re-admitting a
+    * tombstoned doc) resumes matching the same way; no restart, no
+    * staleness beyond one trigger (no in-stream state exists to
+    * suppress anything, unlike ST18's dedup-state caveat).
+    *
+    * @param docs streaming frame with `doc_id` and `textCol`
+    * @param ledgerPath d13 band-ledger path (re-read per trigger
+    *                   through the tombstone seam)
+    * @param sink per-batch consumer of (i, j, jaccard) matches
+    */
+  def nearDupMatchesLive(docs: DataFrame, ledgerPath: String,
+      textCol: String, t: Double)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(nearDupMatches(batch,
+          graft.queries.DedupOps.readBandLedger(
+            batch.sparkSession, ledgerPath), textCol, t), id)
+        ()
+      }
+
   // ---------------------------------------------------------------- ST9
   /** Streaming ANN over a PQ-coded static corpus (s5's streaming twin —
     * online retrieval): query vectors arrive on the stream, each

@@ -370,6 +370,51 @@ class LedgerTakedownSpec extends AnyFunSuite with Matchers {
     } finally rm(new java.io.File(path))
   }
 
+  test("ST10-live near-dup matching: a band-ledger takedown stops its " +
+      "doc matching on the NEXT trigger (no restart), and a " +
+      "resurrection resumes it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val path = tmpPath("st10live")
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val ledgerDocs = batchOf(Seq((1L, base),
+        (2L, "entirely different ledger content with no shared grams " +
+          "at all here")))
+      DedupOps.refreshNearDupLedger(spark, path, ledgerDocs)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = graft.streaming.StreamOps.nearDupMatchesLive(
+        in.toDF.toDF("doc_id", "text"), path, "text", DedupOps.jaccardT) {
+        (b, _) => b.select("i", "j").collect()
+          .foreach(r => got.synchronized {
+            got += (r.getLong(0) -> r.getLong(1)) })
+      }.start()
+      try {
+        val probe = base.replace("upsilon", "omega")
+        in.addData((10L, probe))
+        q.processAllAvailable()
+        got.toSet shouldBe Set(10L -> 1L) // doc 1 matches pre-takedown
+        DedupOps.removeFromBandLedger(spark, path, Seq(1L).toDF("doc_id"))
+        in.addData((11L, probe))
+        q.processAllAvailable()
+        got.toSet shouldBe Set(10L -> 1L) // next trigger: no match
+        // resurrection (refresh re-admits doc 1) resumes matching,
+        // still without a restart
+        DedupOps.refreshNearDupLedger(spark, path, ledgerDocs)
+        in.addData((12L, probe))
+        q.processAllAvailable()
+        got.toSet shouldBe Set(10L -> 1L, 12L -> 1L)
+      } finally q.stop()
+    } finally {
+      rm(new java.io.File(path))
+      graft.operators.ScratchCache.releaseAll()
+    }
+  }
+
   test("ST6-shape streaming dedup over a taken-down ledger: the shrunk " +
       "state is honored on RESTART (the static-side snapshot contract) " +
       "and reclaimed content is then kept") {
