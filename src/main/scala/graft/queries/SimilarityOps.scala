@@ -2357,6 +2357,58 @@ object SimilarityOps extends QueryGroup {
        |SELECT qid, rank, vec_id AS neighbor_id, cosine
        |FROM granked ORDER BY qid, rank""".stripMargin))
 
+  private[graft] def s15LedgerPath(dir: String): String = {
+    val f = new java.io.File(dir)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(f.getAbsolutePath.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+    s"/tmp/graft_state/graft_s15_knn_${f.getName}_${digest}_p1"
+  }
+
+  // --------------------------------------------------------------- S15q
+  // The retrain migration DRIVER-ORACLED (r20, the r19 verdict #3
+  // stretch): a standing graph ledger takes a takedown, RETRAINS
+  // (cells re-keyed to the alive corpus, tombstones applied and
+  // cleared, one-rename flip), and the post-migration graph read is
+  // hash-verified against the s14-style tap oracle — proving the
+  // retrained ledger IS the from-scratch alive graph, cross-engine,
+  // not just spec-asserted. The migration runs ONCE (marker-gated:
+  // `__retrain_done` inside the ledger dir, created after the flip);
+  // re-runs take the steady-state arm — a novel-only refresh over the
+  // alive corpus (no-op: the retrained ledger already holds it) + the
+  // read, so the end state is run-invariant and the bench pays
+  // maintenance, not a migration per execution. A crash before the
+  // marker re-runs the whole migration branch — expensive but
+  // idempotent (re-appended reclaimed vectors are re-tombstoned and
+  // re-purged to the same end state).
+  private val s15q = QueryDef(
+    "s15_retrained_graph",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val path = s15LedgerPath(dir)
+      val alive = e.filter(pmod(col("vec_id"), lit(17L)) =!= 5L)
+      val fs = fsOf(s, path)
+      val marker = hPath(s"$path/__retrain_done")
+      if (!fs.exists(marker)) {
+        // day 1 + day 2 over the FULL corpus (the s10 shape), then a
+        // reclaim lands and the scheduled retrain migrates the ledger
+        withLeaseRetry() { refreshKnnLedger(s, path,
+          e.filter(pmod(col("vec_id"), lit(8)) =!= 5)) }
+        withLeaseRetry() { refreshKnnLedger(s, path, e) }
+        withLeaseRetry() { tombstoneIds(s, path,
+          e.filter(pmod(col("vec_id"), lit(17L)) === 5L)
+            .select("vec_id")) }
+        retrainKnnLedger(s, path)
+        fs.create(marker, true).close()
+      } else
+        withLeaseRetry() { refreshKnnLedger(s, path, alive) }
+      s10Graph(s, path, Some("s15_cand")).orderBy("qid", "rank")
+    },
+    Some(s"""WITH ${knnGraphCtes("s15_cand",
+        "WHERE qid % 17 <> 5 AND vec_id % 17 <> 5")}
+       |SELECT qid, rank, vec_id AS neighbor_id, cosine
+       |FROM granked ORDER BY qid, rank""".stripMargin))
+
   // --------------------------------------------------------------- T25
   // (machinery for TextOps' t25_embedding_decontam — the family file
   // owns the QueryDef; the LSH internals live here with s2/s7.)
@@ -2390,5 +2442,5 @@ object SimilarityOps extends QueryGroup {
 
   override val queries: Seq[QueryDef] =
     Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s11l, s12, s13,
-      s14)
+      s14, s15q)
 }
