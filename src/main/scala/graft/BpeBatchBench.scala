@@ -33,7 +33,7 @@ import graft.sources.Tables
 object BpeBatchBench {
 
   /** Deterministic Zipfian corpus: `vSize` distinct words composed of
-    * 1–4 shared syllables (so merges have cross-word structure to
+    * 1–3 shared syllables (so merges have cross-word structure to
     * find), sampled to `nTokens` under Zipf(s) by inverse CDF. Seeded —
     * every run measures the identical corpus.
     */

@@ -19,6 +19,10 @@ import graft.sources.Tables
   * Prints `[ledger] label seconds`; recorded in BASELINE.md §sf1.
   */
 object LedgerScaleBench {
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+  }
+
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("compact")) { compactScenario(small); return }
@@ -229,9 +233,6 @@ object LedgerScaleBench {
   private def retrainKnnScenario(small: String, big: String): Unit = {
     val spark = GraftSession.local(32, "graft-retrain-knn-scale")
     import graft.queries.SimilarityOps
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
     def ledgerOf(dir: String, tag: String): String = {
       val e = Tables.load(spark, dir, "embeddings")
         .select("vec_id", "embedding")
@@ -271,9 +272,6 @@ object LedgerScaleBench {
   private def s14RepairScenario(small: String, big: String): Unit = {
     val spark = GraftSession.local(32, "graft-s14-repair-scale")
     import graft.queries.SimilarityOps
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
     def scenario(dir: String, tag: String): Unit = {
       val e = Tables.load(spark, dir, "embeddings")
         .select("vec_id", "embedding")
@@ -326,9 +324,6 @@ object LedgerScaleBench {
     */
   private def bandTakedownScenario(small: String, big: String): Unit = {
     val spark = GraftSession.local(32, "graft-band-takedown-scale")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
     def ledgerOf(dir: String, tag: String): String = {
       val prior = Tables.load(spark, dir, "documents")
         .filter(col("source") =!= "src0").select("doc_id", "text")

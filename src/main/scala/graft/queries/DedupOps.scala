@@ -835,14 +835,10 @@ object DedupOps extends QueryGroup {
     // the shared state root would silently merge two corpora's
     // ledgers — the exact cross-SF contamination
     // DedupConsistencySpec guards against)
-    val f = new java.io.File(dir)
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(f.getAbsolutePath.getBytes("UTF-8"))
-      .take(16).map("%02x".format(_)).mkString
     // `_p1` suffix = the 16-way prefix-partitioned layout (r12); older
     // layouts' dirs are orphaned, not migrated in place — a layout
     // change must never reinterpret existing state
-    s"/tmp/graft_state/graft_d9_ledger_${f.getName}_${digest}_p1"
+    StatePath(dir, "d9_ledger", "_p1")
   }
 
   /** Hash-prefix runtime pruning for the ledger scan: the ledger is
@@ -952,7 +948,18 @@ object DedupOps extends QueryGroup {
       prior: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    restoreTakedownBackups(fs, p) // heal a torn takedown swap first
+    // heal a torn COMPACTION swap first (r20 review): with the live
+    // dir renamed aside and the promote never executed, the bootstrap
+    // branch below would otherwise re-create the ledger from `prior`
+    // alone — losing every hash not in today's prior and resurrecting
+    // takedowns — and the next compaction entry would then delete the
+    // backup holding the only real copy
+    val compactBackup = new org.apache.hadoop.fs.Path(
+      path + "__compact_backup")
+    if (!fs.exists(p) && fs.exists(compactBackup))
+      require(fs.rename(compactBackup, p),
+        s"could not restore $compactBackup to $path")
+    restoreTakedownBackups(fs, p) // heal a torn takedown swap too
     if (!ledgerDataExists(fs, p))
       withPfx(prior).write.partitionBy("pfx").mode("overwrite").parquet(path)
     else {
@@ -1273,13 +1280,7 @@ object DedupOps extends QueryGroup {
         bandKeys(col("sig"), mhBands, mhRows).as("keys"))
   }
 
-  private[graft] def d13LedgerPath(dir: String): String = {
-    val f = new java.io.File(dir)
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(f.getAbsolutePath.getBytes("UTF-8"))
-      .take(16).map("%02x".format(_)).mkString
-    s"/tmp/graft_state/graft_d13_ledger_${f.getName}_$digest"
-  }
+  private[graft] def d13LedgerPath(dir: String): String = StatePath(dir, "d13_ledger")
 
   /** Bootstrap-or-append the band-index ledger: only doc_ids absent
     * from the LIVE ledger (physical rows minus tombstones) are
@@ -1623,17 +1624,29 @@ object DedupOps extends QueryGroup {
 
   /** The standing tombstone set (distinct doc_ids), or None when no
     * takedown is outstanding. Takedown-sized by the append-∩-ledger
-    * discipline — always broadcastable.
+    * discipline — always broadcastable. FAILS CLOSED across a torn
+    * tombstone-set rewrite (r20 review): between the rewrite's two
+    * renames the live `_tombstones` dir is absent, and serving "no
+    * tombstones" there would re-expose every outstanding takedown
+    * until a writer heals the swap — so a reader whose live dir is
+    * missing falls back to `_tombstones_backup`, the PRE-rewrite set.
+    * The backup is a SUPERSET of the new set (a rewrite only removes
+    * resurrected ids), so the fallback can only over-remove — a
+    * resurrected doc stays hidden for one crash window, never the
+    * reverse. Read-only: healing stays a writer-entry action.
     */
   private[graft] def readBandTombstones(s: SparkSession,
       path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val t = bandTombDir(p)
-    if (fs.exists(t) &&
-        fs.listStatus(t).exists(_.getPath.getName.startsWith("part-")))
-      Some(s.read.parquet(t.toString).select("doc_id").distinct())
-    else None
+    def readable(d: org.apache.hadoop.fs.Path) =
+      fs.exists(d) &&
+        fs.listStatus(d).exists(_.getPath.getName.startsWith("part-"))
+    val src =
+      if (readable(bandTombDir(p))) Some(bandTombDir(p))
+      else if (readable(bandTombBackup(p))) Some(bandTombBackup(p))
+      else None
+    src.map(d => s.read.parquet(d.toString).select("doc_id").distinct())
   }
 
   /** THE read seam for the d13 band ledger — every consumer (the d13
@@ -1905,13 +1918,7 @@ object DedupOps extends QueryGroup {
   // hashes — one torrent broadcast, or 16 prefix shards) replaces the
   // per-batch ledger shuffle, and filter + ledger maintenance are both
   // O(novel).
-  private[graft] def d16LedgerPath(dir: String): String = {
-    val f = new java.io.File(dir)
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(f.getAbsolutePath.getBytes("UTF-8"))
-      .take(16).map("%02x".format(_)).mkString
-    s"/tmp/graft_state/graft_d16_ledger_${f.getName}_${digest}_p1"
-  }
+  private[graft] def d16LedgerPath(dir: String): String = StatePath(dir, "d16_ledger", "_p1")
 
   private def bloomMarker(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_bloom/_CURRENT")
@@ -2185,13 +2192,7 @@ object DedupOps extends QueryGroup {
   // takedown), so the persisted removal's end state is hash-verified,
   // not just spec'd. Own ledger path; takedown rule doc_id % 7 = 2
   // over the prior corpus (the s13/q42 deterministic-split shape).
-  private[graft] def d17LedgerPath(dir: String): String = {
-    val f = new java.io.File(dir)
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(f.getAbsolutePath.getBytes("UTF-8"))
-      .take(16).map("%02x".format(_)).mkString
-    s"/tmp/graft_state/graft_d17_ledger_${f.getName}_${digest}_p1"
-  }
+  private[graft] def d17LedgerPath(dir: String): String = StatePath(dir, "d17_ledger", "_p1")
 
   private val d17 = QueryDef(
     "d17_reclaimed_reingest",

@@ -727,13 +727,7 @@ object PipelineOps extends QueryGroup {
   // re-derives all three exclusions from scratch — EXCEPT for the
   // hash ledger, brute-force Jaccard for the band gate, tap re-rank
   // for the graph).
-  private def p6Path(dir: String, tag: String): String = {
-    val f = new java.io.File(dir)
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(f.getAbsolutePath.getBytes("UTF-8"))
-      .take(16).map("%02x".format(_)).mkString
-    s"/tmp/graft_state/graft_p6_${tag}_${f.getName}_$digest"
-  }
+  private def p6Path(dir: String, tag: String): String = StatePath(dir, s"p6_$tag")
 
   private val p6 = QueryDef(
     "p6_takedown_refresh",

@@ -610,15 +610,10 @@ object SimilarityOps extends QueryGroup {
   // per-seg listing tax like d9's pre-F16 chain; compactIvfLedger
   // below is its rename-aside bin-pack. Same two-stage oracle as
   // s2/s3: candidates tap, DuckDB re-ranks.
-  private[graft] def s8LedgerPath(dir: String): String = {
-    val f = new java.io.File(dir)
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(f.getAbsolutePath.getBytes("UTF-8"))
-      .take(16).map("%02x".format(_)).mkString
+  private[graft] def s8LedgerPath(dir: String): String =
     // _p2 = the cid-partitioned committed-segment layout; _p1 (flat
     // append-only assign) ledgers are stale state, never reinterpreted
-    s"/tmp/graft_state/graft_s8_ivf_${f.getName}_${digest}_p2"
-  }
+    StatePath(dir, "s8_ivf", "_p2")
 
   private def hPath(p: String) = new org.apache.hadoop.fs.Path(p)
   private def fsOf(s: SparkSession, p: String) =
@@ -1324,16 +1319,28 @@ object SimilarityOps extends QueryGroup {
   private[graft] val tapRouteMaxN = 10000L
 
   /** Corpus size per testdata dir, memoized: the tap-arm route key is
-    * a statistic of an immutable input table, so paying a full
-    * embeddings-scan count JOB on every tapped build (r19-advice) is
-    * pure overhead at exactly the large scales the side-effect arm
-    * exists for — one count per dir per JVM amortizes it to zero.
+    * a statistic of the input table, so paying a full embeddings-scan
+    * count JOB on every tapped build (r19-advice) is pure overhead at
+    * exactly the large scales the side-effect arm exists for. The memo
+    * keys on the table's file signature (path + length + mtime — one
+    * metadata call), not the dir string alone, so a dir REGENERATED
+    * in-place in the same JVM (ScaleUp re-synthesizing /tmp/graft_sf1)
+    * re-counts instead of mis-routing the arm on a stale size
+    * (r20 review).
     */
   private val corpusCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def corpusCount(s: SparkSession, dir: String): Long =
-    corpusCounts.computeIfAbsent(dir,
+  private def corpusCount(s: SparkSession, dir: String): Long = {
+    val f = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = f.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sig =
+      try {
+        val st = fs.getFileStatus(f)
+        s"$dir|${st.getLen}|${st.getModificationTime}"
+      } catch { case _: java.io.IOException => dir }
+    corpusCounts.computeIfAbsent(sig,
       _ => java.lang.Long.valueOf(emb(s, dir).count())).longValue()
+  }
 
   private[graft] def knnGraphEdges(s: SparkSession, dir: String,
       tap: Option[String], nprobeBoost: Int = 0, k: Int = KG,
@@ -1565,13 +1572,7 @@ object SimilarityOps extends QueryGroup {
   // merge, and the final ranks are all cross-checked. The per-seg
   // candidate generation sits below the tap, gated by the
   // incremental-≡-from-scratch spec (the s8 split).
-  private[graft] def s10LedgerPath(dir: String): String = {
-    val f = new java.io.File(dir)
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(f.getAbsolutePath.getBytes("UTF-8"))
-      .take(16).map("%02x".format(_)).mkString
-    s"/tmp/graft_state/graft_s10_knn_${f.getName}_${digest}_p2"
-  }
+  private[graft] def s10LedgerPath(dir: String): String = StatePath(dir, "s10_knn", "_p2")
 
   /** Union read of the committed segments' `sub` dir, each scan pruned
     * to `cids` when given (a PartitionFilters prune — cid is every
@@ -2330,13 +2331,7 @@ object SimilarityOps extends QueryGroup {
   // hash-fails on either side. Own ledger path (tombstoning the
   // shared s10 ledger would change every other graph consumer's
   // driver-run output under their exclusion-blind oracles).
-  private[graft] def s14LedgerPath(dir: String): String = {
-    val f = new java.io.File(dir)
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(f.getAbsolutePath.getBytes("UTF-8"))
-      .take(16).map("%02x".format(_)).mkString
-    s"/tmp/graft_state/graft_s14_knn_${f.getName}_${digest}_p1"
-  }
+  private[graft] def s14LedgerPath(dir: String): String = StatePath(dir, "s14_knn", "_p1")
 
   private val s14 = QueryDef(
     "s14_knn_tombstoned",
@@ -2357,13 +2352,7 @@ object SimilarityOps extends QueryGroup {
        |SELECT qid, rank, vec_id AS neighbor_id, cosine
        |FROM granked ORDER BY qid, rank""".stripMargin))
 
-  private[graft] def s15LedgerPath(dir: String): String = {
-    val f = new java.io.File(dir)
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(f.getAbsolutePath.getBytes("UTF-8"))
-      .take(16).map("%02x".format(_)).mkString
-    s"/tmp/graft_state/graft_s15_knn_${f.getName}_${digest}_p1"
-  }
+  private[graft] def s15LedgerPath(dir: String): String = StatePath(dir, "s15_knn", "_p1")
 
   // --------------------------------------------------------------- S15q
   // The retrain migration DRIVER-ORACLED (r20, the r19 verdict #3

@@ -479,6 +479,21 @@ object StreamOps {
     * dropped by the batch join whether or not it also occupies state,
     * and an unledgered duplicate is dropped by state either way.
     *
+    * Two costs of the reorder, stated plainly (r20 review): (1) the
+    * dedup state now holds EVERY distinct arrival within the watermark
+    * horizon, not just ledger-novel ones — at a high duplicate rate
+    * that is a state-size regression vs ST6 by the duplicate fraction;
+    * an ST16-style Bloom prefilter ahead of the state is the bound if
+    * it bites. (2) the per-trigger read is unsynchronized with a LIVE
+    * takedown's per-prefix swap: a listing landing inside one swap's
+    * two-rename window can miss that prefix slice for ONE trigger
+    * (duplicates of that slice emit as novel once), and a takedown
+    * that CRASHES between its renames leaves the slice missing until
+    * the next writer entry heals it — takedowns are rare,
+    * single-writer-locked operations, so the exposure is the crash
+    * window itself; an operator runbook pairs a crashed takedown with
+    * an immediate heal (any writer entry, e.g. a no-op refresh).
+    *
     * @param docs streaming frame with `textCol` and an event-time col
     * @param ledgerPath d9/d16 hash-ledger path (re-read per trigger)
     * @param sink per-batch consumer of the novel rows (batchDF, batchId)

@@ -248,6 +248,69 @@ class LedgerTakedownSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("refreshLedger heals a torn COMPACTION swap instead of " +
+      "re-bootstrapping over it (the backup is never orphaned then " +
+      "destroyed)") {
+    // r20 review (high): with the live dir renamed aside and the
+    // promote never executed, refreshLedger's bootstrap branch would
+    // re-create the ledger from today's prior alone — losing every
+    // other standing hash — and the NEXT compaction entry would then
+    // delete the backup holding the only real copy
+    val path = tmpPath("refreshheal")
+    try {
+      val texts = (0 until 30).map(i => s"refresh heal doc $i")
+      DedupOps.refreshLedger(spark, path, hashesOf(texts))
+      val total = spark.read.parquet(path).count()
+      // simulate a compaction crash between its two renames
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path + "__compact_backup"))
+      // the daily refresh arrives with a SMALL prior — it must restore
+      // the backup and append nothing, not bootstrap a 5-hash ledger
+      DedupOps.refreshLedger(spark, path, hashesOf(texts.take(5)))
+      spark.read.parquet(path).count() shouldBe total
+      new java.io.File(path + "__compact_backup").exists() shouldBe false
+      // and a following compaction preserves everything
+      DedupOps.compactLedger(spark, path)
+      spark.read.parquet(path).count() shouldBe total
+    } finally {
+      rm(new java.io.File(path))
+      rm(new java.io.File(path + "__compact_backup"))
+    }
+  }
+
+  test("band tombstones FAIL CLOSED across a torn rewrite window: " +
+      "readers fall back to the backup set (over-remove, never " +
+      "re-expose)") {
+    val path = tmpPath("d13closed")
+    try {
+      import spark.implicits._
+      val base = "uno dos tres cuatro cinco seis siete ocho nueve diez " +
+        "once doce trece catorce quince dieciseis diecisiete"
+      val docs = batchOf(Seq((1L, base),
+        (2L, "unrelated second ledger doc with completely other words " +
+          "entirely")))
+      DedupOps.refreshNearDupLedger(spark, path, docs)
+      DedupOps.removeFromBandLedger(spark, path, Seq(1L).toDF("doc_id"))
+      // torn rewrite: live `_tombstones` renamed aside, promote never
+      // ran — a reader must see the PRE-rewrite (superset) set, not
+      // "no tombstones"
+      new java.io.File(path, "_tombstones").renameTo(
+        new java.io.File(path, "_tombstones_backup")) shouldBe true
+      DedupOps.readBandTombstones(spark, path).get
+        .collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+      val probe = graft.operators.ScratchCache.scratch(
+        DedupOps.minhashIndex(batchOf(Seq(
+          (10L, base.replace("diecisiete", "cero"))))))
+      DedupOps.nearDupProbe(probe, DedupOps.readBandLedger(spark, path))
+        .count() shouldBe 0L // still excluded through the crash window
+    } finally {
+      rm(new java.io.File(path))
+      graft.operators.ScratchCache.releaseAll()
+    }
+  }
+
   test("compactLedger heals a torn hash takedown swap BEFORE " +
       "snapshotting — the backed-up prefix slice survives compaction") {
     // the r19-advice high: compaction's scan skips underscore dirs, so
