@@ -2398,6 +2398,63 @@ object SimilarityOps extends QueryGroup {
        |SELECT qid, rank, vec_id AS neighbor_id, cosine
        |FROM granked ORDER BY qid, rank""".stripMargin))
 
+  private[graft] def s15iLedgerPath(dir: String): String =
+    StatePath(dir, "s15i_ivf", "_p2")
+
+  // s15q's IVF sibling (r20): the retrieval index takes the same
+  // takedown, retrains through `retrainIvfLedger` (cells re-keyed,
+  // tombstones applied + cleared, one-rename flip — marker-gated to
+  // run ONCE, steady-state re-runs are a novel-empty refresh + the
+  // probe), and the post-migration probe is hash-verified by the s13
+  // two-stage oracle: DuckDB exactly re-ranks the tapped nominations
+  // and its `vec_id % 17 <> 5` guard proves no reclaimed vector leaks
+  // out of the retrained index. No anti-join on the Spark side — the
+  // retrain REMOVED the rows, which is the property under test.
+  private val s15i = QueryDef(
+    "s15i_retrained_ivf",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val path = s15iLedgerPath(dir)
+      val fs = fsOf(s, path)
+      val marker = hPath(s"$path/__retrain_done")
+      if (!fs.exists(marker)) {
+        withLeaseRetry() { refreshIvfLedger(s, path,
+          e.filter(pmod(col("vec_id"), lit(8)) =!= 5)) }
+        withLeaseRetry() { refreshIvfLedger(s, path, e) }
+        withLeaseRetry() { tombstoneIds(s, path,
+          e.filter(pmod(col("vec_id"), lit(17L)) === 5L)
+            .select("vec_id")) }
+        retrainIvfLedger(s, path)
+        fs.create(marker, true).close()
+      } else
+        withLeaseRetry() { refreshIvfLedger(s, path,
+          e.filter(pmod(col("vec_id"), lit(17L)) =!= 5L)) }
+      val cand = graft.sources.VerifyTap(
+        s8Probe(s, path, e.filter(col("vec_id") < NQ)), "s15i_cand",
+        coalesce = false)
+      topKAgg(cand
+        .withColumn("cosine", cosine(col("qe"), col("embedding")))
+        .select("qid", "vec_id", "cosine"))
+    },
+    Some(s"""WITH cand AS (
+       |  SELECT qid, vec_id, qe, embedding
+       |  FROM read_parquet('${graft.sources.VerifyTap.root}/s15i_cand/*.parquet')
+       |  WHERE vec_id % 17 <> 5
+       |), scored AS (
+       |  SELECT qid, vec_id,
+       |    list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)
+       |    / ( sqrt(list_reduce(list_prepend(0.0, [(qe[i]::DOUBLE)*(qe[i]::DOUBLE) for i in range(1, len(qe)+1)]), (x,y) -> x+y))
+       |      * sqrt(list_reduce(list_prepend(0.0, [(embedding[i]::DOUBLE)*(embedding[i]::DOUBLE) for i in range(1, len(embedding)+1)]), (x,y) -> x+y)) ) AS cosine
+       |  FROM cand
+       |), ranked AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank,
+       |    cosine
+       |  FROM scored
+       |)
+       |SELECT qid, rank, vec_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin))
+
   // --------------------------------------------------------------- T25
   // (machinery for TextOps' t25_embedding_decontam — the family file
   // owns the QueryDef; the LSH internals live here with s2/s7.)
@@ -2431,5 +2488,5 @@ object SimilarityOps extends QueryGroup {
 
   override val queries: Seq[QueryDef] =
     Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s11l, s12, s13,
-      s14, s15q)
+      s14, s15q, s15i)
 }
