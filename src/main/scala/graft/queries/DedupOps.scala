@@ -2089,7 +2089,20 @@ object DedupOps extends QueryGroup {
     import graft.functions.BloomMembership
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    restoreTakedownBackups(fs, p) // heal a torn takedown swap first
+    // heal a torn COMPACTION swap BEFORE the branch decision below
+    // (r20): refreshLedgerHeld restores it too, but only after this
+    // method has already chosen the "bootstrap" branch — which would
+    // then APPEND to the restored ledger before committing the filter,
+    // inverting d16's flip-BEFORE-append crash ordering (a crash in
+    // that window leaves a grown ledger under a stale filter = false
+    // negatives). Restored here, the branch sees the data and takes
+    // the append path, whose ordering is correct.
+    val compactBackup = new org.apache.hadoop.fs.Path(
+      path + "__compact_backup")
+    if (!fs.exists(p) && fs.exists(compactBackup))
+      require(fs.rename(compactBackup, p),
+        s"could not restore $compactBackup to $path")
+    restoreTakedownBackups(fs, p) // heal a torn takedown swap too
     if (!ledgerDataExists(fs, p)) {
       refreshLedgerHeld(s, path, prior) // overwrite bootstrap clears dir
       // sketch from the just-written parquet (a column read — cheaper

@@ -280,6 +280,38 @@ class LedgerTakedownSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("refreshLedgerBloomed heals a torn COMPACTION swap on the " +
+      "APPEND path: ledger preserved, filter flipped over the novel " +
+      "hashes, superset invariant intact") {
+    val path = tmpPath("bloomheal")
+    try {
+      val texts = (0 until 25).map(i => s"bloom heal doc $i")
+      DedupOps.refreshLedgerBloomed(spark, path, hashesOf(texts))
+      val total = spark.read.parquet(path).count()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path + "__compact_backup"))
+      // the next bloomed refresh carries NOVEL hashes: it must restore
+      // the backup and take the append arm (filter flips BEFORE the
+      // append — the d16 crash ordering), not re-bootstrap from prior
+      DedupOps.refreshLedgerBloomed(spark, path,
+        hashesOf(texts.take(3) ++ Seq("bloom heal novel doc")))
+      spark.read.parquet(path).count() shouldBe total + 1
+      new java.io.File(path + "__compact_backup").exists() shouldBe false
+      // superset invariant over the restored+grown ledger
+      val bloom = DedupOps.readBloom(spark, path)
+      bloom shouldBe defined
+      spark.read.parquet(path)
+        .filter(!graft.functions.BloomMembership.mightContain(
+          bloom.get, xxhash64(col("content_hash"))))
+        .count() shouldBe 0L
+    } finally {
+      rm(new java.io.File(path))
+      rm(new java.io.File(path + "__compact_backup"))
+    }
+  }
+
   test("band tombstones FAIL CLOSED across a torn rewrite window: " +
       "readers fall back to the backup set (over-remove, never " +
       "re-expose)") {
