@@ -49,24 +49,87 @@ object ConnectedComponents {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = nodes.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    // one checkpoint flavor per run: reliable when a dir is configured
-    def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val sym = save(edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val reliable = checkpointDir.isDefined
+    // Round materialization (r21): checkpoints are LAZY and the
+    // convergence count is the materializing action — one job per round
+    // answers both "materialize this round" and "did anything change",
+    // where the r20 shape paid TWO jobs per round (an eager
+    // localCheckpoint plus an isEmpty scan). Block format is unchanged
+    // (local/reliable checkpoint blocks, not the columnar SQL cache —
+    // an A/B of a persist()-based round was 1.3-2× SLOWER at sf0.1:
+    // per-round InMemoryRelation build + columnar decode on the three
+    // label scans each round costs more than it saves). The rebase to
+    // fresh attribute ids (so the next round's union/join of this frame
+    // with its own derivatives can't trip Catalyst's duplicate-attribute
+    // constraint rewriting) now rides the internal-row path
+    // ([[org.apache.spark.sql.GraftBridge.rebase]]) instead of
+    // `createDataFrame(df.rdd, schema)`, which deserialized every label
+    // row to an external Row and re-encoded it each round.
+    // Returns (rebased labels, change count, release handle).
+    def roundSave(df: DataFrame): (DataFrame, Long, () => Unit) = {
+      val ck = if (reliable) df.checkpoint(eager = false)
+        else df.localCheckpoint(eager = false)
+      val rdd = org.apache.spark.sql.GraftBridge.materializedRdd(ck)
+        .getOrElse(throw new IllegalStateException(
+          "checkpointed round is not LogicalRDD-backed"))
+        .asInstanceOf[org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow]]
+      // the change tally runs at the RDD level, directly on the rows
+      // the checkpoint action is materializing — no SQL aggregate, no
+      // exchange, no second scan. chg is ordinal 2 of (id, component,
+      // chg); a NULL chg is impossible by the one-labels-row-per-id
+      // invariant, but is counted as unchanged exactly as the r20
+      // filter(col("chg")) did.
+      val n = rdd.mapPartitions { it =>
+        var c = 0L
+        it.foreach(r => if (!r.isNullAt(2) && r.getBoolean(2)) c += 1)
+        Iterator.single(c)
+      }.collect().sum
+      (org.apache.spark.sql.GraftBridge.rebase(ck), n,
+        () => rdd.unpersist(blocking = false))
+    }
+    // sym is consumed every round, so it must be materialized — but
+    // LAZILY: round 0's job materializes it, saving a separate job.
+    val sym =
+      (if (reliable)
+        edges.select(col("src"), col("dst"))
+          .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+          .checkpoint(eager = false)
+      else
+        edges.select(col("src"), col("dst"))
+          .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint(eager = false))
 
     // Fused round 0 over edge nodes only: component = min(id, neighbors)
     // — exactly the first pull from identity labels, for one groupBy.
-    var labels = save(sym.groupBy(col("src"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("src").as("id"),
-        least(col("src"), col("mn")).as("component")))
-    // the materialized blocks behind the CURRENT round — freed once the
-    // next round materializes. Without this every round's label table
-    // stays persisted until the query ends: harmless at test SF, but a
+    // Also lazy; its materializing count() is the job that computes sym.
+    val labels0 = (if (reliable)
+      sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("id"),
+          least(col("src"), col("mn")).as("component"))
+        .checkpoint(eager = false)
+    else
+      sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("id"),
+          least(col("src"), col("mn")).as("component"))
+        .localCheckpoint(eager = false))
+    // one RDD-level job materializes round 0 AND sym (the count runs on
+    // the checkpointing RDD itself — no SQL aggregate plan on top)
+    val labels0Rdd = org.apache.spark.sql.GraftBridge
+      .materializedRdd(labels0)
+      .getOrElse(throw new IllegalStateException(
+        "checkpointed round-0 labels are not LogicalRDD-backed"))
+    labels0Rdd.count()
+    var labels = org.apache.spark.sql.GraftBridge.rebase(labels0)
+    // the release handle for the CURRENT round — freed once the next
+    // round materializes. Without this every round's label table stays
+    // persisted until the query ends: harmless at test SF, but a
     // 20-round CC over a 100 TB-derived edge set holds 20 copies of the
     // label table in executor storage. Bounded to O(1) rounds here.
-    var liveRound = org.apache.spark.sql.GraftBridge.materializedRdd(labels)
+    var releaseRound: () => Unit =
+      () => labels0Rdd.unpersist(blocking = false)
 
     var converged = false
     var iter = 0
@@ -86,21 +149,17 @@ object ConnectedComponents {
       // pointer jump: label(x) ← min(label(x), label(label(x))).
       // Every component value is the id of some edge node, so the inner
       // self-join covers all rows.
-      val jumpedRaw = save(pulled.as("x")
+      val (jumped, nChg, release) = roundSave(pulled.as("x")
         .join(pulled.as("p"), col("x.component") === col("p.id"))
         .select(col("x.id").as("id"),
           least(col("x.component"), col("p.component")).as("component"),
           (least(col("x.component"), col("p.component")) =!= col("x.old"))
             .as("chg")))
-      // rebase on the materialized RDD: fresh attribute ids, so the next
-      // round's union/join of this frame with its own derivatives can't
-      // trip Catalyst's duplicate-attribute constraint rewriting
-      val jumped = spark.createDataFrame(jumpedRaw.rdd, jumpedRaw.schema)
-      converged = jumped.filter(col("chg")).isEmpty
-      // this round is materialized (save is eager) and the convergence
-      // check has run — the previous round's blocks are now dead
-      liveRound.foreach(_.unpersist(blocking = false))
-      liveRound = org.apache.spark.sql.GraftBridge.materializedRdd(jumpedRaw)
+      converged = nChg == 0L
+      // this round is materialized and the convergence check has run —
+      // the previous round's blocks are now dead
+      releaseRound()
+      releaseRound = release
       labels = jumped.select("id", "component")
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
@@ -109,6 +168,10 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds")
+    // the per-round edge table is dead once the loop exits (the final
+    // join reads labels only)
+    org.apache.spark.sql.GraftBridge.materializedRdd(sym)
+      .foreach(_.unpersist(blocking = false))
     // singletons (and any node absent from the edge set) label themselves
     nodes.join(labels, Seq("id"), "left")
       .select(nodes("id"),

@@ -26,6 +26,18 @@ object GraftBridge {
       case _ => None
     }
 
+  /** Rebase a frame onto its own execution output as a fresh
+    * `LogicalRDD` leaf — fresh attribute ids (iterative self-join
+    * safety, the ConnectedComponents rebase) WITHOUT the
+    * `createDataFrame(df.rdd, schema)` round-trip, which deserializes
+    * every row to an external `Row` and re-encodes it. The internal-row
+    * RDD evaluates lazily: on a persisted frame it reads the cached
+    * blocks (`InMemoryTableScan`), so rebasing costs no job of its own.
+    */
+  def rebase(df: Dataset[_]): DataFrame =
+    df.sparkSession.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
+
   /** The optimizer's size-in-bytes estimate for a frame — the same
     * statistic the planner itself consults when auto-selecting a
     * broadcast join. Lets operators gate an explicit `broadcast()` hint
