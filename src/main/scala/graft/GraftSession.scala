@@ -16,8 +16,14 @@ object GraftSession {
     *    SF; on a real cluster executors have the memory for 64 MB dims).
     *  - Partition sizing: 128 MB scan splits — the parquet sweet spot.
     */
-  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = {
+    // Dev/experiment escape hatch: SPARK_GRAFT_CONF="k=v;k=v" lays extra
+    // confs over the profile (A/B runs without a rebuild). Unset in
+    // driver runs — the committed profile below is what ships.
+    val extra = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains('='))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val base = b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // Big shuffles must not be capped at the steady-state partition
@@ -56,6 +62,8 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    extra.foldLeft(base) { case (bb, (k, v)) => bb.config(k, v) }
+  }
 
   /** Local session with the profile applied (used by Bench/Verify). */
   def local(cores: Int, appName: String = "graft"): SparkSession = {

@@ -23,6 +23,19 @@ object LedgerScaleBench {
     if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
   }
 
+  /** Fresh throwaway state path: removes the dir AND the lock/staging
+    * SIBLINGS a previously crashed run leaves behind (path +
+    * "__takedown_lock" etc.), which would otherwise wedge the next run
+    * on the single-writer refusal until deleted by hand (ADVICE r20).
+    * Safe: the bench owns these throwaway paths.
+    */
+  private def freshPath(path: String): Unit = {
+    rm(new java.io.File(path))
+    Seq("__takedown_lock", "__refresh_lock", "__append_lock",
+      "__compact_lock", "__compact_staging", "__compact_backup")
+      .foreach(s => rm(new java.io.File(path + s)))
+  }
+
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("compact")) { compactScenario(small); return }
@@ -237,7 +250,7 @@ object LedgerScaleBench {
       val e = Tables.load(spark, dir, "embeddings")
         .select("vec_id", "embedding")
       val path = s"/tmp/graft_state/graft_bench_retrainknn_$tag"
-      rm(new java.io.File(path))
+      freshPath(path)
       // the s10/s14 two-day shape: bootstrap on 7/8ths, append the rest
       SimilarityOps.refreshKnnLedger(spark, path,
         e.filter(pmod(col("vec_id"), lit(8)) =!= 5))
@@ -282,7 +295,7 @@ object LedgerScaleBench {
       // exactly that)
       def fresh(sub: String): String = {
         val path = s"/tmp/graft_state/graft_bench_s14rep_${tag}_$sub"
-        rm(new java.io.File(path))
+        freshPath(path)
         SimilarityOps.refreshKnnLedger(spark, path,
           e.filter(pmod(col("vec_id"), lit(8)) =!= 5))
         SimilarityOps.refreshKnnLedger(spark, path, e)
@@ -328,7 +341,7 @@ object LedgerScaleBench {
       val prior = Tables.load(spark, dir, "documents")
         .filter(col("source") =!= "src0").select("doc_id", "text")
       val path = s"/tmp/graft_state/graft_bench_bandtd_$tag"
-      rm(new java.io.File(path))
+      freshPath(path)
       DedupOps.refreshNearDupLedger(spark, path, prior)
       path
     }
@@ -372,8 +385,6 @@ object LedgerScaleBench {
   private def s10Scenario(small: String, big: String): Unit = {
     val spark = GraftSession.local(32, "graft-s10-ledger-scale")
     import graft.queries.SimilarityOps
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
     // fresh standing ledgers (bootstrap untimed — the one-time s9-cost
     // build; the number at stake is the DAILY append)
     def ledgerOf(dir: String, slim: Boolean = false): String = {
@@ -385,11 +396,7 @@ object LedgerScaleBench {
       // any later driver verify at this SF)
       val path = SimilarityOps.s10LedgerPath(dir) + "_growthbench" +
         (if (slim) "_slim" else "")
-      rm(new java.io.File(path))
-      // a previously crashed bench leaves lock SIBLINGS (outside the
-      // dir rm just removed) that would wedge this fresh build
-      Seq("__append_lock", "__compact_lock", "__compact_staging",
-        "__compact_backup").foreach(s => rm(new java.io.File(path + s)))
+      freshPath(path) // dir + crashed-run lock/staging siblings
       SimilarityOps.refreshKnnLedger(spark, path, e, slimProbes = slim)
       path
     }

@@ -1336,10 +1336,15 @@ object SimilarityOps extends QueryGroup {
     val sig =
       try {
         val st = fs.getFileStatus(f)
-        s"$dir|${st.getLen}|${st.getModificationTime}"
-      } catch { case _: java.io.IOException => dir }
-    corpusCounts.computeIfAbsent(sig,
-      _ => java.lang.Long.valueOf(emb(s, dir).count())).longValue()
+        Some(s"$dir|${st.getLen}|${st.getModificationTime}")
+      } catch { case _: java.io.IOException => None }
+    // No signature (transient getFileStatus failure, or a layout whose
+    // top-level name differs) → count uncached: memoizing under the
+    // dir-only key would permanently pin a stale count for a dir
+    // regenerated in place — the exact mis-routing the signature exists
+    // to prevent (r21, ADVICE r20).
+    sig.fold(emb(s, dir).count())(k => corpusCounts.computeIfAbsent(k,
+      _ => java.lang.Long.valueOf(emb(s, dir).count())).longValue())
   }
 
   private[graft] def knnGraphEdges(s: SparkSession, dir: String,

@@ -493,6 +493,12 @@ object StreamOps {
     * single-writer-locked operations, so the exposure is the crash
     * window itself; an operator runbook pairs a crashed takedown with
     * an immediate heal (any writer entry, e.g. a no-op refresh).
+    * (3) the freshness contract costs a full ledger-hash re-read AND
+    * re-broadcast EVERY micro-batch (vs ST6's pinned broadcast built
+    * once at start) — it grows with ledger size, 32 B/doc, and is the
+    * scaling cost of no-restart pickup; for ledgers too large to
+    * broadcast per trigger, the escape hatch is d9's prefix-pruned
+    * join (read only the batch's hash-prefix slices, the d16 plan).
     *
     * @param docs streaming frame with `textCol` and an event-time col
     * @param ledgerPath d9/d16 hash-ledger path (re-read per trigger)
