@@ -28,13 +28,19 @@ object AbBench {
     }
     names.foreach { name =>
       def once(v: String): Double = {
-        sys.props(prop) = v
+        // "spark.*" props toggle the RUNTIME session conf; anything
+        // else is a JVM system property read at query construction
+        if (prop.startsWith("spark.")) spark.conf.set(prop, v)
+        else sys.props(prop) = v
         try {
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
-        } finally { sys.props.remove(prop); clear() }
+        } finally {
+          if (!prop.startsWith("spark.")) sys.props.remove(prop)
+          clear()
+        }
       }
       once(valA); once(valB) // warm both arms (codegen differs per arm)
       val samples = (1 to reps).flatMap { _ =>

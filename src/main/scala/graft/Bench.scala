@@ -28,9 +28,16 @@ object Bench {
   private[graft] val churnQueries =
     Set("d15_semantic_keep", "d15l_semantic_keep_ledger")
 
+  /** @return Right((min seconds, every timed sample in run order)) —
+    * the min is the recorded number (unchanged methodology); the full
+    * sample list goes into the BENCH_FULL artifact so hot-window drift
+    * (BASELINE §noise: same-code totals 150.6 vs 171.5 s two hours
+    * apart in r20) is attributable from the artifact alone, without
+    * narrative (r21, VERDICT-r20 #6).
+    */
   private[graft] def benchOne(spark: SparkSession, name: String,
       fn: (SparkSession, String) => DataFrame,
-      sfDir: String): Either[String, Double] = {
+      sfDir: String): Either[String, (Double, Seq[Double])] = {
     def once(): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // drop cached/checkpointed blocks between runs — queries must not
@@ -43,10 +50,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
     def timed(): Either[String, Double] = {
       clear()
       val t0 = System.nanoTime()
-      try { once(); Right((System.nanoTime() - t0) / 1e9) }
+      try {
+        once()
+        val s = (System.nanoTime() - t0) / 1e9
+        samples += s
+        Right(s)
+      }
       catch { case e: Throwable =>
         Left(s"${e.getClass.getName}: ${e.getMessage}") }
     }
@@ -59,7 +72,7 @@ object Bench {
             timed().map(math.min(m, _)) else Right(m)
           g <- if (churnQueries(name))
             timed().map(math.min(f, _)) else Right(f)
-        } yield g
+        } yield (g, samples.toSeq)
       } catch { case e: Throwable =>
         Left(s"${e.getClass.getName}: ${e.getMessage}") }
     clear()
@@ -67,10 +80,12 @@ object Bench {
     out
   }
 
-  /** @return (successful name→seconds in input order, name→error) */
+  /** @return (successful name→(min seconds, samples) in input order,
+    *         name→error) */
   private[graft] def run(spark: SparkSession,
       queries: Seq[(String, (SparkSession, String) => DataFrame)],
-      sfDir: String): (Seq[(String, Double)], Seq[(String, String)]) = {
+      sfDir: String)
+      : (Seq[(String, (Double, Seq[Double]))], Seq[(String, String)]) = {
     val results = queries.map { case (name, fn) =>
       name -> benchOne(spark, name, fn, sfDir)
     }
@@ -105,22 +120,30 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = times.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, m) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = times.map(_._2).sum
+    val total = times.map(_._2._1).sum
     // total repeated at the END: the driver archives a tail-truncated
     // copy of this line, which can cut the leading "value" field
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","total_sec":$total}"""
     println(line)
     // the driver caps the archived stdout tail at 2,000 chars, which has
     // destroyed the per-query dict two rounds running — persist the full
-    // line to durable files too (repo copy gets committed as evidence)
+    // line to durable files too (repo copy gets committed as evidence).
+    // The FILE copies additionally carry every timed sample per query
+    // ("samples", run order), so same-code window drift is attributable
+    // from the artifact alone (r21, VERDICT-r20 #6); the printed line
+    // stays sample-free — the driver's archived tail is char-capped.
+    val ss = times.map { case (k, (_, sm)) =>
+      "\"" + k + "\":[" + sm.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","samples":$ss}"""
     for (p <- Seq("/tmp/graft_bench.json", "/root/repo/BENCH_FULL.json")) {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(p),
-          (line + "\n").getBytes("UTF-8"))
+          (fileLine + "\n").getBytes("UTF-8"))
       } catch { case e: Exception =>
         System.err.println(s"[bench] could not write $p: ${e.getMessage}")
       }

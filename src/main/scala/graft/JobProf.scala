@@ -74,12 +74,26 @@ object JobProf {
       jobs.synchronized { jobs.clear(); stageToJob.clear() }
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      once()
-      val sec = (System.nanoTime() - t0) / 1e9
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val tBuild = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t1 = System.nanoTime()
+      val sec = (t1 - t0) / 1e9
       spark.sparkContext.removeSparkListener(listener)
       // listener bus is async; give it a moment to drain
       Thread.sleep(500)
-      println(f"[jobprof] ===== $name total $sec%.2f s, ${jobs.size} jobs =====")
+      // build = query construction (may run eager sub-jobs, e.g. CC);
+      // gap = action wall minus the union of job intervals — driver-side
+      // planning/codegen/commit time between jobs (guide §7.3)
+      val intervals = jobs.synchronized {
+        jobs.values.map(j => (j.t0, j.t1)).filter(_._2 > 0).toSeq.sorted }
+      val covered = intervals.foldLeft((0L, 0L)) {
+        case ((sum, hi), (a, b)) =>
+          (sum + math.max(0L, b - math.max(a, hi)), math.max(hi, b))
+      }._1 / 1e3
+      println(f"[jobprof] ===== $name total $sec%.2f s " +
+        f"(build ${(tBuild - t0) / 1e9}%.2f, action ${(t1 - tBuild) / 1e9}%.2f, " +
+        f"jobs-covered $covered%.2f), ${jobs.size} jobs =====")
       def mb(b: Long): String = f"${b / 1024.0 / 1024.0}%.1f"
       jobs.synchronized {
         jobs.values.foreach { j =>

@@ -736,25 +736,49 @@ object PipelineOps extends QueryGroup {
       val d = Tables.load(s, dir, "documents")
       val prior = d.filter(col("source") =!= "src2")
       val reclaimed = prior.filter(pmod(col("doc_id"), lit(13L)) === 4L)
-      // stage 1: TAKEDOWNS on all three ledger families
+      // stage 1: TAKEDOWNS on all three ledger families. The families
+      // write DISJOINT state paths under their own writer locks, so
+      // the three chains run CONCURRENTLY from a small driver pool
+      // (guide §2.6: overlap independent jobs — each chain's stages
+      // leave most of the cluster idle, and FIFO scheduling back-fills
+      // the gaps; order WITHIN a family is preserved). Failures
+      // propagate: Await rethrows the first chain exception.
       val hashPath = p6Path(dir, "hash")
-      DedupOps.refreshLedger(s, hashPath,
-        prior.select(md5(col("text")).as("content_hash")).distinct())
-      DedupOps.removeFromHashLedger(s, hashPath,
-        reclaimed.select(md5(col("text")).as("content_hash")).distinct())
       val bandPath = p6Path(dir, "band")
-      DedupOps.refreshNearDupLedger(s, bandPath,
-        prior.select("doc_id", "text"))
-      DedupOps.removeFromBandLedger(s, bandPath,
-        reclaimed.select("doc_id"))
+      val gPath = p6Path(dir, "graph")
       val e = Tables.load(s, dir, "embeddings")
         .select("vec_id", "embedding")
-      val gPath = p6Path(dir, "graph")
-      withLeaseRetry() { SimilarityOps.refreshKnnLedger(s, gPath,
-        e.filter(pmod(col("vec_id"), lit(8)) =!= 5)) }
-      withLeaseRetry() { SimilarityOps.refreshKnnLedger(s, gPath, e) }
-      withLeaseRetry() { SimilarityOps.tombstoneIds(s, gPath,
-        e.filter(pmod(col("vec_id"), lit(13L)) === 4L).select("vec_id")) }
+      // pool size 1 serializes the chains — dev A/B toggle only
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        if (sys.props.get("graft.p6.par").contains("0")) 1 else 3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      try {
+        Await.result(Future.sequence(Seq(
+          Future {
+            s.sparkContext.setJobDescription("p6: hash-ledger takedown")
+            DedupOps.refreshLedger(s, hashPath,
+              prior.select(md5(col("text")).as("content_hash")).distinct())
+            DedupOps.removeFromHashLedger(s, hashPath,
+              reclaimed.select(md5(col("text")).as("content_hash")).distinct())
+          },
+          Future {
+            s.sparkContext.setJobDescription("p6: band-ledger takedown")
+            DedupOps.refreshNearDupLedger(s, bandPath,
+              prior.select("doc_id", "text"))
+            DedupOps.removeFromBandLedger(s, bandPath,
+              reclaimed.select("doc_id"))
+          },
+          Future {
+            s.sparkContext.setJobDescription("p6: graph-ledger takedown")
+            withLeaseRetry() { SimilarityOps.refreshKnnLedger(s, gPath,
+              e.filter(pmod(col("vec_id"), lit(8)) =!= 5)) }
+            withLeaseRetry() { SimilarityOps.refreshKnnLedger(s, gPath, e) }
+            withLeaseRetry() { SimilarityOps.tombstoneIds(s, gPath,
+              e.filter(pmod(col("vec_id"), lit(13L)) === 4L).select("vec_id")) }
+          })), scala.concurrent.duration.Duration.Inf)
+      } finally { pool.shutdown() }
       // stage 2: RE-INGEST against the shrunk hash ledger — reclaimed
       // content re-admits as novel (the d17 contract)
       val batch = d.filter(col("source") === "src2")

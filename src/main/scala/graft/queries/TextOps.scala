@@ -844,8 +844,13 @@ object TextOps extends QueryGroup {
     (s, dir) => {
       val d = docs(s, dir)
       val nDocs = d.agg(count(lit(1)).as("n_docs"))
-      val tf = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      // pinned (r21): tf feeds both the df aggregate and the scoring
+      // join — unpinned, the corpus explode ran twice. Token-grain, so
+      // the scratch is corpus-sized: DISK_ONLY by ScratchCache's
+      // design, the same trade as the d2/d3 shingle tables
+      val tf = graft.operators.ScratchCache.scratch(
+        d.select(col("doc_id"), explode(words(col("text"))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
       val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val scored = tf.join(dfT, "w").crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("w"), col("tf"), col("df"),
@@ -977,9 +982,13 @@ object TextOps extends QueryGroup {
   private val t19 = QueryDef(
     "t19_source_drift",
     (s, dir) => {
-      val freq = docs(s, dir)
+      // pinned (r21): freq is consumed three ways (norms, both sides of
+      // the dots self-join) — unpinned, each consumption re-runs the
+      // corpus explode; the table itself is vocabulary × sources
+      // bounded, a model-sized scratch at any corpus size
+      val freq = graft.operators.ScratchCache.scratch(docs(s, dir)
         .select(col("source"), explode(words(col("text"))).as("w"))
-        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c")))
       val norms = freq.groupBy("source")
         .agg(sum(col("c") * col("c")).as("nn"))
       val dots = freq.as("a").join(freq.as("b"),
@@ -1182,9 +1191,19 @@ object TextOps extends QueryGroup {
   private[graft] def nbTrain(train: DataFrame): NbModel = {
     val tw = train.select(col("source"),
       explode(words(col("text"))).as("w"))
-    val cnt = tw.groupBy("source", "w").agg(count(lit(1)).as("c"))
-    val tokc = tw.groupBy("source").agg(count(lit(1)).as("tok_c"))
-    val vocabN = tw.agg(count_distinct(col("w")).as("V"))
+    // ONE corpus-explode pass (r21): tok_c, V and the vocab set are all
+    // derivable from the (source, w) count table — tok_c = Σc per
+    // source, V = distinct w, vocab = distinct w — so the train corpus
+    // is exploded once instead of four times (the r21 plan capture
+    // showed four separate scan+Generate subtrees feeding one model).
+    // cnt is VOCABULARY × CLASSES bounded (the t13/t5 model-vs-data
+    // discipline), so pinning it is a model-sized scratch at any corpus
+    // size, and each derived aggregate is exactly equal to its
+    // corpus-pass original: same groups, same counts.
+    val cnt = graft.operators.ScratchCache.scratch(
+      tw.groupBy("source", "w").agg(count(lit(1)).as("c")))
+    val tokc = cnt.groupBy("source").agg(sum(col("c")).as("tok_c"))
+    val vocabN = cnt.agg(count_distinct(col("w")).as("V"))
     val classes = train.groupBy("source").agg(count(lit(1)).as("n_c"))
     val total = train.agg(count(lit(1)).as("n"))
     val priors = classes.crossJoin(broadcast(total))
@@ -1198,7 +1217,7 @@ object TextOps extends QueryGroup {
       .select(col("source").as("cls"),
         log((col("tok_c") + col("V")).cast("double"))
           .cast(DecimalType(18, 9)).as("lbase"))
-    NbModel(model, base, priors, tw.select("w").distinct())
+    NbModel(model, base, priors, cnt.select("w").distinct())
   }
 
   /** Classify (doc_id, source, text) rows against a trained model.
