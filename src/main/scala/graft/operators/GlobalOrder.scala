@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.LongType
 
 /** Exact global ranking without `Window.orderBy(...)` over no partition
@@ -31,18 +31,18 @@ import org.apache.spark.sql.types.LongType
   */
 object GlobalOrder {
 
-  /** Append 1-based global rank by `sortCols` as column `outCol`. */
+  /** Append 1-based global rank by `sortCols` as column `outCol`.
+    * The index rides the INTERNAL row stream (r21 —
+    * [[org.apache.spark.sql.GraftBridge.zipWithGlobalIndex]]): the old
+    * `.rdd.zipWithIndex` + `createDataFrame` route deserialized every
+    * ranked row to an external `Row` and re-encoded it, a per-row codec
+    * pass paid by every rank/mixture/budget/shard query in the suite.
+    */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
-      outCol: String = "rank"): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(indexed,
-      sorted.schema.add(outCol, LongType, nullable = false))
-  }
+      outCol: String = "rank"): DataFrame =
+    org.apache.spark.sql.GraftBridge.zipWithGlobalIndex(
+      df.repartitionByRange(sortCols: _*)
+        .sortWithinPartitions(sortCols: _*), outCol)
 
   /** Append a per-GROUP 1-based rank by `sortCols` within each distinct
     * value of `groupCols` (as `rankCol`), plus the group's row count
@@ -99,7 +99,9 @@ object GlobalOrder {
     val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
-    val rdd = sorted.rdd
+    // INTERNAL row stream (r21, same rationale as withGlobalRank): the
+    // external `.rdd` route decoded and re-encoded every row
+    val rdd = org.apache.spark.sql.GraftBridge.internalRdd(sorted)
     // job 1: one long per partition (the shuffle files are then reused)
     val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
@@ -108,15 +110,21 @@ object GlobalOrder {
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = sum before pid
     val bcast = spark.sparkContext.broadcast(offsets)
-    // job 2: partition-local running sum + broadcast offset
+    // job 2: partition-local running sum + broadcast offset (streaming
+    // map — the reused scan row is consumed before the next arrives)
     val summed = rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = bcast.value(pid)
+      val extra =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       it.map { r =>
         run += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq :+ run)
+        extra.update(0, run)
+        joined(r, extra)
+          : org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(summed,
+    org.apache.spark.sql.GraftBridge.internalFrame(spark, summed,
       sorted.schema.add(outCol, LongType, nullable = false))
   }
 }

@@ -417,17 +417,29 @@ object DedupOps extends QueryGroup {
     "d5_dedup_embedding",
     (s, dir) => {
       // norms are computed ONCE per row before the pair join, so each of
-      // the O(n²) candidate pairs costs a single native-codegen dot
+      // the O(n²) candidate pairs costs a single native-codegen dot.
+      // r21, two loop-level fixes from the plan capture:
+      //  - the STREAM side is repartitioned to the default parallelism:
+      //    a single-row-group embeddings file is one scan split, which
+      //    ran the whole n² nested loop on ONE task (the shuffle moves
+      //    n rows; the loop does n² work — always worth it here);
+      //  - the id predicate is stated INSIDE the join condition ahead
+      //    of the cosine bound, so the generated loop short-circuits on
+      //    8-byte compares and pays the 64-dim dot for only the i<j
+      //    half (the pushed-filter order evaluated the dot first).
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           VectorFunctions.norm(col("embedding")).as("nrm"))
-      val pairs = e.as("a").join(broadcast(e.as("b")),
-        col("a.vec_id") < col("b.vec_id"))
+      val stream = e.repartition(
+        s.sparkContext.defaultParallelism, col("vec_id"))
+      val pairs = stream.as("a").join(broadcast(e.as("b")),
+        col("a.vec_id") < col("b.vec_id") &&
+          (VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))) >= cosT)
       pairs
         .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
           (VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
             (col("a.nrm") * col("b.nrm"))).as("cosine"))
-        .filter(col("cosine") >= cosT)
         .orderBy("i", "j")
     },
     Some(s"""WITH n AS (
