@@ -23,6 +23,12 @@ object GraftSession {
     val extra = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.contains('='))
       .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    // a non-committed conf profile must be VISIBLE in any recorded
+    // evidence (ADVICE r21): echo the overlay so a lingering env var
+    // cannot silently shift bench/verify numbers
+    if (extra.nonEmpty) System.err.println(
+      s"[graft] SPARK_GRAFT_CONF overrides active: " +
+        extra.map { case (k, v) => s"$k=$v" }.mkString(";"))
     val base = b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

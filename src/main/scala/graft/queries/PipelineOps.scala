@@ -754,8 +754,20 @@ object PipelineOps extends QueryGroup {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       import scala.concurrent.{Await, Future}
+      // failures SETTLE before they propagate (ADVICE r21): Future
+      // .sequence fails fast, which would leave the surviving chains
+      // writing ledger state in the background while the caller (and
+      // the bench harness's clear()) races them — so every chain runs
+      // to completion first, then the first failure is rethrown
+      def settled[A](fs: Seq[Future[A]])(
+          implicit ec: scala.concurrent.ExecutionContext): Future[Seq[A]] =
+        Future.sequence(fs.map(_.transform(scala.util.Success(_))))
+          .map { results =>
+            results.collectFirst { case scala.util.Failure(e) => throw e }
+            results.map(_.get)
+          }
       try {
-        Await.result(Future.sequence(Seq(
+        Await.result(settled(Seq(
           Future {
             s.sparkContext.setJobDescription("p6: hash-ledger takedown")
             DedupOps.refreshLedger(s, hashPath,

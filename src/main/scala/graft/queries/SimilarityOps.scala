@@ -1913,9 +1913,11 @@ object SimilarityOps extends QueryGroup {
     else {
       // rebase derivatives on materialized RDDs before re-meeting
       // `purged` in joins/unions (the nnDescentRound discipline —
-      // duplicate-attribute arms trip Catalyst's constraint rewrite)
+      // duplicate-attribute arms trip Catalyst's constraint rewrite);
+      // internal-row rebase, not createDataFrame(df.rdd) — no per-row
+      // external-Row codec pass (r22)
       def fresh(df: DataFrame): DataFrame =
-        s.createDataFrame(df.rdd, df.schema)
+        org.apache.spark.sql.GraftBridge.rebase(df)
       val affected = segs
         .map(k => s.read.parquet(s"$path/edges/seg-$k"))
         .reduce(_ unionByName _)
@@ -2067,10 +2069,12 @@ object SimilarityOps extends QueryGroup {
     // every frame below descends from `base`, so unions of a frame
     // with its own derivative re-meet the same attribute ids — the
     // duplicate-attribute constraint-rewrite trap ConnectedComponents
-    // documents; rebasing on the materialized RDD mints fresh ids
-    // (frames here are output-sized, so the RDD boundary is free)
+    // documents; rebasing on the INTERNAL row stream mints fresh ids
+    // without the external-Row decode/re-encode the old
+    // `createDataFrame(df.rdd, schema)` route paid per row (r22, the
+    // same swap CC and GlobalOrder made in r21)
     def fresh(df: DataFrame): DataFrame =
-      s.createDataFrame(df.rdd, df.schema)
+      org.apache.spark.sql.GraftBridge.rebase(df)
     // (1) bounded symmetric adjacency
     val rev = fresh(topKAgg(base.select(col("vec_id").as("qid"),
         col("qid").as("vec_id"), col("cosine")), workK, ordered = false)

@@ -844,11 +844,13 @@ object TextOps extends QueryGroup {
     (s, dir) => {
       val d = docs(s, dir)
       val nDocs = d.agg(count(lit(1)).as("n_docs"))
-      // pinned (r21): tf feeds both the df aggregate and the scoring
-      // join — unpinned, the corpus explode ran twice. Token-grain, so
-      // the scratch is corpus-sized: DISK_ONLY by ScratchCache's
-      // design, the same trade as the d2/d3 shingle tables
-      val tf = graft.operators.ScratchCache.scratch(
+      // pinned (r21) WHEN LARGE (r22): tf feeds both the df aggregate
+      // and the scoring join — unpinned, the corpus explode runs twice.
+      // Token-grain, so the scratch is corpus-sized (DISK_ONLY), but
+      // the pin is an optimization, not a barrier: below the size gate
+      // the second explode is cheaper than the disk round-trip (the
+      // unconditional r21 pin measured 0.65 → 0.89 s at sf0.1)
+      val tf = graft.operators.ScratchCache.scratchGated(
         d.select(col("doc_id"), explode(words(col("text"))).as("w"))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
       val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
@@ -982,11 +984,15 @@ object TextOps extends QueryGroup {
   private val t19 = QueryDef(
     "t19_source_drift",
     (s, dir) => {
-      // pinned (r21): freq is consumed three ways (norms, both sides of
-      // the dots self-join) — unpinned, each consumption re-runs the
-      // corpus explode; the table itself is vocabulary × sources
-      // bounded, a model-sized scratch at any corpus size
-      val freq = graft.operators.ScratchCache.scratch(docs(s, dir)
+      // pinned (r21) WHEN LARGE, memory-first (r22): freq is consumed
+      // three ways (norms, both sides of the dots self-join) —
+      // unpinned, each consumption re-runs the corpus explode. The
+      // table itself is vocabulary × sources bounded — MODEL-sized at
+      // any corpus size — so it takes the model level
+      // (MEMORY_AND_DISK), and below the size gate it is not pinned at
+      // all (the r21 unconditional DISK_ONLY pin was 2.3× slower than
+      // recompute at sf0.1: disk round-trips on a tiny table)
+      val freq = graft.operators.ScratchCache.scratchModel(docs(s, dir)
         .select(col("source"), explode(words(col("text"))).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("c")))
       val norms = freq.groupBy("source")
@@ -1175,14 +1181,23 @@ object TextOps extends QueryGroup {
     * vocabulary. Shared by batch t21 and the ST13 streaming face.
     */
   private[graft] final case class NbModel(model: DataFrame,
-      base: DataFrame, priors: DataFrame, vocab: DataFrame) {
+      base: DataFrame, priors: DataFrame, vocab: DataFrame,
+      releaseScratch: () => Unit = () => ()) {
     /** Eagerly pin every frame ([[org.apache.spark.sql.Dataset
       * localCheckpoint]]) — the streaming face re-plans per
       * micro-batch and must not re-run training each trigger.
+      * The checkpoints materialize every derived frame, so the
+      * training scratch (nbTrain's cnt pin) is dead afterwards and is
+      * released here — a long-running stream must not hold a persisted
+      * training table for its whole life (ADVICE r21).
       */
-    def pinned: NbModel = NbModel(model.localCheckpoint(),
-      base.localCheckpoint(), priors.localCheckpoint(),
-      vocab.localCheckpoint())
+    def pinned: NbModel = {
+      val p = NbModel(model.localCheckpoint(),
+        base.localCheckpoint(), priors.localCheckpoint(),
+        vocab.localCheckpoint())
+      releaseScratch()
+      p
+    }
   }
 
   /** Fit the multinomial NB: one partial-agg count pass over the
@@ -1197,10 +1212,12 @@ object TextOps extends QueryGroup {
     // is exploded once instead of four times (the r21 plan capture
     // showed four separate scan+Generate subtrees feeding one model).
     // cnt is VOCABULARY × CLASSES bounded (the t13/t5 model-vs-data
-    // discipline), so pinning it is a model-sized scratch at any corpus
-    // size, and each derived aggregate is exactly equal to its
-    // corpus-pass original: same groups, same counts.
-    val cnt = graft.operators.ScratchCache.scratch(
+    // discipline), so the pin is a MODEL-sized scratch at any corpus
+    // size — memory-first level, size-gated (r22: below the gate the
+    // extra explodes are cheaper than the pin round-trip), and each
+    // derived aggregate is exactly equal to its corpus-pass original:
+    // same groups, same counts.
+    val cnt = graft.operators.ScratchCache.scratchModel(
       tw.groupBy("source", "w").agg(count(lit(1)).as("c")))
     val tokc = cnt.groupBy("source").agg(sum(col("c")).as("tok_c"))
     val vocabN = cnt.agg(count_distinct(col("w")).as("V"))
@@ -1217,7 +1234,8 @@ object TextOps extends QueryGroup {
       .select(col("source").as("cls"),
         log((col("tok_c") + col("V")).cast("double"))
           .cast(DecimalType(18, 9)).as("lbase"))
-    NbModel(model, base, priors, cnt.select("w").distinct())
+    NbModel(model, base, priors, cnt.select("w").distinct(),
+      () => graft.operators.ScratchCache.release(cnt))
   }
 
   /** Classify (doc_id, source, text) rows against a trained model.
