@@ -90,15 +90,21 @@ object ConnectedComponents {
     }
     // sym is consumed every round, so it must be materialized — but
     // LAZILY: round 0's job materializes it, saving a separate job.
+    //
+    // PRE-PARTITIONING sym by src before the checkpoint (so each
+    // round's join could read it in place, guide §2.4) was measured
+    // and REJECTED (r22, interleaved AbBench, min-of-reps): d15
+    // 11.75 → 12.06 s and d6 4.55 → 4.29 at sf0.1 (noise-level), d15
+    // 18.32 vs 16.79 s and d6 4.54 vs 4.15 at sf1 — consistently
+    // SLOWER pinned. Locking the checkpoint at a fixed partition
+    // count forfeits AQE's per-round coalescing of the sym exchange
+    // (tiny rounds pay 32 tasks instead of a few) and its skew
+    // splitting at scale; the saved exchange does not pay for either.
+    val symPlan = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val sym =
-      (if (reliable)
-        edges.select(col("src"), col("dst"))
-          .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-          .checkpoint(eager = false)
-      else
-        edges.select(col("src"), col("dst"))
-          .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint(eager = false))
+      if (reliable) symPlan.checkpoint(eager = false)
+      else symPlan.localCheckpoint(eager = false)
 
     // Fused round 0 over edge nodes only: component = min(id, neighbors)
     // — exactly the first pull from identity labels, for one groupBy.
@@ -149,6 +155,18 @@ object ConnectedComponents {
       // pointer jump: label(x) ← min(label(x), label(label(x))).
       // Every component value is the id of some edge node, so the inner
       // self-join covers all rows.
+      //
+      // A DOUBLE jump (jumping the jumped table through itself,
+      // label ← L⁴) was measured and REJECTED (r22): it does halve
+      // rounds when label trees are deep (a 200-node chain with
+      // position-correlated ids: 8 → 5 rounds), but on the real edge
+      // sets label values are uncorrelated with graph structure, so
+      // label trees stay shallow and convergence is PULL-bound — the
+      // d15 edge set ran 10 rounds under both schemes (GRAFT_CC_DEBUG,
+      // same window), leaving the second self-join per round a pure
+      // cost. Deeper min-propagation (two-hop pull) was rejected on
+      // arithmetic: squared-edge joins grow per-round bytes ~2·KG×
+      // to halve rounds.
       val (jumped, nChg, release) = roundSave(pulled.as("x")
         .join(pulled.as("p"), col("x.component") === col("p.id"))
         .select(col("x.id").as("id"),

@@ -99,15 +99,29 @@ object GlobalOrder {
     val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
+    // fail-fast contract (ADVICE r21): the internal-row getLong returns
+    // garbage/0 on a mistyped or null cell where the old external-Row
+    // path threw — so the type is checked at plan time and nulls per
+    // row (one branch per row; the codec pass this path removed cost
+    // orders of magnitude more)
+    require(sorted.schema(vIdx).dataType == LongType,
+      s"withGlobalCumSum: value column '$valueCol' must be LONG, " +
+        s"got ${sorted.schema(vIdx).dataType}")
+    def checked(r: org.apache.spark.sql.catalyst.InternalRow): Long = {
+      require(!r.isNullAt(vIdx),
+        s"withGlobalCumSum: null in value column '$valueCol'")
+      r.getLong(vIdx)
+    }
     // INTERNAL row stream (r21, same rationale as withGlobalRank): the
     // external `.rdd` route decoded and re-encoded every row
     val rdd = org.apache.spark.sql.GraftBridge.internalRdd(sorted)
-    // job 1: one long per partition (the shuffle files are then reused)
-    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L
-      it.foreach(r => s += r.getLong(vIdx))
-      Iterator(pid -> s)
-    }.collect().sortBy(_._1).map(_._2)
+    // job 1: one long per partition. Runs at the STAGE FLOOR (r22 —
+    // the pre-sort shuffle-read rows): sums are order-free and the
+    // sort is row-preserving, so the offsets job no longer re-executes
+    // the within-partition sort it used to pay a second time; the
+    // shuffle files it materializes are reused by job 2 as before.
+    val partSums = org.apache.spark.sql.GraftBridge
+      .perPartitionLongSums(sorted, vIdx, checked)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = sum before pid
     val bcast = spark.sparkContext.broadcast(offsets)
     // job 2: partition-local running sum + broadcast offset (streaming
@@ -118,7 +132,7 @@ object GlobalOrder {
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       it.map { r =>
-        run += r.getLong(vIdx)
+        run += checked(r)
         extra.update(0, run)
         joined(r, extra)
           : org.apache.spark.sql.catalyst.InternalRow

@@ -872,7 +872,7 @@ object DedupOps extends QueryGroup {
     * in PlanSpec (the d9 ledger scan shows the pushed prefix
     * PartitionFilters).
     */
-  private def prunedByPrefix(ledger: DataFrame,
+  private[graft] def prunedByPrefix(ledger: DataFrame,
       hashes: DataFrame): DataFrame =
     if (!ledger.columns.contains("pfx")) ledger
     else {

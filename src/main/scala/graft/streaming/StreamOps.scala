@@ -493,12 +493,20 @@ object StreamOps {
     * single-writer-locked operations, so the exposure is the crash
     * window itself; an operator runbook pairs a crashed takedown with
     * an immediate heal (any writer entry, e.g. a no-op refresh).
-    * (3) the freshness contract costs a full ledger-hash re-read AND
-    * re-broadcast EVERY micro-batch (vs ST6's pinned broadcast built
-    * once at start) — it grows with ledger size, 32 B/doc, and is the
-    * scaling cost of no-restart pickup; for ledgers too large to
-    * broadcast per trigger, the escape hatch is d9's prefix-pruned
-    * join (read only the batch's hash-prefix slices, the d16 plan).
+    * (3) the freshness contract re-reads the ledger EVERY micro-batch
+    * (vs ST6's pinned broadcast built once at start) — but the read is
+    * PREFIX-PRUNED (r22, the d9 batch-path treatment): the ledger is
+    * parquet-partitioned by the hash's first hex char, the batch's
+    * distinct prefixes (≤ 16 driver-side strings per trigger) land in
+    * the scan's PartitionFilters, and only those slices are read and
+    * broadcast — a targeted re-ingest covering p of the 16 prefixes
+    * pays p/16 of the ledger's bytes and footers per trigger, not all
+    * of them. Pruning cannot change the anti-join's result: a ledger
+    * row whose prefix no batch hash shares can never match. The
+    * residual scaling cost — a batch spanning all 16 prefixes still
+    * re-broadcasts 1/1-of-ledger — is the price of the no-restart
+    * freshness contract; bounding THAT needs an ST16-style Bloom
+    * prefilter, which trades freshness (the Bloom is built once).
     *
     * @param docs streaming frame with `textCol` and an event-time col
     * @param ledgerPath d9/d16 hash-ledger path (re-read per trigger)
@@ -515,7 +523,10 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("content_hash")
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val ledger = batch.sparkSession.read.parquet(ledgerPath)
+        // fresh listing per trigger (the takedown-pickup contract),
+        // pruned to the batch's hash-prefix slices before the read
+        val ledger = graft.queries.DedupOps.prunedByPrefix(
+          batch.sparkSession.read.parquet(ledgerPath), batch)
           .select("content_hash")
         sink(batch.join(broadcast(ledger),
           Seq("content_hash"), "left_anti"), id)

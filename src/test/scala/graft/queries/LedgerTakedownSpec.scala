@@ -465,6 +465,44 @@ class LedgerTakedownSpec extends AnyFunSuite with Matchers {
     } finally rm(new java.io.File(path))
   }
 
+  test("ST18 live path: the per-trigger ledger read is PREFIX-PRUNED " +
+      "(the batch's hash prefixes land as PartitionFilters, bounding " +
+      "bytes read per trigger by touched slices) and prune-equal") {
+    val path = tmpPath("st18prune")
+    try {
+      // enough ledger docs to populate many of the 16 prefix slices
+      val texts = (0 until 64).map(i => s"st18 prune ledger doc $i")
+      DedupOps.refreshLedger(spark, path, hashesOf(texts))
+      val nSlices = new java.io.File(path).listFiles()
+        .count(_.getName.startsWith("pfx=")) // sanity: partitioned layout
+      nSlices should be > 4
+      // a two-doc batch touches at most two prefix slices
+      val batch = batchOf(Seq((1L, texts.head), (2L, "st18 prune novel")))
+        .withColumn("content_hash", md5(col("text")))
+      val pruned = DedupOps.prunedByPrefix(
+        spark.read.parquet(path), batch)
+      // the prune is a PARTITION filter on the scan (the d9 plan-gate
+      // pattern): listing and bytes are bounded by the batch's
+      // prefixes, not the ledger's size
+      val scan = pruned.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("Scan parquet")).get
+      withClue(scan) {
+        (scan.contains("PartitionFilters: [pfx#") &&
+          (scan.contains(" IN ") || scan.contains("INSET"))) shouldBe true
+      }
+      pruned.count() should be < texts.size.toLong // slices actually skipped
+      // pruning cannot change the anti-join: a ledger row whose prefix
+      // no batch hash shares can never match a batch row
+      def novel(ledger: org.apache.spark.sql.DataFrame) =
+        batch.join(broadcast(ledger.select("content_hash")),
+          Seq("content_hash"), "left_anti")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      novel(pruned) shouldBe
+        novel(spark.read.parquet(path))
+      novel(pruned) shouldBe Set(2L)
+    } finally rm(new java.io.File(path))
+  }
+
   test("ST10-live near-dup matching: a band-ledger takedown stops its " +
       "doc matching on the NEXT trigger (no restart), and a " +
       "resurrection resumes it") {
