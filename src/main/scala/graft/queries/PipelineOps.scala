@@ -22,6 +22,33 @@ import graft.sources.Tables
   */
 object PipelineOps extends QueryGroup {
 
+  /** Await every future, rethrowing the FIRST failure only after ALL
+    * settle (the p6 rule, ADVICE r21: a failed stage must not leave
+    * sibling jobs running in the background where they race the caller
+    * — or the bench harness's `clear()` — mid-write). Values are read
+    * off the completed futures by the caller.
+    */
+  private def settleAll(fs: Seq[scala.concurrent.Future[_]])(
+      implicit ec: scala.concurrent.ExecutionContext): Unit =
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(
+        fs.map(_.transform(scala.util.Success(_)))),
+      scala.concurrent.duration.Duration.Inf)
+      .collectFirst { case scala.util.Failure(e) => throw e }
+
+  /** Driver pool for overlapping a chain's INDEPENDENT eager stages
+    * (guide §2.6 — the p6 discipline generalized to the composed
+    * pipelines): each stage's eager jobs (CC round loops, scratch/
+    * checkpoint materializations, tap writes) underfill the cluster,
+    * and FIFO scheduling back-fills the gaps. `parProp` set to "0"
+    * serializes the stages on one pool thread (dev A/B toggle;
+    * submission order preserved). Caller must shutdown() in finally.
+    */
+  private def overlapPool(n: Int, parProp: String)
+      : java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      if (sys.props.get(parProp).contains("0")) 1 else n)
+
   private val p1 = QueryDef(
     "p1_training_corpus",
     (s, dir) => {
@@ -114,12 +141,56 @@ object PipelineOps extends QueryGroup {
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
-      // stage 1: near-dup collapse — keep one doc per Jaccard cluster
-      val keep = DedupOps.keeperIds(s, dir)
-      // stage 2: fuzzy decontamination — any doc that near-duplicates
-      // an eval item goes; the eval holdout itself never trains
-      val contam = TextOps.fuzzyContamPairs(s, dir)
-        .select("doc_id").distinct()
+      // Stages 1/2/3's eager builds are mutually INDEPENDENT — the
+      // keeper CC round loop, the fuzzy-decontam shingle index, and
+      // the NB model fit all derive from the raw corpus, not from each
+      // other — so they run CONCURRENTLY from a driver pool (guide
+      // §2.6, the p6 discipline: r22 JobProf read p2 as ~11.5 s of
+      // SEQUENTIAL eager jobs, the CC loop alone ~45 jobs, each
+      // underfilling 32 cores). Only the dependent tail (survivors
+      // join, scoring, mixture) stays sequential.
+      val pool = overlapPool(3, "graft.pchain.par")
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val (keep, contam, m, saltW) =
+        try {
+          // stage 1: near-dup collapse — one keeper per Jaccard cluster
+          val fKeep = Future {
+            s.sparkContext.setJobDescription("p2: near-dup keepers (CC)")
+            DedupOps.keeperIds(s, dir)
+          }
+          // stage 2: fuzzy decontamination — any doc that near-
+          // duplicates an eval item goes; the eval holdout itself never
+          // trains. Checkpointed (output-sized: distinct contaminated
+          // ids) so the shingle index + prefix probe materialize HERE,
+          // overlapped with the CC loop, instead of serially inside
+          // survivors' checkpoint.
+          val fContam = Future {
+            s.sparkContext.setJobDescription("p2: fuzzy decontam set")
+            TextOps.fuzzyContamPairs(s, dir)
+              .select("doc_id").distinct().localCheckpoint()
+          }
+          // stage 3's model: t21's NB fit on the full-corpus %5 train
+          // split (the filter model is fit on raw data; only the SCORED
+          // set shrinks with the pipeline). Pinned — the model frames
+          // are vocabulary/class-bounded at any corpus size — so the
+          // fit's explode+agg runs here, under the CC wall, and the
+          // scoring tail reads model-sized checkpoints.
+          val fModel = Future {
+            s.sparkContext.setJobDescription("p2: NB model fit")
+            val saltW =
+              if (CorpusStats.nDocs(s, dir) >= TextOps.lmSaltMinDocs)
+                TextOps.lmSaltBuckets else 0
+            (TextOps.nbTrain(
+              d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)).pinned, saltW)
+          }
+          settleAll(Seq(fKeep, fContam, fModel))
+          val (m, saltW) = Await.result(fModel, Duration.Inf)
+          (Await.result(fKeep, Duration.Inf),
+            Await.result(fContam, Duration.Inf), m, saltW)
+        } finally pool.shutdown()
       // pinned: nbClassify consumes its eval side THREE times (word
       // explode, in-vocab counts, the priors base frame) — without the
       // pin each consumption re-executes the whole keeper-CC + fuzzy-
@@ -129,17 +200,9 @@ object PipelineOps extends QueryGroup {
         .join(keep, "doc_id")
         .join(contam, Seq("doc_id"), "left_anti")
         .localCheckpoint()
-      // stage 3: trained keep-rule — t21's NB fit on the full-corpus
-      // %5 train split (the filter model is fit on raw data; only the
-      // SCORED set shrinks with the pipeline), survivors kept when
-      // pred_source == source
-      val saltW =
-        if (CorpusStats.nDocs(s, dir) >= TextOps.lmSaltMinDocs)
-          TextOps.lmSaltBuckets else 0
-      val m = TextOps.nbTrain(
-        d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L))
-      // pinned for the same reason: mixtureSelect reads its input for
-      // the per-source stats AND the grouped rank
+      // survivors kept when pred_source == source; pinned for the same
+      // reason: mixtureSelect reads its input for the per-source stats
+      // AND the grouped rank
       val kept = TextOps.nbClassify(survivors, m, saltW)
         .filter(col("correct"))
         .select("source", "doc_id")
@@ -277,33 +340,59 @@ object PipelineOps extends QueryGroup {
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
-      // stage 1: near-dup collapse — keep one doc per Jaccard cluster
-      val kdocs = d.join(DedupOps.keeperIds(s, dir), "doc_id")
-      // stage 2: span-grain dedup over the keeper corpus
-      val excised = DedupOps.spanExciseOver(kdocs)
-        .select(col("doc_id"), col("clean_text"))
-      // stage 3: PII scrub over the rebuilt text (deterministic
-      // planting first — both engines plant identical strings)
-      val scrubbed = TextOps.redactPiiProjection(
-        excised.select(col("doc_id"),
-          TextOps.piiInjectCol(col("clean_text")).as("text")))
-      val processed = scrubbed
-        .select(col("doc_id"), col("clean_text").as("text"))
-        .join(d.select("doc_id", "source"), "doc_id")
-        .localCheckpoint()
+      // Stages 1-3 (keepers → excision → scrub, a sequential chain
+      // ending in the `processed` pin) and stage 5's NB model fit are
+      // INDEPENDENT — the filter model fits on the RAW corpus — so the
+      // two eager builds overlap on a driver pool (guide §2.6; see p2).
+      // Stage 4 (decontamination of the PROCESSED text) depends on the
+      // chain and stays sequential.
+      val pool = overlapPool(2, "graft.pchain.par")
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val (processed, m, saltW) =
+        try {
+          val fProc = Future {
+            s.sparkContext.setJobDescription(
+              "p3: keepers + span excise + PII scrub")
+            // stage 1: near-dup collapse — one keeper per cluster
+            val kdocs = d.join(DedupOps.keeperIds(s, dir), "doc_id")
+            // stage 2: span-grain dedup over the keeper corpus
+            val excised = DedupOps.spanExciseOver(kdocs)
+              .select(col("doc_id"), col("clean_text"))
+            // stage 3: PII scrub over the rebuilt text (deterministic
+            // planting first — both engines plant identical strings)
+            val scrubbed = TextOps.redactPiiProjection(
+              excised.select(col("doc_id"),
+                TextOps.piiInjectCol(col("clean_text")).as("text")))
+            scrubbed
+              .select(col("doc_id"), col("clean_text").as("text"))
+              .join(d.select("doc_id", "source"), "doc_id")
+              .localCheckpoint()
+          }
+          // stage 5's model: NB fit on the raw %5 train split — pinned
+          // (model-sized frames) so the fit runs under the chain's wall
+          val fModel = Future {
+            s.sparkContext.setJobDescription("p3: NB model fit")
+            val saltW =
+              if (CorpusStats.nDocs(s, dir) >= TextOps.lmSaltMinDocs)
+                TextOps.lmSaltBuckets else 0
+            (TextOps.nbTrain(
+              d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)).pinned, saltW)
+          }
+          settleAll(Seq(fProc, fModel))
+          val (m, saltW) = Await.result(fModel, Duration.Inf)
+          (Await.result(fProc, Duration.Inf), m, saltW)
+        } finally pool.shutdown()
       // stage 4: fuzzy decontamination on the PROCESSED text
       val contam = TextOps.fuzzyContamPairsOver(processed)
         .select("doc_id").distinct()
       val survivors = processed
         .filter(col("doc_id") % TextOps.t20Mod =!= 0)
         .join(contam, Seq("doc_id"), "left_anti")
-      // stage 5: trained keep-rule — NB fit on the raw %5 train split,
-      // survivors kept when the classifier agrees with their source
-      val saltW =
-        if (CorpusStats.nDocs(s, dir) >= TextOps.lmSaltMinDocs)
-          TextOps.lmSaltBuckets else 0
-      val m = TextOps.nbTrain(
-        d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L))
+      // stage 5: trained keep-rule — survivors kept when the
+      // classifier agrees with their source
       val kept = TextOps.nbClassify(survivors, m, saltW)
         .filter(col("correct")).select("doc_id")
         .join(processed, "doc_id")
@@ -494,26 +583,56 @@ object PipelineOps extends QueryGroup {
   private val p4 = QueryDef(
     "p4_training_corpus_v4",
     (s, dir) => {
-      // stage 1: SemDeDup keepers over the maintained s10 graph ledger
-      val keepers = DedupOps.semanticKeepOver(s, dir,
-          SimilarityOps.LedgerGraph(SimilarityOps.s10LedgerPath(dir)),
-          "p4_graph")
-        .select(col("vec_id").as("doc_id"))
-      // stage 2: embedding decontamination — the eval holdout leaves
-      // the corpus; every keeper within decontamR of an eval vector
-      // is flagged and anti-joined out
-      val flagged = SimilarityOps.decontamPairs(s, dir, "p4_dec")
+      // The three ANN-shaped builds are INDEPENDENT and touch DISJOINT
+      // state (s10 graph ledger + p4_graph tap / p4_dec tap / s8 IVF
+      // ledger + p4_cents tap), so they overlap on a driver pool —
+      // exactly p6's takedown shape (guide §2.6): the ledger-CC round
+      // loop, the LSH candidate tap write, and the centroid read each
+      // underfill the cluster alone.
+      val pool4 = overlapPool(3, "graft.pchain.par")
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool4)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val (keepers, flagged, cents) =
+        try {
+          // stage 1: SemDeDup keepers over the maintained s10 ledger
+          val fKeep = Future {
+            s.sparkContext.setJobDescription(
+              "p4: SemDeDup keepers (graph ledger)")
+            DedupOps.semanticKeepOver(s, dir,
+                SimilarityOps.LedgerGraph(SimilarityOps.s10LedgerPath(dir)),
+                "p4_graph")
+              .select(col("vec_id").as("doc_id"))
+          }
+          // stage 2: embedding decontamination candidates — every
+          // keeper within decontamR of an eval vector gets flagged
+          val fFlag = Future {
+            s.sparkContext.setJobDescription("p4: decontam candidates")
+            SimilarityOps.decontamPairs(s, dir, "p4_dec")
+          }
+          // stage 3's centroids: the STORED s8 quantizer (no per-run
+          // Lloyd training — the c1l/c2l shape)
+          val fCents = Future {
+            s.sparkContext.setJobDescription(
+              "p4: stored quantizer centroids")
+            graft.sources.VerifyTap(
+              SimilarityOps.quantizerCentroids(s, dir,
+                SimilarityOps.StoredQuantizer(
+                  SimilarityOps.s8LedgerPath(dir))),
+              "p4_cents")
+          }
+          settleAll(Seq(fKeep, fFlag, fCents))
+          (Await.result(fKeep, Duration.Inf),
+            Await.result(fFlag, Duration.Inf),
+            Await.result(fCents, Duration.Inf))
+        } finally pool4.shutdown()
+      // the eval holdout leaves the corpus; flagged keepers anti-join
       val surv = TextOps.applyDecontam(
         keepers.filter(
           pmod(col("doc_id"),
             lit(SimilarityOps.decontamMod.toLong)) =!= 0L),
         flagged)
-      // stage 3: cluster-balanced token budget from the STORED s8
-      // quantizer (no per-run Lloyd training — the c1l/c2l shape)
-      val cents = graft.sources.VerifyTap(
-        SimilarityOps.quantizerCentroids(s, dir,
-          SimilarityOps.StoredQuantizer(SimilarityOps.s8LedgerPath(dir))),
-        "p4_cents")
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .join(surv.select(col("doc_id").as("vec_id")), "vec_id")
@@ -749,25 +868,16 @@ object PipelineOps extends QueryGroup {
       val e = Tables.load(s, dir, "embeddings")
         .select("vec_id", "embedding")
       // pool size 1 serializes the chains — dev A/B toggle only
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        if (sys.props.get("graft.p6.par").contains("0")) 1 else 3)
+      val pool = overlapPool(3, "graft.p6.par")
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      import scala.concurrent.{Await, Future}
-      // failures SETTLE before they propagate (ADVICE r21): Future
-      // .sequence fails fast, which would leave the surviving chains
-      // writing ledger state in the background while the caller (and
-      // the bench harness's clear()) races them — so every chain runs
-      // to completion first, then the first failure is rethrown
-      def settled[A](fs: Seq[Future[A]])(
-          implicit ec: scala.concurrent.ExecutionContext): Future[Seq[A]] =
-        Future.sequence(fs.map(_.transform(scala.util.Success(_))))
-          .map { results =>
-            results.collectFirst { case scala.util.Failure(e) => throw e }
-            results.map(_.get)
-          }
+      import scala.concurrent.Future
+      // failures SETTLE before they propagate (ADVICE r21; settleAll):
+      // fail-fast would leave the surviving chains writing ledger state
+      // in the background while the caller (and the bench harness's
+      // clear()) races them
       try {
-        Await.result(settled(Seq(
+        settleAll(Seq(
           Future {
             s.sparkContext.setJobDescription("p6: hash-ledger takedown")
             DedupOps.refreshLedger(s, hashPath,
@@ -789,7 +899,7 @@ object PipelineOps extends QueryGroup {
             withLeaseRetry() { SimilarityOps.refreshKnnLedger(s, gPath, e) }
             withLeaseRetry() { SimilarityOps.tombstoneIds(s, gPath,
               e.filter(pmod(col("vec_id"), lit(13L)) === 4L).select("vec_id")) }
-          })), scala.concurrent.duration.Duration.Inf)
+          }))
       } finally { pool.shutdown() }
       // stage 2: RE-INGEST against the shrunk hash ledger — reclaimed
       // content re-admits as novel (the d17 contract)

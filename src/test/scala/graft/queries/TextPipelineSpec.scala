@@ -125,6 +125,23 @@ class TextPipelineSpec extends AnyFunSuite with Matchers {
     rows.unpersist()
   }
 
+  test("p2/p4: the overlapped stage builds are semantics-free — the " +
+    "serialized arm (graft.pchain.par=0) returns identical rows") {
+    // r22 runs each chain's independent eager stages (keeper CC, fuzzy
+    // decontam set, NB model fit / the three ANN taps) concurrently on
+    // a driver pool (guide §2.6). The pool must only change WHEN work
+    // runs, never what any stage computes: the serialized A/B arm and
+    // the shipped parallel default must agree row-for-row.
+    for (name <- Seq("p2_training_corpus_v2", "p4_training_corpus_v4")) {
+      val par = run(name).collect().toSeq
+      sys.props("graft.pchain.par") = "0"
+      val ser =
+        try run(name).collect().toSeq
+        finally sys.props.remove("graft.pchain.par")
+      withClue(name) { ser should contain theSameElementsAs par }
+    }
+  }
+
   test("p2: composed modern pipeline keeps stage contracts — eval holdout " +
     "and contaminated docs excluded, keep-rule applied, quotas exact") {
     val df = run("p2_training_corpus_v2")
